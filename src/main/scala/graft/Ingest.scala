@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1-§2.2 ingest layer: SAR JSON scan (S1), numeric coercion
+  * with null-on-error (P2), order-dependent forward-fill imputation (P3).
+  */
+object Ingest {
+
+  /** Explicit schema for the reference's train/test JSON
+    * (reference: main.py:50-64; FIXTURES.md §1). `inc_angle` arrives dirty
+    * ("na" strings in test) so it is STRING here and coerced by [[coerce]]. */
+  val sarSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("band_1", ArrayType(DoubleType), nullable = false),
+    StructField("band_2", ArrayType(DoubleType), nullable = false),
+    StructField("inc_angle", StringType, nullable = true),
+    StructField("is_iceberg", IntegerType, nullable = true)))
+
+  /** S1: JSON table scan with explicit schema. The Kaggle files are a
+    * single JSON array → multiLine. */
+  def readSarJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(sarSchema).option("multiLine", value = true).json(path)
+
+  /** P2: pd.to_numeric(errors='coerce') ≡ cast → null on garbage
+    * (main.py:55-56). */
+  def coerce(df: DataFrame): DataFrame =
+    df.withColumn("inc_angle", col("inc_angle").cast(DoubleType))
+
+  /** P3/W1: forward-fill `inc_angle` in file order
+    * (train['inc_angle'].fillna(method='pad'), main.py:57).
+    *
+    * Order contract: `orderCol` must be a stable row index. On a
+    * single-file read, `monotonically_increasing_id` right after the scan
+    * is deterministic; testdata tables carry explicit key columns.
+    *
+    * Scale note: a single unpartitioned window is O(n) on one task — fine
+    * for the reference's 1604-row column, and the fill is inherently a
+    * sequential scan. For 100 TB-scale forward fills, partition by a
+    * natural series key (here: none exists) or use the two-pass
+    * partition-boundary algorithm; documented deviation: we keep the
+    * global window because the op is only defined over file order.
+    */
+  def forwardFill(df: DataFrame, valueCol: String, orderCol: String): DataFrame = {
+    val w = Window.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+}

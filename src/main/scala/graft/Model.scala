@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 model surface: MLlib Pipeline replacing the reference's
+  * Keras CNN (documented substitution, BASELINE.json `spark_approach`):
+  * probabilistic binary classifier over engineered features, identical
+  * surrounding pipeline (K-fold CV → per-fold fit → OOF + test predict →
+  * ensemble mean → log-loss), reference main.py:247-309.
+  */
+object Model {
+
+  def pipeline(featureCols: Seq[String], maxIter: Int = 50): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("rawFeatures")
+      .setHandleInvalid("keep")
+    val scaler = new StandardScaler()
+      .setInputCol("rawFeatures").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val lr = new LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(maxIter).setRegParam(0.01)
+    new Pipeline().setStages(Array(assembler, scaler, lr))
+  }
+
+  /** P(class=1) as a plain double column from the MLlib probability vector. */
+  def prob1(df: DataFrame): DataFrame =
+    df.withColumn("pred", element_at(vector_to_array(col("probability")), 2))
+
+  /** The myAngleCV loop (main.py:247-309): per-fold fit on K-1 folds,
+    * predict holdout (OOF, G3) + full test (G2); driver-side Scala control
+    * flow launching K Spark jobs. Input must carry `fold` and `label`. */
+  case class CvResult(oof: DataFrame, test: DataFrame, models: Seq[PipelineModel])
+
+  def crossValidate(train: DataFrame, test: DataFrame, featureCols: Seq[String], k: Int): CvResult = {
+    val cached = train.persist() // reused K times — the reference's pickle-cache analogue
+    val perFold = (0 until k).map { j =>
+      val m = pipeline(featureCols).fit(Folds.trainSplit(cached, j))
+      val oof = prob1(m.transform(Folds.holdoutSplit(cached, j)))
+      val tst = prob1(m.transform(test)).withColumn("fold", lit(j))
+      (m, oof, tst)
+    }
+    val oof = perFold.map(_._2.select("id", "label", "pred")).reduce(_ unionByName _)
+    val testPred = Ensemble.foldMean(perFold.map(_._3.select("id", "pred")), "id", "pred")
+    CvResult(oof, testPred, perFold.map(_._1))
+  }
+
+  /** S6: model artifact sink/scan. */
+  def save(m: PipelineModel, path: String): Unit = m.write.overwrite().save(path)
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+}

@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** SURVEY.md §2 operator inventory → named, oracle-checked queries over
+  * /root/testdata. Each entry: (name, Spark plan, DuckDB oracle SQL).
+  * Naming follows the §2 op ids (p* projections, a* array ops, g* aggs,
+  * j* joins, w* windows, o* sort/set, f* scalar funcs, s* sources/sinks,
+  * st* streaming-shaped, dd* dedup, sim* similarity, tx* text, mm*
+  * multimodal, ml* MLlib).
+  *
+  * Determinism contract (SURVEY.md §5.1): exact DECIMAL for double
+  * aggregation, round(…,6) for per-row float math, total-order ORDER BY
+  * with unique tie-break in BOTH engines, no engine RNG in any oracle'd
+  * query (randomness = explicit integer LCG arithmetic).
+  */
+object Queries {
+  type Q = (SparkSession, String) => DataFrame
+  final case class Entry(name: String, fn: Q, oracle: Option[String])
+
+  private def li(s: SparkSession, d: String) = tbl(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = tbl(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = tbl(s, d, "customer")
+  private def ev(s: SparkSession, d: String) = tbl(s, d, "events")
+
+  // ---------------------------------------------------------------- batch 1
+  /** Flagship: TPC-H Q1-shaped pricing summary (G-family partial+final agg;
+    * scan-side: only 7 of 11 lineitem columns read — column pruning). */
+  val q1PricingSummary: Entry = Entry("q1_pricing_summary",
+    (s, d) => li(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      | ${sqlDsum("l_quantity")} AS sum_qty,
+      | ${sqlDsum("l_extendedprice")} AS sum_base_price,
+      | ${sqlDsumProd("l_extendedprice", "1 - l_discount")} AS sum_disc_price,
+      | ${sqlDavg("l_quantity")} AS avg_qty,
+      | ${sqlDavg("l_discount")} AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** P1: projection + pushed filter (PushedFilters on c_acctbal in the scan). */
+  val p1Projection: Entry = Entry("p1_projection",
+    (s, d) => cust(s, d)
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+      |WHERE c_acctbal > 5000.0 ORDER BY c_custkey""".stripMargin))
+
+  /** P2: numeric coercion, null on garbage (pandas to_numeric errors='coerce',
+    * main.py:55-56) — needs non-ANSI cast (session sets ansi=false). */
+  val p2Coerce: Entry = Entry("p2_coerce_null",
+    (s, d) => ev(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("double").as("k_num"),
+        col("event_type").cast("double").as("bad_cast"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+      | TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num,
+      | TRY_CAST(event_type AS DOUBLE) AS bad_cast
+      |FROM events ORDER BY event_id""".stripMargin))
+
+  /** P3/W1: order-dependent forward fill (main.py:57) — here over events
+    * with error-rows nulled first. */
+  val p3ForwardFill: Entry = Entry("p3_forward_fill",
+    (s, d) => {
+      val e = ev(s, d).withColumn("v",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      Ingest.forwardFill(e, "v", "event_id")
+        .select(col("event_id"), col("event_type"), col("v").as("v_filled"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type,
+      | last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+      |   OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM events ORDER BY event_id""".stripMargin))
+
+  /** P4: bulk rename (sub_stacking.py:24-25). */
+  val p4Rename: Entry = Entry("p4_rename_bulk",
+    (s, d) => tbl(s, d, "supplier")
+      .toDF("suppkey", "supp_name", "nationkey", "acctbal")
+      .orderBy("suppkey"),
+    Some("""SELECT s_suppkey AS suppkey, s_name AS supp_name,
+      | s_nationkey AS nationkey, s_acctbal AS acctbal
+      |FROM supplier ORDER BY suppkey""".stripMargin))
+
+  /** J1: N-way equi-join on small dims — both dims explicitly broadcast
+    * (at 100 TB the fact side streams, no shuffle for the dims). */
+  val j1Multiway: Entry = Entry("j1_multiway_join",
+    (s, d) => cust(s, d)
+      .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("r_name"),
+    Some(s"""SELECT r_name, count(*) AS n_customers,
+      | ${sqlDsum("c_acctbal")} AS total_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin))
+
+  /** J-semi: EXISTS — customers with at least one P-status order. */
+  val j2Semi: Entry = Entry("j2_semi_join",
+    (s, d) => cust(s, d)
+      .join(ord(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin))
+
+  /** J-anti: NOT EXISTS — customers with no orders at all. */
+  val j3Anti: Entry = Entry("j3_anti_join",
+    (s, d) => cust(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin))
+
+  /** O-topk + 3-way join: TPC-H Q3-shaped revenue top-10 (tie-broken). */
+  val o1TopK: Entry = Entry("o1_topk_revenue",
+    (s, d) => cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+      .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10),
+    Some(s"""SELECT o_orderkey, ${sqlDsumProd("l_extendedprice", "1 - l_discount")} AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  /** W3: row_number / rank / lag over a per-customer window (top-3 orders). */
+  val w3RankLag: Entry = Entry("w3_rank_lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("rnk"), col("o_orderkey"),
+          col("o_totalprice"), col("prev_price"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, rn, rnk, o_orderkey, o_totalprice, prev_price FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER w AS rn, rank() OVER w AS rnk,
+      |  lag(o_totalprice, 1) OVER w AS prev_price
+      | FROM orders
+      | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+
+  /** G-distinct: exact count-distinct per group. */
+  val gDistinct: Entry = Entry("g_distinct_count",
+    (s, d) => li(s, d).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** F-dates: calendar extraction + day arithmetic (F1-family). */
+  val fDates: Entry = Entry("f_dates",
+    (s, d) => ord(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      | CAST(date_part('year', o_orderdate) AS INT) AS y,
+      | CAST(date_part('month', o_orderdate) AS INT) AS m,
+      | CAST(date_part('day', o_orderdate) AS INT) AS dom,
+      | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+      | strftime(o_orderdate, '%Y-%m') AS ym
+      |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** F5/F6-math: per-row scalar math, rounded to pin cross-engine ulps. */
+  val fMath: Entry = Entry("f_math",
+    (s, d) => ord(s, d).select(
+        col("o_orderkey"),
+        round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+        round(log(col("o_totalprice")), 6).as("ln_price"),
+        round(pow(col("o_totalprice"), 2), 2).as("price_sq"),
+        floor(col("o_totalprice")).as("fl"),
+        ceil(col("o_totalprice")).as("ce"),
+        (col("o_orderkey") % 7).as("key_mod"),
+        abs(col("o_totalprice") - 250000.0).as("abs_dev"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      | round(sqrt(o_totalprice), 6) AS sqrt_price,
+      | round(ln(o_totalprice), 6) AS ln_price,
+      | round(pow(o_totalprice, 2), 2) AS price_sq,
+      | CAST(floor(o_totalprice) AS BIGINT) AS fl,
+      | CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+      | o_orderkey % 7 AS key_mod,
+      | abs(o_totalprice - 250000.0) AS abs_dev
+      |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** F-json: JSON path extraction from events.props (SURVEY §2.8 note). */
+  val fJson: Entry = Entry("f_json",
+    (s, d) => ev(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events ORDER BY event_id""".stripMargin))
+
+  /** F2-strings: concat/substr/case/length/replace/regexp. */
+  val fStrings: Entry = Entry("f_strings",
+    (s, d) => tbl(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_up"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_name"), "[a-z]+", 0).as("first_word"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, upper(p_name) AS name_up, substr(p_name, 1, 5) AS name5,
+      | CAST(length(p_name) AS INT) AS name_len,
+      | p_brand || '-' || p_type AS brand_type,
+      | regexp_extract(p_name, '[a-z]+') AS first_word,
+      | replace(p_name, ' ', '_') AS snake
+      |FROM part ORDER BY p_partkey""".stripMargin))
+
+  // Registry — batches append here.
+  val all: Seq[Entry] = Seq(
+    q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
+    j1Multiway, j2Semi, j3Anti, o1TopK, w3RankLag, gDistinct,
+    fDates, fMath, fJson, fStrings) ++
+    QueriesArrays.all ++ QueriesAggWindow.all ++ QueriesPipeline.all
+}

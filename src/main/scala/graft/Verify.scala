@@ -11,6 +11,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // Non-ANSI: cast yields null on garbage (pandas to_numeric coerce
+      // semantics, P2) and matches the oracle's TRY_CAST spelling.
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS); read as long, Tables.tbl
+      // rebuilds a micros timestamp.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 / §2.5 array operators as pure Catalyst-builtin column
+  * combinators (zip_with / transform / aggregate / filter) — everything
+  * stays inside whole-stage codegen, no UDFs, no driver loops.
+  *
+  * Semantics derive from the reference's per-image numpy algebra
+  * (reference: main.py:63-86, main-newInput.py:79-97, sub_stacking.py:30-33);
+  * arrays here are the flat row-major pixel/vector layout (A1: a 75×75
+  * image is a 5625-float array, index (r,c) = r*W+c).
+  */
+object ArrayOps {
+
+  /** Cast array<float> → array<double> so all math is double (oracle parity). */
+  def asDouble(a: Column): Column = a.cast("array<double>")
+
+  // --- A2-A5: element-wise band algebra (reference main.py:65-68) ---
+  def bandAvg(a: Column, b: Column): Column = zip_with(a, b, (x, y) => (x + y) / lit(2.0))
+  def bandAbsDiff(a: Column, b: Column): Column = zip_with(a, b, (x, y) => abs(x - y))
+  def bandMax(a: Column, b: Column): Column = zip_with(a, b, (x, y) => greatest(x, y))
+  def bandMin(a: Column, b: Column): Column = zip_with(a, b, (x, y) => least(x, y))
+
+  // --- G9/A9 one-pass stats ---
+  def arraySum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+  def arrayMean(a: Column): Column = arraySum(a) / size(a)
+  /** Population std (ddof=0, matching np.std in main-newInput.py:80). */
+  def arrayStd(a: Column): Column = {
+    val n = size(a).cast("double")
+    val s = arraySum(a)
+    val sq = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+    sqrt((sq - s * s / n) / n)
+  }
+
+  // --- A7: per-image min-max normalize (main.py:104); epsilon-guarded:
+  // a constant image maps to all-zeros instead of NaN (documented deviation).
+  def minMaxNormalize(a: Column): Column = {
+    val mn = array_min(a); val mx = array_max(a)
+    transform(a, x => when(mx === mn, lit(0.0)).otherwise((x - mn) / (mx - mn)))
+  }
+
+  // --- A9: iso threshold mask: keep pixels > mean+2*std, zero the rest
+  // (main-newInput.py:79-81). ---
+  def isoMask(a: Column): Column = {
+    val thr = arrayMean(a) + lit(2.0) * arrayStd(a)
+    transform(a, x => when(x > thr, x).otherwise(lit(0.0)))
+  }
+
+  // --- A10: size feature — fraction of pixels below `cut`
+  // (main-newInput.py:82-83 uses cut = -5 on SAR dB values). ---
+  def sizeFeature(a: Column, cut: Double): Column =
+    size(filter(a, x => x < lit(cut))).cast("double") / size(a)
+
+  // --- G8: exact row-wise median via sort + middle element(s)
+  // (sub_stacking.py:33). ---
+  def arrayMedian(a: Column): Column = {
+    val s = array_sort(a)
+    val n = size(a)
+    val lo = element_at(s, (n + lit(1)) / lit(2)) // int div: mid for odd, low-mid for even
+    val hi = element_at(s, n / lit(2) + lit(1))
+    (lo + hi) / lit(2.0)
+  }
+
+  // --- Vector math for similarity search (embeddings.embedding) ---
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Round every element — used to pin float results for the oracle hash. */
+  def roundArray(a: Column, s: Int = 6): Column = transform(a, x => round(x, s))
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** SURVEY.md §2.10: the array-geometry UDF family — the only reference
+  * capability (A8 resize, A11 flip, A12 crop/ten-crop, A13 augmentation)
+  * that Catalyst builtins cannot express. Pure `Array[Double]` functions
+  * (unit-testable without Spark) wrapped as Scala UDFs.
+  *
+  * Images are flat row-major arrays: pixel (r,c) of a W-wide image is
+  * a(r*W + c) (reference keeps 75×75 numpy matrices, main.py:63-64; the
+  * flat layout is our A1 mapping).
+  *
+  * Scale note: each UDF is a pure per-row function over a small array —
+  * embarrassingly parallel, no shuffle, no state; at 100 TB these run
+  * inside the scan stage. They break whole-stage codegen locally (UDF
+  * boundary) which is acceptable: the arithmetic dominates, not the
+  * virtual call. Upgrade path if profiling demands: Catalyst Expression
+  * with doGenCode.
+  */
+object ImageGeometry {
+
+  /** A8: bilinear resize h0×w0 → h1×w1 with half-pixel centers and edge
+    * clamp (the semantics of skimage.transform.resize used at
+    * main.py:105; reflect-pad differs only outside the clamp region for
+    * upscales ≥ half, deviation documented). */
+  def bilinearResize(a: Seq[Double], h0: Int, w0: Int, h1: Int, w1: Int): Seq[Double] = {
+    val sy = h0.toDouble / h1
+    val sx = w0.toDouble / w1
+    val out = new Array[Double](h1 * w1)
+    var r = 0
+    while (r < h1) {
+      val fy = (r + 0.5) * sy - 0.5
+      val y0 = math.max(0, math.min(h0 - 1, math.floor(fy).toInt))
+      val y1 = math.min(h0 - 1, y0 + 1)
+      val dy = math.max(0.0, math.min(1.0, fy - y0))
+      var c = 0
+      while (c < w1) {
+        val fx = (c + 0.5) * sx - 0.5
+        val x0 = math.max(0, math.min(w0 - 1, math.floor(fx).toInt))
+        val x1 = math.min(w0 - 1, x0 + 1)
+        val dx = math.max(0.0, math.min(1.0, fx - x0))
+        out(r * w1 + c) =
+          a(y0 * w0 + x0) * (1 - dx) * (1 - dy) +
+          a(y0 * w0 + x1) * dx * (1 - dy) +
+          a(y1 * w0 + x0) * (1 - dx) * dy +
+          a(y1 * w0 + x1) * dx * dy
+        c += 1
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  /** A11: horizontal flip (np.fliplr, 10-crop.py:241). */
+  def flipH(a: Seq[Double], w: Int): Seq[Double] = {
+    val h = a.length / w
+    val out = new Array[Double](a.length)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) { out(r * w + c) = a(r * w + (w - 1 - c)); c += 1 }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  /** A12: rectangular crop at (x0, y0) of size w×h from a W-wide image. */
+  def crop(a: Seq[Double], imgW: Int, x0: Int, y0: Int, w: Int, h: Int): Seq[Double] = {
+    val out = new Array[Double](w * h)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) { out(r * w + c) = a((y0 + r) * imgW + (x0 + c)); c += 1 }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  /** A12: the reference's 10-crop TTA (10-crop.py:240-255): 4 corners +
+    * center, each over {original, horizontally-flipped} image → 10 crops
+    * in a fixed order: [TL, TR, BL, BR, center] × {orig, flipped}. */
+  def tenCrop(a: Seq[Double], imgW: Int, imgH: Int, w: Int, h: Int): Seq[Seq[Double]] = {
+    val cx = (imgW - w) / 2; val cy = (imgH - h) / 2
+    val offs = Seq((0, 0), (imgW - w, 0), (0, imgH - h), (imgW - w, imgH - h), (cx, cy))
+    val flipped = flipH(a, imgW)
+    offs.map { case (x0, y0) => crop(a, imgW, x0, y0, w, h) } ++
+      offs.map { case (x0, y0) => crop(flipped, imgW, x0, y0, w, h) }
+  }
+
+  /** A13: deterministic augmentation decision bits from a 31-bit LCG on
+    * (id, epoch) — replaces the reference's seeded ImageDataGenerator
+    * randomness (main.py:149-168, seed 55) with integer arithmetic that
+    * is reproducible on any engine (and oracle-expressible). */
+  def lcg(seed: Long): Long = (seed * 1103515245L + 12345L) & 0x7fffffffL
+  def augmentFlip(a: Seq[Double], w: Int, id: Long, epoch: Int): Seq[Double] =
+    if (lcg(id * 131071L + epoch) % 2 == 0) flipH(a, w) else a
+
+  // --- Column wrappers ---
+  val bilinearResizeUdf =
+    udf((a: Seq[Double], h0: Int, w0: Int, h1: Int, w1: Int) => bilinearResize(a, h0, w0, h1, w1))
+  val flipHUdf = udf((a: Seq[Double], w: Int) => flipH(a, w))
+  val cropUdf =
+    udf((a: Seq[Double], imgW: Int, x0: Int, y0: Int, w: Int, h: Int) => crop(a, imgW, x0, y0, w, h))
+  val tenCropUdf =
+    udf((a: Seq[Double], imgW: Int, imgH: Int, w: Int, h: Int) => tenCrop(a, imgW, imgH, w, h))
+  val augmentFlipUdf =
+    udf((a: Seq[Double], w: Int, id: Long, epoch: Int) => augmentFlip(a, w, id, epoch))
+
+  def bilinear_resize(a: Column, h0: Int, w0: Int, h1: Int, w1: Int): Column =
+    bilinearResizeUdf(a, org.apache.spark.sql.functions.lit(h0),
+      org.apache.spark.sql.functions.lit(w0), org.apache.spark.sql.functions.lit(h1),
+      org.apache.spark.sql.functions.lit(w1))
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (NOT part of the Scala
+library): run after `sbt "runMain graft.Verify <sfDir> <outDir>"`.
+
+For each query output parquet in <outDir>, run the matching oracle SQL from
+oracle_sql.json in DuckDB over the same testdata parquet tables, then
+compare: schema (column names sorted), row count, and values (exact for
+ints/strings, bitwise for floats — the strictest plausible driver compare).
+
+Usage: python3 tools/verify_local.py <sfDir> <outDir>
+"""
+import json, math, sys, glob, os
+import duckdb
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            if isinstance(v, list):
+                v = tuple(round(x, 9) if isinstance(x, float) else x for x in v)
+            vals.append(v)
+        out.append(tuple(vals))
+    return out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_ok = n_fail = n_noracle = 0
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(qdir)
+        if not os.path.isdir(qdir):
+            continue
+        got = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        gcols = [d[0] for d in got.description]
+        grows = got.fetchall()
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(grows)} rows")
+            n_noracle += 1
+            continue
+        try:
+            exp = con.execute(oracle[name])
+            ecols = [d[0] for d in exp.description]
+            erows = exp.fetchall()
+        except Exception as e:
+            print(f"  [FAIL-sql ] {name}: oracle error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if sorted(gcols) != sorted(ecols):
+            print(f"  [FAIL-cols] {name}: spark={sorted(gcols)} duckdb={sorted(ecols)}")
+            n_fail += 1
+            continue
+        if len(grows) != len(erows):
+            print(f"  [FAIL-rows] {name}: spark={len(grows)} duckdb={len(erows)}")
+            n_fail += 1
+            continue
+        g, e = canon(grows, gcols), canon(erows, ecols)
+        # compare both order-sensitively and as multisets
+        mismatch = [i for i, (a, b) in enumerate(zip(g, e)) if a != b]
+        if mismatch:
+            i = mismatch[0]
+            print(f"  [FAIL-vals] {name}: {len(mismatch)}/{len(g)} rows differ; first @{i}:")
+            print(f"      spark : {g[i]}")
+            print(f"      duckdb: {e[i]}")
+            n_fail += 1
+        else:
+            print(f"  [OK       ] {name}: {len(g)} rows")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_fail} fail, {n_noracle} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
