@@ -39,8 +39,12 @@ object Features {
     * re-reads this K× without recompute. */
   def cached(compute: => DataFrame, path: String): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val fs = new java.io.File(path)
-    if (!fs.exists()) compute.write.mode("overwrite").parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Hadoop FS (works on HDFS/S3, not just local disk) + the _SUCCESS
+    // marker so a partial/failed write is recomputed, not trusted.
+    val valid = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (!valid) compute.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
 

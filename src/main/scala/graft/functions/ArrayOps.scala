@@ -59,9 +59,13 @@ object ArrayOps {
   def arrayMedian(a: Column): Column = {
     val s = array_sort(a)
     val n = size(a)
-    val lo = element_at(s, (n + lit(1)) / lit(2)) // int div: mid for odd, low-mid for even
-    val hi = element_at(s, n / lit(2) + lit(1))
-    (lo + hi) / lit(2.0)
+    // Column./ is true division (double) and Spark 4's element_at rejects a
+    // double index — floor + cast back to int for the middle position(s).
+    val lo = element_at(s, floor((n + lit(1)) / lit(2)).cast("int"))
+    val hi = element_at(s, (floor(n / lit(2)) + lit(1)).cast("int"))
+    // n=0 would make element_at throw (index 0 invalid); median of an
+    // empty array is NULL (DuckDB list_median parity).
+    when(n === 0, lit(null).cast("double")).otherwise((lo + hi) / lit(2.0))
   }
 
   // --- Vector math for similarity search (embeddings.embedding) ---
