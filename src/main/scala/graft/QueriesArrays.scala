@@ -1,6 +1,227 @@
 package graft
 
-/** §2.3 array/image operator queries over embeddings (filled in batch 2). */
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayOps._
+import graft.functions.ImageGeometry
+import Queries.Entry
+import Tables.tbl
+
+/** SURVEY.md §2.3/§2.5 array-operator queries over
+  * `embeddings.embedding` (64-float vectors; the testdata stand-in for
+  * the reference's 5625-float SAR bands — FIXTURES.md §4).
+  *
+  * Every query is per-row array math (scan → project → order-by-key):
+  * embarrassingly parallel, no shuffle except the determinism ORDER BY,
+  * and the whole arithmetic family stays inside whole-stage codegen
+  * (zip_with/transform/aggregate builtins). The geometry entries
+  * (a8/a12/a13) run the ImageGeometry UDFs treating the 64-vector as an
+  * 8×8 image; their oracles are generated index-arithmetic SQL, so even
+  * the UDF family is hash-checked against DuckDB.
+  *
+  * Float determinism: embedding floats cast exactly to double; sums are
+  * sequential folds in both engines; results round(…,6) (SURVEY §5.1).
+  *
+  * Reference semantics: band algebra main.py:63-86, normalize
+  * main.py:104, iso/size main-newInput.py:79-97, row stats + median
+  * sub_stacking.py:30-33, flip/crop/ten-crop 10-crop.py:233-255, resize
+  * main.py:105, seeded augmentation main.py:149-168.
+  */
 object QueriesArrays {
-  val all: Seq[Queries.Entry] = Seq()
+  private val W = 8 // treat the 64-float embedding as an 8x8 image
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
+    tbl(s, d, "embeddings").withColumn("b1", asDouble(col("embedding")))
+
+  /** DuckDB spelling of the double-cast embedding. */
+  private val B1 = "CAST(embedding AS DOUBLE[])"
+
+  // ------------------------------------------------------------------ A2-A5
+  /** A2-A5 band algebra; the second band is reverse(b1) — a real second
+    * signal with zero float ops, so both engines see identical inputs. */
+  val a2BandAlgebra: Entry = Entry("a2_band_algebra",
+    (s, d) => {
+      val e = emb(s, d).withColumn("b2", reverse(col("b1")))
+      e.select(col("vec_id"),
+        round(arraySum(bandAvg(col("b1"), col("b2"))), 6).as("avg_sum"),
+        round(arraySum(bandAbsDiff(col("b1"), col("b2"))), 6).as("absdiff_sum"),
+        round(arraySum(bandMax(col("b1"), col("b2"))), 6).as("max_sum"),
+        round(arraySum(bandMin(col("b1"), col("b2"))), 6).as("min_sum"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, $B1 AS b1, list_reverse($B1) AS b2 FROM embeddings)
+      |SELECT vec_id,
+      | round(list_sum(list_transform(list_zip(b1, b2), s -> (s[1] + s[2]) / 2)), 6) AS avg_sum,
+      | round(list_sum(list_transform(list_zip(b1, b2), s -> abs(s[1] - s[2]))), 6) AS absdiff_sum,
+      | round(list_sum(list_transform(list_zip(b1, b2), s -> greatest(s[1], s[2]))), 6) AS max_sum,
+      | round(list_sum(list_transform(list_zip(b1, b2), s -> least(s[1], s[2]))), 6) AS min_sum
+      |FROM e ORDER BY vec_id""".stripMargin))
+
+  // -------------------------------------------------------------------- A7
+  val a7Normalize: Entry = Entry("a7_normalize",
+    (s, d) => emb(s, d).select(col("vec_id"),
+        round(arraySum(minMaxNormalize(col("b1"))), 6).as("norm_sum"))
+      .orderBy("vec_id"),
+    Some(s"""WITH e AS (SELECT vec_id, $B1 AS b1 FROM embeddings),
+      | m AS (SELECT vec_id, b1, list_min(b1) AS mn, list_max(b1) AS mx FROM e)
+      |SELECT vec_id,
+      | round(list_sum(list_transform(b1,
+      |   x -> CASE WHEN mx = mn THEN 0.0 ELSE (x - mn) / (mx - mn) END)), 6) AS norm_sum
+      |FROM m ORDER BY vec_id""".stripMargin))
+
+  // -------------------------------------------------------------------- A9
+  /** Iso mask: keep pixels > mean + 2*std (population std). The oracle
+    * spells the identical operation order (sum, sumsq, same formula) so
+    * the threshold is the same IEEE double in both engines. */
+  val a9IsoMask: Entry = Entry("a9_iso_mask",
+    (s, d) => emb(s, d).select(col("vec_id"),
+        round(arraySum(isoMask(col("b1"))), 6).as("iso_sum"),
+        size(filter(col("b1"), x => x > arrayMean(col("b1")) + lit(2.0) * arrayStd(col("b1")))).as("n_kept"))
+      .orderBy("vec_id"),
+    Some(s"""WITH e AS (SELECT vec_id, $B1 AS b1 FROM embeddings),
+      | st AS (SELECT vec_id, b1,
+      |   list_sum(b1) AS sm,
+      |   list_sum(list_transform(b1, x -> x * x)) AS sq,
+      |   CAST(len(b1) AS DOUBLE) AS n FROM e),
+      | th AS (SELECT vec_id, b1,
+      |   sm / n + 2.0 * sqrt((sq - sm * sm / n) / n) AS thr FROM st)
+      |SELECT vec_id,
+      | round(list_sum(list_transform(b1, x -> CASE WHEN x > thr THEN x ELSE 0.0 END)), 6) AS iso_sum,
+      | CAST(len(list_filter(b1, x -> x > thr)) AS INT) AS n_kept
+      |FROM th ORDER BY vec_id""".stripMargin))
+
+  // ------------------------------------------------------------------- A10
+  val a10SizeFeature: Entry = Entry("a10_size_feature",
+    (s, d) => emb(s, d).select(col("vec_id"),
+        sizeFeature(col("b1"), 0.0).as("frac_neg"),
+        sizeFeature(col("b1"), -0.1).as("frac_lt_m01"))
+      .orderBy("vec_id"),
+    Some(s"""SELECT vec_id,
+      | CAST(len(list_filter($B1, x -> x < 0.0)) AS DOUBLE) / len(embedding) AS frac_neg,
+      | CAST(len(list_filter($B1, x -> x < -0.1)) AS DOUBLE) / len(embedding) AS frac_lt_m01
+      |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  // --------------------------------------------------------------- G5-G7/G9
+  val gRowStats: Entry = Entry("g_row_stats",
+    (s, d) => emb(s, d).select(col("vec_id"),
+        round(array_max(col("b1")), 6).as("vmax"),
+        round(array_min(col("b1")), 6).as("vmin"),
+        round(arrayMean(col("b1")), 6).as("vmean"),
+        round(arrayStd(col("b1")), 6).as("vstd"))
+      .orderBy("vec_id"),
+    Some(s"""WITH e AS (SELECT vec_id, $B1 AS b1 FROM embeddings),
+      | st AS (SELECT vec_id, b1, list_sum(b1) AS sm,
+      |   list_sum(list_transform(b1, x -> x * x)) AS sq,
+      |   CAST(len(b1) AS DOUBLE) AS n FROM e)
+      |SELECT vec_id,
+      | round(list_max(b1), 6) AS vmax,
+      | round(list_min(b1), 6) AS vmin,
+      | round(sm / n, 6) AS vmean,
+      | round(sqrt((sq - sm * sm / n) / n), 6) AS vstd
+      |FROM st ORDER BY vec_id""".stripMargin))
+
+  // -------------------------------------------------------------------- G8
+  /** Exact median; the oracle spells our sorted-middle formula explicitly
+    * (not list_median) so even/odd semantics are pinned. */
+  val g8Median: Entry = Entry("g8_median",
+    (s, d) => emb(s, d).select(col("vec_id"),
+        round(arrayMedian(col("b1")), 6).as("med"))
+      .orderBy("vec_id"),
+    Some(s"""WITH e AS (SELECT vec_id, list_sort($B1) AS ls, len(embedding) AS n FROM embeddings)
+      |SELECT vec_id,
+      | round((ls[CAST(floor((n + 1) / 2) AS INT)] + ls[CAST(floor(n / 2) + 1 AS INT)]) / 2.0, 6) AS med
+      |FROM e ORDER BY vec_id""".stripMargin))
+
+  // ------------------------------------------------- A8/A11-A13 geometry
+  // The UDF family checked by generated index-arithmetic SQL. All crops/
+  // weights are exact integer index remaps; only the source floats and
+  // the final sums carry float math, in the same order in both engines.
+
+  /** DuckDB 1-based index of pixel (r,c) in the flat W-wide image. */
+  private def idx(r: Int, c: Int): Int = r * W + c + 1
+
+  /** SQL for the sum of a w×h crop at (x0,y0): concatenate the row
+    * slices then one list_sum, so the fold order over the w*h elements
+    * is bit-identical to Spark's arraySum over the crop array. */
+  private def cropSumSql(l: String, x0: Int, y0: Int, w: Int, h: Int): String =
+    (0 until h).map(r => s"$l[${idx(y0 + r, x0)}:${idx(y0 + r, x0 + w - 1)}]")
+      .mkString("list_sum(", " || ", ")")
+
+  /** SQL building the horizontally flipped list of an 8x8 image. */
+  private def flipSql(l: String): String =
+    s"list_transform(range(0, ${W * W}), i -> $l[(i // $W) * $W + ($W - (i % $W))])"
+
+  /** A12: ten-crop (4 corners + center) × {orig, flipped} of the 8×8
+    * image, 4×4 crops; output (vec_id, crop_id, crop sum). */
+  val a12TenCrop: Entry = {
+    val cw = 4; val ch = 4
+    val offs = Seq((0, 0), (W - cw, 0), (0, W - ch), (W - cw, W - ch), ((W - cw) / 2, (W - ch) / 2))
+    val sparkFn: Queries.Q = (s, d) => {
+      val e = emb(s, d).select(col("vec_id"),
+        posexplode(ImageGeometry.tenCropUdf(col("b1"), lit(W), lit(W), lit(cw), lit(ch)))
+          .as(Seq("crop_id", "crop")))
+      e.select(col("vec_id"), col("crop_id"),
+          round(arraySum(col("crop")), 6).as("crop_sum"))
+        .orderBy("vec_id", "crop_id")
+    }
+    val cropExprs =
+      offs.map { case (x0, y0) => cropSumSql("b1", x0, y0, cw, ch) } ++
+        offs.map { case (x0, y0) => cropSumSql("fl", x0, y0, cw, ch) }
+    val unions = cropExprs.zipWithIndex.map { case (e, i) =>
+      s"SELECT vec_id, $i AS crop_id, round($e, 6) AS crop_sum FROM f"
+    }.mkString("\n UNION ALL ")
+    Entry("a12_ten_crop", sparkFn,
+      Some(s"""WITH e AS (SELECT vec_id, $B1 AS b1 FROM embeddings),
+        | f AS (SELECT vec_id, b1, ${flipSql("b1")} AS fl FROM e)
+        |$unions
+        |ORDER BY vec_id, crop_id""".stripMargin))
+  }
+
+  /** A8: bilinear resize 8×8 → 4×4. With a clean 2× downscale every
+    * output pixel sits at dx=dy=0.5 → the four 0.25 weights; the oracle
+    * replays the same multiply-add order as the UDF inner loop. */
+  val a8Resize: Entry = {
+    val sparkFn: Queries.Q = (s, d) => emb(s, d).select(col("vec_id"),
+        round(arraySum(ImageGeometry.bilinear_resize(col("b1"), W, W, 4, 4)), 6).as("resized_sum"))
+      .orderBy("vec_id")
+    val terms = (for { r <- 0 until 4; c <- 0 until 4 } yield {
+      val p00 = idx(2 * r, 2 * c); val p01 = idx(2 * r, 2 * c + 1)
+      val p10 = idx(2 * r + 1, 2 * c); val p11 = idx(2 * r + 1, 2 * c + 1)
+      s"(b1[$p00] * 0.25 + b1[$p01] * 0.25 + b1[$p10] * 0.25 + b1[$p11] * 0.25)"
+    }).mkString("(", " + ", ")")
+    Entry("a8_resize", sparkFn,
+      Some(s"""WITH e AS (SELECT vec_id, $B1 AS b1 FROM embeddings)
+        |SELECT vec_id, round($terms, 6) AS resized_sum
+        |FROM e ORDER BY vec_id""".stripMargin))
+  }
+
+  /** A13: LCG-seeded deterministic flip augmentation (epoch 0). The
+    * position-weighted checksum distinguishes flipped from original
+    * (a plain sum would not — flip permutes, never changes, pixels). */
+  val a13Augment: Entry = {
+    val sparkFn: Queries.Q = (s, d) => {
+      val e = emb(s, d).withColumn("aug",
+        ImageGeometry.augmentFlipUdf(col("b1"), lit(W), col("vec_id"), lit(0)))
+      // mirror of ImageGeometry.lcg — overflow-free masked arithmetic
+      val seed = col("vec_id").bitwiseAND(lit(0xffffL)) * 131071L
+      val h = (seed.bitwiseAND(lit(0xffffffL)) * 1103515245L + 12345L)
+        .bitwiseAND(lit(0x7fffffffL))
+      e.select(col("vec_id"),
+          (h % 2).cast("int").as("flipped"),
+          round(arraySum(zip_with(col("aug"),
+            sequence(lit(1), size(col("aug"))).cast("array<double>"),
+            (x, i) => x * i)), 6).as("wsum"))
+        .orderBy("vec_id")
+    }
+    Entry("a13_augment_flip", sparkFn,
+      Some(s"""WITH e AS (SELECT vec_id, $B1 AS b1,
+        |   CAST(((((vec_id & 65535) * 131071) & 16777215) * 1103515245 + 12345) & 2147483647 AS INT) % 2 AS bit
+        |   FROM embeddings),
+        | f AS (SELECT vec_id, bit, CASE WHEN bit = 0 THEN ${flipSql("b1")} ELSE b1 END AS aug FROM e)
+        |SELECT vec_id, bit AS flipped,
+        | round(list_sum(list_transform(range(1, ${W * W + 1}), i -> aug[i] * CAST(i AS DOUBLE))), 6) AS wsum
+        |FROM f ORDER BY vec_id""".stripMargin))
+  }
+
+  val all: Seq[Entry] = Seq(
+    a2BandAlgebra, a7Normalize, a9IsoMask, a10SizeFeature,
+    gRowStats, g8Median, a12TenCrop, a8Resize, a13Augment)
 }

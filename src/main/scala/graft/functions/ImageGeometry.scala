@@ -92,10 +92,13 @@ object ImageGeometry {
   /** A13: deterministic augmentation decision bits from a 31-bit LCG on
     * (id, epoch) — replaces the reference's seeded ImageDataGenerator
     * randomness (main.py:149-168, seed 55) with integer arithmetic that
-    * is reproducible on any engine (and oracle-expressible). */
-  def lcg(seed: Long): Long = (seed * 1103515245L + 12345L) & 0x7fffffffL
+    * is reproducible on any engine (and oracle-expressible). Every
+    * intermediate is pre-masked so nothing exceeds 2^55: engines with
+    * checked int64 arithmetic (DuckDB) evaluate the identical value
+    * instead of erroring where the JVM would silently wrap. */
+  def lcg(seed: Long): Long = ((seed & 0xffffffL) * 1103515245L + 12345L) & 0x7fffffffL
   def augmentFlip(a: Seq[Double], w: Int, id: Long, epoch: Int): Seq[Double] =
-    if (lcg(id * 131071L + epoch) % 2 == 0) flipH(a, w) else a
+    if (lcg((id & 0xffffL) * 131071L + epoch) % 2 == 0) flipH(a, w) else a
 
   // --- Column wrappers ---
   val bilinearResizeUdf =
