@@ -254,5 +254,6 @@ object Queries {
     q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
     j1Multiway, j2Semi, j3Anti, o1TopK, w3RankLag, gDistinct,
     fDates, fMath, fJson, fStrings) ++
-    QueriesArrays.all ++ QueriesAggWindow.all ++ QueriesPipeline.all
+    QueriesArrays.all ++ QueriesEnsemble.all ++
+    QueriesAggWindow.all ++ QueriesPipeline.all
 }

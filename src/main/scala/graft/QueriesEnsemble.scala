@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Queries.Entry
+import Tables.tbl
+
+/** SURVEY.md §3.3 end-to-end: the sub_stacking.py pipeline (S2/S3 read →
+  * J1 N-way join → P5 preds array → G5-G8 row stats → P6/P7 conditional
+  * modes → S4 6-dp CSV sink) exercised on testdata.
+  *
+  * The N "models" are deterministic pseudo-probability transforms of
+  * `orders.o_orderkey` (integer multiply-mod arithmetic — exact in both
+  * engines, no RNG), built as separate frames and equi-joined on the key
+  * exactly like the reference joins its submission CSVs on `id`
+  * (sub_stacking.py:22-26). ~0.8% of rows land in each all-above/
+  * all-below cutoff branch, so every mode's every branch is exercised.
+  *
+  * Scale: the joins are key-aligned same-size tables — at 100 TB these
+  * are shuffle joins on the join key, which is the unavoidable plan; the
+  * stacking arithmetic itself is per-row, no further exchange. The CSV
+  * sink coalesces to 1 file to mirror the reference's single submission
+  * file; at scale you would drop the coalesce and write N part files.
+  */
+object QueriesEnsemble {
+
+  /** Pseudo-model k: ((o_orderkey * k) % 1000) / 1000.0 — exact. */
+  private def pm(k: Int) = ((col("o_orderkey") * k) % 1000) / lit(1000.0)
+  private val Ms = Seq(37, 71, 113) // ensemble members
+  private val BaseK = 53 // the "best base" submission
+
+  /** J1/P5: three per-model frames joined N-way on the key, then the
+    * preds array column (the reference's concat-on-index, P4/P5). */
+  private def predsFrame(s: SparkSession, d: String): DataFrame = {
+    val o = tbl(s, d, "orders")
+    val frames = Ms.zipWithIndex.map { case (k, i) =>
+      o.select(col("o_orderkey"), pm(k).as(s"m$i"))
+    }
+    val joined = frames.reduce(_.join(_, "o_orderkey"))
+    joined
+      .join(o.select(col("o_orderkey"), pm(BaseK).as("base")), "o_orderkey")
+      .withColumn("preds", array(Ms.indices.map(i => col(s"m$i")): _*))
+  }
+
+  private val oracleCte =
+    s"""WITH p AS (SELECT o_orderkey,
+       | (o_orderkey * 37 % 1000) / 1000.0 AS m0,
+       | (o_orderkey * 71 % 1000) / 1000.0 AS m1,
+       | (o_orderkey * 113 % 1000) / 1000.0 AS m2,
+       | (o_orderkey * 53 % 1000) / 1000.0 AS base
+       | FROM orders)""".stripMargin
+
+  // DuckDB spellings of the row-wise stats over the 3 members; median
+  // via sorted-list middle (subtract-min-max would add float ops the
+  // Spark side doesn't do).
+  private val sqlMean = "((m0 + m1 + m2) / 3)"
+  private val sqlMedian = "(list_sort([m0, m1, m2])[2])"
+  private val sqlMax = "greatest(m0, m1, m2)"
+  private val sqlMin = "least(m0, m1, m2)"
+  private val sqlHi = "(m0 > 0.8 AND m1 > 0.8 AND m2 > 0.8)"
+  private val sqlLo = "(m0 < 0.2 AND m1 < 0.2 AND m2 < 0.2)"
+
+  private def modeEntry(name: String, mode: String, oracleExpr: String): Entry =
+    Entry(name,
+      (s, d) => predsFrame(s, d)
+        .select(col("o_orderkey"),
+          round(Ensemble.stack(mode, col("preds"), col("base")), 6).as("out"))
+        .orderBy("o_orderkey"),
+      Some(s"""$oracleCte
+        |SELECT o_orderkey, round($oracleExpr, 6) AS out
+        |FROM p ORDER BY o_orderkey""".stripMargin))
+
+  val ensMean: Entry = modeEntry("ens_mean", "mean", sqlMean)
+  val ensMedian: Entry = modeEntry("ens_median", "median", sqlMedian)
+  val ensPushoutMedian: Entry = modeEntry("ens_pushout_median", "pushout_median",
+    s"CASE WHEN $sqlHi THEN 1.0 WHEN $sqlLo THEN 0.0 ELSE $sqlMedian END")
+  val ensMinmaxMean: Entry = modeEntry("ens_minmax_mean", "minmax_mean",
+    s"CASE WHEN $sqlHi THEN $sqlMax WHEN $sqlLo THEN $sqlMin ELSE $sqlMean END")
+  val ensMinmaxMedian: Entry = modeEntry("ens_minmax_median", "minmax_median",
+    s"CASE WHEN $sqlHi THEN $sqlMax WHEN $sqlLo THEN $sqlMin ELSE $sqlMedian END")
+  val ensMinmaxBestbase: Entry = modeEntry("ens_minmax_bestbase", "minmax_bestbase",
+    s"CASE WHEN $sqlHi THEN $sqlMax WHEN $sqlLo THEN $sqlMin ELSE base END")
+
+  /** S4 + S2/S3 + F3 round-trip: write the (id, is_iceberg) submission
+    * as a headered CSV with 6-dp fixed formatting (float_format='%.6f',
+    * sub_stacking.py:43; sink main.py:313-316), then read it back from
+    * a glob and parse — what the reference's stacking stage does to its
+    * member files. The query's result is the re-parsed table, so the
+    * oracle checks the full sink→scan loop including the formatting. */
+  val s4CsvRoundtrip: Entry = Entry("s4_csv_roundtrip",
+    (s, d) => {
+      val out = "target/tmp/csv_rt_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      predsFrame(s, d)
+        .select(col("o_orderkey").cast("string").as("id"),
+          format_number(Ensemble.stack("mean", col("preds"), col("base")), 6).as("is_iceberg"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").csv(out + "/*.csv")
+        .select(col("id"), col("is_iceberg").cast("double").as("is_iceberg"))
+        .orderBy(col("id"))
+    },
+    Some(s"""$oracleCte
+      |SELECT CAST(o_orderkey AS VARCHAR) AS id, round($sqlMean, 6) AS is_iceberg
+      |FROM p ORDER BY id""".stripMargin))
+
+  val all: Seq[Entry] = Seq(
+    ensMean, ensMedian, ensPushoutMedian, ensMinmaxMean, ensMinmaxMedian,
+    ensMinmaxBestbase, s4CsvRoundtrip)
+}
