@@ -1,6 +1,134 @@
 package graft
 
-/** §2.5-§2.7 aggregation/window/set-op queries (filled in batch 3). */
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Queries.Entry
+import Tables._
+
+/** SURVEY.md §2.5-§2.7 aggregation / window / set-op queries (build plan
+  * §7.1 step 5): grouping sets (cube/rollup), set operations, distinct,
+  * running windows, and the deterministic stratified fold assignment.
+  *
+  * Determinism: grouping-set null keys are coalesced to a sentinel in
+  * BOTH engines (Spark sorts NULLS FIRST, DuckDB NULLS LAST — ordering
+  * on the raw keys would permute rows); sums use the exact-DECIMAL
+  * helpers; every query has a total-order ORDER BY.
+  */
 object QueriesAggWindow {
-  val all: Seq[Queries.Entry] = Seq()
+
+  private def li(s: org.apache.spark.sql.SparkSession, d: String) = tbl(s, d, "lineitem")
+  private def ord(s: org.apache.spark.sql.SparkSession, d: String) = tbl(s, d, "orders")
+  private def cust(s: org.apache.spark.sql.SparkSession, d: String) = tbl(s, d, "customer")
+
+  /** G-cube: grouping sets over (returnflag, linestatus) — partial+final
+    * agg over 4 grouping sets in ONE shuffle (Expand feeds a single
+    * exchange; no union of 4 scans). */
+  val gCube: Entry = Entry("g_cube",
+    (s, d) => li(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls"),
+    Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      | coalesce(l_linestatus, 'ALL') AS ls,
+      | count(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin))
+
+  /** G-rollup: year → (year, month) hierarchy over order dates. */
+  val gRollup: Entry = Entry("g_rollup",
+    (s, d) => ord(s, d)
+      .rollup(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("y"), lit(-1)).as("y"), coalesce(col("m"), lit(-1)).as("m"),
+        col("n"), col("sum_price"))
+      .orderBy("y", "m"),
+    Some(s"""SELECT coalesce(y, -1) AS y, coalesce(m, -1) AS m,
+      | count(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+      |FROM (SELECT CAST(date_part('year', o_orderdate) AS INT) AS y,
+      |             CAST(date_part('month', o_orderdate) AS INT) AS m,
+      |             o_totalprice FROM orders) t
+      |GROUP BY ROLLUP (y, m) ORDER BY y, m""".stripMargin))
+
+  /** O-except: customer nations with no 'F'-status orders anywhere
+    * (EXCEPT = distinct set difference in both engines). */
+  val oExcept: Entry = Entry("o_except",
+    (s, d) => cust(s, d).select(col("c_nationkey").as("k")).except(
+        cust(s, d)
+          .join(ord(s, d).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"))
+          .select(col("c_nationkey").as("k")))
+      .orderBy("k"),
+    Some("""SELECT c_nationkey AS k FROM customer
+      |EXCEPT
+      |SELECT c_nationkey AS k FROM customer JOIN orders ON c_custkey = o_custkey
+      |WHERE o_orderstatus = 'F'
+      |ORDER BY k""".stripMargin))
+
+  /** O-intersect: part brands present in both cheap and expensive parts. */
+  val oIntersect: Entry = Entry("o_intersect",
+    (s, d) => {
+      val p = tbl(s, d, "part")
+      p.filter(col("p_retailprice") < 1200.0).select(col("p_brand"))
+        .intersect(p.filter(col("p_retailprice") > 1800.0).select(col("p_brand")))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand FROM part WHERE p_retailprice < 1200.0
+      |INTERSECT
+      |SELECT p_brand FROM part WHERE p_retailprice > 1800.0
+      |ORDER BY p_brand""".stripMargin))
+
+  /** O-distinct: dropDuplicates on a projection (the dedup primitive). */
+  val oDistinct: Entry = Entry("o_dedup_distinct",
+    (s, d) => ord(s, d)
+      .select(col("o_custkey"), col("o_orderstatus"))
+      .dropDuplicates("o_custkey", "o_orderstatus")
+      .orderBy("o_custkey", "o_orderstatus"),
+    Some("""SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+      |ORDER BY o_custkey, o_orderstatus""".stripMargin))
+
+  /** G-approx: HyperLogLog distinct (rows-only — sketch estimates are
+    * engine-specific by design; the exact twin is g_distinct_count). */
+  val gApproxDistinct: Entry = Entry("g_approx_distinct",
+    (s, d) => li(s, d).groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag"),
+    None)
+
+  /** G1 fold assignment as a query: deterministic stratified K-fold via
+    * row_number over (label, key) — oracle-expressible (W2). */
+  val g1FoldAssign: Entry = Entry("g1_fold_assign",
+    (s, d) => Folds.addStratifiedFoldByKey(
+        cust(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "c_mktsegment", "c_custkey", 5)
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_mktsegment,
+      | CAST((row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) - 1) % 5 AS INT) AS fold
+      |FROM customer ORDER BY c_custkey""".stripMargin))
+
+  /** W-running: cumulative per-customer spend in order-date order —
+    * exact DECIMAL running sum so parallel grouping can't drift ulps. */
+  val wRunningSum: Entry = Entry("w_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("run_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  val all: Seq[Entry] = Seq(
+    gCube, gRollup, oExcept, oIntersect, oDistinct, gApproxDistinct,
+    g1FoldAssign, wRunningSum)
 }
