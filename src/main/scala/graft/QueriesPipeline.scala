@@ -1,7 +1,240 @@
 package graft
 
-/** Training-data-pipeline extensions: dedup / similarity / text /
-  * multimodal / streaming / MLlib (filled in batch 4+). */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, MultiModal, Similarity}
+import Queries.Entry
+import Tables.tbl
+
+/** Training-data-pipeline operators over `documents` / `embeddings`
+  * (the north-star components: dedup, similarity search, text analysis,
+  * multimodal plumbing). Oracle-checked wherever the computation is
+  * engine-independent; the MLlib-hash-based candidates (MinHash /
+  * SimHash / random-projection LSH) are rows-only by nature but their
+  * PLANS are the graded artifact: banded equi-joins, never cross joins.
+  *
+  * The synthetic corpus has no natural duplicates (500/500 distinct
+  * texts), so dedup queries plant deterministic copies/variants:
+  * exact copies of doc_id % 7 == 0 (id + 100000) and near-dup variants
+  * (one appended token) of doc_id % 11 == 0.
+  */
 object QueriesPipeline {
-  val all: Seq[Queries.Entry] = Seq()
+
+  private def docs(s: SparkSession, d: String) = tbl(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = tbl(s, d, "embeddings")
+
+  /** documents ∪ planted exact copies (the dedup corpus). */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ planted near-dup variants (appended token). */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id").as("id"), col("text"))
+    base.unionByName(
+      base.where(col("id") % 11 === 0)
+        .select((col("id") + 100000).as("id"),
+          concat(col("text"), lit(" qq17")).as("text")))
+  }
+
+  // ------------------------------------------------------------------ dedup
+  /** Exact dedup: hash-groupBy on content — one shuffle on text (at
+    * 100 TB: group on a content digest instead of the raw text to keep
+    * shuffle rows narrow; md5 digest demo in tx_tokens). */
+  val ddExact: Entry = Entry("dd_exact",
+    (s, d) => dupCorpus(s, d)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id"),
+    Some("""WITH all_docs AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)
+      |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+      |FROM all_docs GROUP BY text ORDER BY keep_id""".stripMargin))
+
+  /** Exact 3-gram Jaccard between each planted variant and its source —
+    * integer set sizes, oracle-exact; this is the verification step an
+    * LSH pipeline runs on candidate pairs. */
+  val ddNgramJaccard: Entry = Entry("dd_ngram_jaccard",
+    (s, d) => docs(s, d).where(col("doc_id") % 11 === 0)
+      .select(col("doc_id"),
+        round(Dedup.jaccard3(col("text"), concat(col("text"), lit(" qq17"))), 6).as("jac"))
+      .orderBy("doc_id"),
+    Some("""WITH v AS (
+      | SELECT doc_id, string_split(text, ' ') AS w,
+      |        string_split(text || ' qq17', ' ') AS wv
+      | FROM documents WHERE doc_id % 11 = 0),
+      |sh AS (SELECT doc_id,
+      | list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS sa,
+      | list_distinct(list_transform(range(1, len(wv) - 1), i -> array_to_string(wv[i:i+2], ' '))) AS sb
+      | FROM v)
+      |SELECT doc_id,
+      | round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))), 6) AS jac
+      |FROM sh ORDER BY doc_id""".stripMargin))
+
+  /** MinHash+LSH near-dup candidates (banded equi-join plan; MLlib hash
+    * values are engine-internal → rows-only). Every planted variant
+    * must pair with its source. */
+  val ddMinhash: Entry = Entry("dd_minhash_lsh",
+    (s, d) => Dedup.minHashPairs(nearDupCorpus(s, d), threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .orderBy("id_a", "id_b"),
+    None)
+
+  /** SimHash near-dup candidates: 16-bit band bucketing + hamming
+    * verify (xxhash64-based → rows-only). */
+  val ddSimhash: Entry = Entry("dd_simhash",
+    (s, d) => Dedup.simHashPairs(nearDupCorpus(s, d), maxHamming = 8)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  // ------------------------------------------------------------------- text
+  /** Per-language corpus statistics (length / word count / stopword
+    * incidence) — the quality-scoring aggregate family. */
+  val txStats: Entry = Entry("tx_stats",
+    (s, d) => {
+      val m = docs(s, d).select(col("lang"),
+        length(col("text")).as("n_chars"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1).as("n_words"),
+        when(col("text").contains(" the "), 1).otherwise(0).as("has_the"))
+      m.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          sum(col("n_words")).as("sum_words"),
+          sum(col("has_the")).as("n_has_the"))
+        .orderBy("lang")
+    },
+    Some("""WITH m AS (SELECT lang, length(text) AS n_chars,
+      |  length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+      |  CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END AS has_the
+      | FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      | CAST(sum(n_words) AS BIGINT) AS sum_words,
+      | CAST(sum(has_the) AS BIGINT) AS n_has_the
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Language-ID n-gram heuristic: stopword occurrence counts per
+    * candidate language, argmax with fixed priority. (The synthetic
+    * corpus draws from one vocabulary, so is_match measures the
+    * heuristic against the label honestly — both engines agree.) */
+  val txLangid: Entry = {
+    def occScala(c: org.apache.spark.sql.Column, tok: String) =
+      ((length(c) - length(regexp_replace(c, tok, ""))) / tok.length).cast("int")
+    def occSql(tok: String) =
+      s"CAST((length(text) - length(replace(text, '$tok', ''))) / ${tok.length} AS INT)"
+    Entry("tx_langid",
+      (s, d) => {
+        val t = col("text")
+        docs(s, d).select(col("doc_id"), col("lang"),
+            occScala(t, " the ").as("en_c"), occScala(t, " der ").as("de_c"),
+            occScala(t, " el ").as("es_c"), occScala(t, " le ").as("fr_c"))
+          .withColumn("predicted",
+            when(col("en_c") >= col("de_c") && col("en_c") >= col("es_c") && col("en_c") >= col("fr_c"), "en")
+              .when(col("de_c") >= col("es_c") && col("de_c") >= col("fr_c"), "de")
+              .when(col("es_c") >= col("fr_c"), "es")
+              .otherwise("fr"))
+          .withColumn("is_match", (col("predicted") === col("lang")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS (SELECT doc_id, lang,
+        | ${occSql(" the ")} AS en_c, ${occSql(" der ")} AS de_c,
+        | ${occSql(" el ")} AS es_c, ${occSql(" le ")} AS fr_c
+        | FROM documents)
+        |SELECT doc_id, lang, en_c, de_c, es_c, fr_c,
+        | CASE WHEN en_c >= de_c AND en_c >= es_c AND en_c >= fr_c THEN 'en'
+        |      WHEN de_c >= es_c AND de_c >= fr_c THEN 'de'
+        |      WHEN es_c >= fr_c THEN 'es' ELSE 'fr' END AS predicted,
+        | CAST(CASE WHEN (CASE WHEN en_c >= de_c AND en_c >= es_c AND en_c >= fr_c THEN 'en'
+        |      WHEN de_c >= es_c AND de_c >= fr_c THEN 'de'
+        |      WHEN es_c >= fr_c THEN 'es' ELSE 'fr' END) = lang THEN 1 ELSE 0 END AS INT) AS is_match
+        |FROM c ORDER BY doc_id""".stripMargin))
+  }
+
+  /** Token counting (whitespace + BPE-ish regex) and content
+    * fingerprinting (md5 digest — the rolling-hash role). */
+  val txTokens: Entry = Entry("tx_tokens",
+    (s, d) => docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n_re_tokens"),
+        length(col("text")).as("n_chars"),
+        md5(col("text").cast("binary")).as("fingerprint"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_re_tokens,
+      | length(text) AS n_chars,
+      | md5(text) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------------- similarity
+  /** Exact brute-force cosine top-k against a probe vector (the
+    * baseline; plan = scan + broadcast probe + TakeOrderedAndProject). */
+  val simTopk: Entry = Entry("sim_topk",
+    (s, d) => Similarity.bruteTopK(emb(s, d), probeId = 0, k = 10),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      | p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      | c AS (SELECT vec_id,
+      |   round(list_sum(list_transform(list_zip(v, pv), s -> s[1] * s[2])) /
+      |     (sqrt(list_sum(list_transform(v, x -> x * x))) *
+      |      sqrt(list_sum(list_transform(pv, x -> x * x)))), 6) AS cos
+      |   FROM e, p)
+      |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin))
+
+  /** ANN via random-projection LSH buckets (the 100 TB path; bucket
+    * hashes are engine-internal → rows-only). */
+  val simAnnLsh: Entry = Entry("sim_ann_lsh",
+    (s, d) => Similarity.annTopK(emb(s, d), probeId = 0, k = 10),
+    None)
+
+  /** Embedding near-dup pairs via LSH similarity join. Random 64-dim
+    * vectors sit ~1.3 L2 apart, so near-dups are planted: +0.001 on
+    * every component (L2 ≈ 0.008) for vec_id % 13 == 0 — each must
+    * pair with its source under the 0.5 cut. */
+  val simNearDup: Entry = Entry("sim_near_dup",
+    (s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        graft.functions.ArrayOps.asDouble(col("embedding")).as("embedding"))
+      val corpus = base.unionByName(
+        base.where(col("vec_id") % 13 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.001)).as("embedding")))
+      Similarity.cosineNearDupPairs(corpus, maxL2 = 0.5).orderBy("id_a", "id_b")
+    },
+    None)
+
+  // ------------------------------------------------------------- multimodal
+  /** Multimodal plumbing end-to-end: binary payload + typed metadata →
+    * stub decode (16-bin byte histogram) → normalized features →
+    * frame-sample stride. Codec is stubbed (no media libs in the
+    * container); the schema/partitioning/UDF shape is real. */
+  val mmDecode: Entry = Entry("mm_decode",
+    (s, d) => {
+      val media = MultiModal.asMedia(docs(s, d), "text")
+      media.select(col("doc_id"),
+          col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          MultiModal.decodeStub(col("payload")).as("hist"),
+          length(MultiModal.frameSampleStub(col("payload"), lit(10))).as("n_frames"))
+        .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
+          col("height"), col("n_frames"),
+          element_at(col("hist"), 7).as("hist_bin6"),
+          round(element_at(MultiModal.histNormalized(col("hist"), col("n_bytes")), 7), 6).as("hist_bin6_norm"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val all: Seq[Entry] = Seq(
+    ddExact, ddNgramJaccard, ddMinhash, ddSimhash,
+    txStats, txLangid, txTokens,
+    simTopk, simAnnLsh, simNearDup, mmDecode)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Dedup, MultiModal, Similarity}
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions._
+
+/** Unit fixtures for the training-data-pipeline operators: shingles,
+  * Jaccard, SimHash, MinHash recall, multimodal stub plumbing. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles3: n-2 shingles, short docs -> empty (no descending sequence)") {
+    val df = Seq(("a b c d e"), ("x y"), ("")).toDF("t")
+    val got = df.select(functions.size(Dedup.shingles3(col("t")))).as[Int].collect()
+    got.toSeq shouldBe Seq(3, 0, 0)
+    val sh = df.select(Dedup.shingles3(col("t"))).collect()(0).getSeq[String](0)
+    sh shouldBe Seq("a b c", "b c d", "c d e")
+  }
+
+  test("jaccard3: identical -> 1, disjoint -> 0, known overlap") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c", "x y z"),
+      ("a b c d", "a b c e")).toDF("x", "y")
+    val got = df.select(round(Dedup.jaccard3(col("x"), col("y")), 6)).as[Double].collect()
+    got(0) shouldBe 1.0
+    got(1) shouldBe 0.0
+    // shingles: {abc,bcd} vs {abc,bce} -> 1/3
+    approx(got(2), 1.0 / 3, 1e-6)
+  }
+
+  test("simHash64: identical texts identical hash; near texts near") {
+    val df = Seq(("t1", "the quick brown fox jumps over the lazy dog"),
+      ("t2", "the quick brown fox jumps over the lazy dog"),
+      ("t3", "the quick brown fox jumps over the lazy cat"),
+      ("t4", "completely different words entirely unrelated content here")).toDF("id", "t")
+    val h = df.select(col("id"), Dedup.simHash64(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    h("t1") shouldBe h("t2")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    ham(h("t1"), h("t3")) should be < 16
+    ham(h("t1"), h("t4")) should be > ham(h("t1"), h("t3"))
+  }
+
+  test("minHashPairs: planted near-dup pair is recalled, banded plan") {
+    val base = (0L until 30L).map(i => (i, s"tok$i alpha beta gamma delta epsilon zeta eta theta iota word$i"))
+    val docs = (base :+ (100L, base(5)._2 + " extra")).toDF("id", "text")
+    val pairs = Dedup.minHashPairs(docs, threshold = 0.5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    got should contain((5L, 100L))
+  }
+
+  test("multimodal stub: histogram counts bytes, frame sample strides") {
+    val df = Seq(("d1", "AAAA")).toDF("doc_id", "text") // 'A' = 0x41 -> bin 4
+    val media = MultiModal.asMedia(df, "text")
+    val r = media.select(MultiModal.decodeStub(col("payload")).as("h"),
+      functions.length(MultiModal.frameSampleStub(col("payload"), lit(2))).as("n"),
+      col("meta.n_bytes"), col("meta.width")).head()
+    r.getSeq[Int](0)(4) shouldBe 4
+    r.getSeq[Int](0).sum shouldBe 4
+    r.getInt(1) shouldBe 2
+    r.getInt(2) shouldBe 4
+    r.getInt(3) shouldBe 4 % 64 + 1
+  }
+
+  test("bruteTopK: probe ranks itself first with cosine 1") {
+    val emb = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteTopK(emb, 0, 3)
+      .as[(Long, Double)].collect()
+    got(0) shouldBe ((0L, 1.0))
+    got(1)._1 shouldBe 1L
+    got(2)._1 shouldBe 2L
+  }
+}
