@@ -255,5 +255,5 @@ object Queries {
     j1Multiway, j2Semi, j3Anti, o1TopK, w3RankLag, gDistinct,
     fDates, fMath, fJson, fStrings) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++
-    QueriesAggWindow.all ++ QueriesPipeline.all
+    QueriesAggWindow.all ++ QueriesPipeline.all ++ QueriesStreaming.all
 }

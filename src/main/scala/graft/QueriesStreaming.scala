@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import Queries.Entry
+import Tables._
+
+/** Event-time window queries over `events.ts` — the batch-checkable
+  * face of the streaming operators (same StreamingOps transforms run
+  * under readStream; see StreamingSpec for the incremental execution).
+  *
+  * Timestamp parity: events.parquet stores TIMESTAMP(NANOS); both
+  * engines truncate to micros (Tables.tbl `div 1000`; DuckDB's reader)
+  * so window arithmetic sees identical instants. Session-gap compares
+  * are done in whole microseconds for the same reason.
+  */
+object QueriesStreaming {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) = tbl(s, d, "events")
+
+  /** Tumbling 1-hour windows per event type (window() ≡ time_bucket). */
+  val stTumbling: Entry = Entry("st_tumbling",
+    (s, d) => StreamingOps.tumbling(ev(s, d), col("ts"), col("event_type"),
+        col("value"), "1 hour")
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_v"))
+      .orderBy("window_start", "event_type"),
+    Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      | count(*) AS n, ${sqlDsum("value")} AS sum_v
+      |FROM events GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin))
+
+  /** Sliding 1-hour windows every 30 minutes: each event belongs to 2
+    * windows (starts floor30(ts) and floor30(ts)−30min) — the oracle
+    * materializes exactly that expansion. */
+  val stSliding: Entry = Entry("st_sliding",
+    (s, d) => StreamingOps.sliding(ev(s, d), col("ts"), col("event_type"),
+        col("value"), "1 hour", "30 minutes")
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_v"))
+      .orderBy("window_start", "event_type"),
+    Some(s"""WITH x AS (
+      | SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value FROM events
+      | UNION ALL
+      | SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start,
+      |        event_type, value FROM events)
+      |SELECT window_start, event_type, count(*) AS n, ${sqlDsum("value")} AS sum_v
+      |FROM x GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin))
+
+  /** Session windows: 8-hour inactivity gap per user. The oracle builds
+    * sessions with the classic lag/gap-flag/running-sum construction;
+    * the gap compare is in whole microseconds (split when
+    * diff ≥ gap, matching session_window's strict-merge semantics). */
+  val stSession: Entry = Entry("st_session",
+    (s, d) => StreamingOps.session(ev(s, d), col("ts"), col("user_id"), "8 hours")
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH o AS (
+      | SELECT user_id, ts,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |        OR date_diff('microsecond', lag(ts) OVER w, ts) >= 28800000000 THEN 1
+      |       ELSE 0 END AS brk
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      | FROM o)
+      |SELECT user_id, min(ts) AS session_start,
+      | max(ts) + INTERVAL '8 hours' AS session_end,
+      | count(*) AS n
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin))
+
+  val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession)
+}
