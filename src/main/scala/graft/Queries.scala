@@ -255,5 +255,6 @@ object Queries {
     j1Multiway, j2Semi, j3Anti, o1TopK, w3RankLag, gDistinct,
     fDates, fMath, fJson, fStrings) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++
-    QueriesAggWindow.all ++ QueriesPipeline.all ++ QueriesStreaming.all
+    QueriesAggWindow.all ++ QueriesPipeline.all ++ QueriesStreaming.all ++
+    QueriesMl.all
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Queries.Entry
+import Tables.tbl
+
+/** SURVEY.md §3.1 executed end-to-end: the myAngleCV pipeline
+  * (main.py:247-309) — stratified folds → per-fold fit → OOF scatter-
+  * gather → fold-ensemble mean → log-loss/accuracy — over a feature
+  * frame built from testdata. MLlib training is not SQL-expressible →
+  * rows-only entries; the numeric quality gate (log-loss < ln 2, i.e.
+  * better than chance) is asserted in MlPipelineSpec.
+  */
+object QueriesMl {
+
+  /** Feature frame: customer scalars; label = acctbal above threshold
+    * (deterministic, learnable — the classifier must beat chance). */
+  private[graft] def featureFrame(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "customer").select(
+      col("c_custkey").as("id"),
+      when(col("c_acctbal") > 5000.0, 1.0).otherwise(0.0).as("label"),
+      col("c_acctbal").as("f_acctbal"),
+      (col("c_custkey") % 97).cast("double").as("f_keymod"),
+      length(col("c_name")).cast("double").as("f_namelen"),
+      col("c_nationkey").cast("double").as("f_nation"))
+
+  private[graft] val featureCols = Seq("f_acctbal", "f_keymod", "f_namelen", "f_nation")
+
+  /** G1→J4→fit→G3→G2→G4/G11, K=3. Result: one row of run metrics. */
+  val mlCvLogloss: Entry = Entry("ml_cv_logloss",
+    (s, d) => {
+      val k = 3
+      val frame = Folds.addStratifiedFoldByKey(featureFrame(s, d), "label", "id", k)
+      val cv = Model.crossValidate(frame, frame.select("id", featureCols: _*), featureCols, k)
+      val metrics = cv.oof.agg(
+        round(Metrics.logLoss(col("label"), col("pred")), 4).as("oof_logloss"),
+        round(Metrics.accuracy(col("label"), col("pred")), 4).as("oof_accuracy"),
+        count(lit(1)).as("n_oof"))
+      val testAgg = cv.test.agg(count(lit(1)).as("n_test"),
+        round(avg(col("pred")), 4).as("mean_test_pred"))
+      metrics.crossJoin(testAgg).withColumn("k", lit(k))
+    },
+    None)
+
+  /** S6 model sink/scan: fit once, save, reload, re-score — the row
+    * counts prove the loaded model transforms identically-shaped data. */
+  val mlModelSaveLoad: Entry = Entry("ml_model_save_load",
+    (s, d) => {
+      val frame = featureFrame(s, d)
+      val m = Model.pipeline(featureCols).fit(frame)
+      val path = "target/tmp/model_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      Model.save(m, path)
+      val reloaded = Model.load(path)
+      val a = Model.prob1(m.transform(frame)).select(col("id"), col("pred").as("pred_orig"))
+      val b = Model.prob1(reloaded.transform(frame)).select(col("id"), col("pred").as("pred_loaded"))
+      a.join(b, "id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_orig") === col("pred_loaded"), 0).otherwise(1)).as("n_mismatch"))
+    },
+    None)
+
+  val all: Seq[Entry] = Seq(mlCvLogloss, mlModelSaveLoad)
+}
