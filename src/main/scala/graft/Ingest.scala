@@ -48,4 +48,50 @@ object Ingest {
     val w = Window.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** Scale-safe forward fill over a NUMERIC order column: identical
+    * result to [[forwardFill]] without the single-task global window.
+    *
+    * Two passes:
+    *  1. one cheap min/max job derives `nBuckets` contiguous ranges of
+    *     the order column; the ordered fill then runs per-bucket in
+    *     parallel (`Window.partitionBy(bucket)`);
+    *  2. each bucket's last non-null (`max_by` aggregate, partial-
+    *     aggregated) feeds a carry table of `nBuckets` rows — the only
+    *     sequential step, O(buckets) not O(rows) — whose running
+    *     `last ignoreNulls` is broadcast-joined back and fills rows
+    *     before a bucket's first non-null.
+    *
+    * At 100 TB with nBuckets ≈ cluster cores this is a full-parallel
+    * fill; the inherently-sequential prefix dependency is compressed
+    * into the tiny carry table. */
+  def forwardFillScalable(df: DataFrame, valueCol: String, orderCol: String,
+      nBuckets: Int = 32): DataFrame = {
+    val bounds = df.agg(
+      min(col(orderCol)).cast("long"), max(col(orderCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) return df // empty input
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val span = mx - mn + 1
+    val bucket = least(lit(nBuckets - 1),
+      floor(((col(orderCol).cast("long") - mn) * nBuckets) / span)).cast("int")
+
+    val bucketed = df.withColumn("__b", bucket)
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = bucketed.withColumn("__filled",
+      last(col(valueCol), ignoreNulls = true).over(wIn))
+
+    // last non-null of each bucket = the filled value on its last row
+    val lasts = filled.groupBy(col("__b"))
+      .agg(max_by(col("__filled"), col(orderCol)).as("__last"))
+    val wCarry = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = lasts.withColumn("__carry",
+      last(col("__last"), ignoreNulls = true).over(wCarry))
+      .select(col("__b"), col("__carry"))
+
+    filled.join(broadcast(carry), "__b")
+      .withColumn(valueCol, coalesce(col("__filled"), col("__carry")))
+      .drop("__b", "__filled", "__carry")
+  }
 }

@@ -75,12 +75,13 @@ object Queries {
       |FROM events ORDER BY event_id""".stripMargin))
 
   /** P3/W1: order-dependent forward fill (main.py:57) — here over events
-    * with error-rows nulled first. */
+    * with error-rows nulled first, via the two-pass range-bucket fill
+    * (no single-task global window; same answer as the naive fill). */
   val p3ForwardFill: Entry = Entry("p3_forward_fill",
     (s, d) => {
       val e = ev(s, d).withColumn("v",
         when(col("event_type") === "error", lit(null)).otherwise(col("value")))
-      Ingest.forwardFill(e, "v", "event_id")
+      Ingest.forwardFillScalable(e, "v", "event_id")
         .select(col("event_id"), col("event_type"), col("v").as("v_filled"))
         .orderBy("event_id")
     },
