@@ -1,5 +1,20 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query wall times at
+  * SPARK_GRAFT_SF_DIR (driver default sf0.1).
+  *
+  * Measurement contract (fixes the r1 defects):
+  *  - every query executes through the `noop` sink, which runs the FULL
+  *    plan — a bare count() let Catalyst prune projection-only queries
+  *    down to a row-count scan, timing fiction;
+  *  - a failed query reports `-1` with its error in `errors`, instead
+  *    of masquerading as a fast success;
+  *  - one warmup query absorbs session/codegen/scan-pool startup so the
+  *    first measured query is not charged ~5 s of JVM warmup;
+  *  - queries run in sorted-name order (stable across rounds).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,15 +29,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Throwable =>
+          (-1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    runOnce("q1_pricing_summary") // warmup, untimed
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> runOnce(n))
+    def q(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, (t, _)) => s"${q(k)}:$t" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (_, Some(e))) => s"${q(k)}:${q(e)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val nErr = results.count(_._2._2.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -72,9 +72,15 @@ object QueriesArrays {
     * spells the identical operation order (sum, sumsq, same formula) so
     * the threshold is the same IEEE double in both engines. */
   val a9IsoMask: Entry = Entry("a9_iso_mask",
-    (s, d) => emb(s, d).select(col("vec_id"),
-        round(arraySum(isoMask(col("b1"))), 6).as("iso_sum"),
-        size(filter(col("b1"), x => x > arrayMean(col("b1")) + lit(2.0) * arrayStd(col("b1")))).as("n_kept"))
+    (s, d) => emb(s, d)
+      // hoist the threshold to a column: HOF lambdas evaluate
+      // interpreted, so an inline mean+2σ would be recomputed per
+      // ELEMENT (O(n²) per row — measured 5× slower)
+      .withColumn("thr", arrayMean(col("b1")) + lit(2.0) * arrayStd(col("b1")))
+      .select(col("vec_id"),
+        round(arraySum(transform(col("b1"),
+          x => when(x > col("thr"), x).otherwise(lit(0.0)))), 6).as("iso_sum"),
+        size(filter(col("b1"), x => x > col("thr"))).as("n_kept"))
       .orderBy("vec_id"),
     Some(s"""WITH e AS (SELECT vec_id, $B1 AS b1 FROM embeddings),
       | st AS (SELECT vec_id, b1,

