@@ -17,6 +17,15 @@ object Ensemble {
   val CutHi = 0.8 // sub_stacking.py:37
   val CutLo = 0.2 // sub_stacking.py:38
 
+  // INTENTIONAL DEVIATION from sub_stacking.py:48-50,75-80: the
+  // reference's np.all over iloc[:,1:] includes its own DERIVED
+  // max/min/mean/median columns and (for bestbase) the base-submission
+  // column in the all-above/all-below test — an artifact of slicing
+  // every non-id column, arguably a bug (the derived columns can never
+  // flip an all-members test, but the base column can flip bestbase's
+  // branch). We gate on the ensemble MEMBERS only, the intended
+  // semantics. Note the reference also names its cutoffs backwards
+  // (cutoff_lo = 0.8 at sub_stacking.py:37-38).
   private def allAbove(preds: Column, cut: Double): Column = forall(preds, _ > lit(cut))
   private def allBelow(preds: Column, cut: Double): Column = forall(preds, _ < lit(cut))
 

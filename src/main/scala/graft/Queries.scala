@@ -135,9 +135,12 @@ object Queries {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin))
 
-  /** O-topk + 3-way join: TPC-H Q3-shaped revenue top-10 (tie-broken). */
+  /** O-topk + 3-way join: TPC-H Q3-shaped revenue top-10 (tie-broken).
+    * The segment-filtered customer side is ~1/5 of a dimension table —
+    * explicitly broadcast so at 100 TB the orders⋈lineitem fact side
+    * never shuffles for it. */
   val o1TopK: Entry = Entry("o1_topk_revenue",
-    (s, d) => cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+    (s, d) => broadcast(cust(s, d).filter(col("c_mktsegment") === "BUILDING"))
       .join(ord(s, d), col("c_custkey") === col("o_custkey"))
       .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey")

@@ -80,7 +80,13 @@ object ImageGeometry {
 
   /** A12: the reference's 10-crop TTA (10-crop.py:240-255): 4 corners +
     * center, each over {original, horizontally-flipped} image → 10 crops
-    * in a fixed order: [TL, TR, BL, BR, center] × {orig, flipped}. */
+    * in a fixed order: [TL, TR, BL, BR, center] × {orig, flipped}.
+    *
+    * INTENTIONAL DEVIATION: the reference's center_crop slices
+    * (2*(size//2)+1)-sized windows (10-crop.py:233-236) — odd-sized,
+    * i.e. size+1 for even crop sizes, so its center crop differs in
+    * shape from its corner crops. We return a uniform w×h for all ten
+    * (consistent tensors downstream); flagged here per the advisor. */
   def tenCrop(a: Seq[Double], imgW: Int, imgH: Int, w: Int, h: Int): Seq[Seq[Double]] = {
     val cx = (imgW - w) / 2; val cy = (imgH - h) / 2
     val offs = Seq((0, 0), (imgW - w, 0), (0, imgH - h), (imgW - w, imgH - h), (cx, cy))
