@@ -227,7 +227,46 @@ object QueriesArrays {
         |FROM f ORDER BY vec_id""".stripMargin))
   }
 
+  /** G10: TTA mean — per-image mean over the ten crop means
+    * (10-crop.py:327-337's accumulate/÷10, as explode → groupBy avg).
+    * The 10 exploded rows of one image stay contiguous in one
+    * partition, so the partial-agg fold order is deterministic and the
+    * oracle can replay it as a left-assoc sum in crop order. */
+  val g10TtaMean: Entry = {
+    val cw = 4; val ch = 4
+    val offs = Seq((0, 0), (W - cw, 0), (0, W - ch), (W - cw, W - ch), ((W - cw) / 2, (W - ch) / 2))
+    val sparkFn: Queries.Q = (s, d) => {
+      val e = emb(s, d).select(col("vec_id"),
+        posexplode(ImageGeometry.tenCropUdf(col("b1"), lit(W), lit(W), lit(cw), lit(ch)))
+          .as(Seq("crop_id", "crop")))
+      e.select(col("vec_id"), arrayMean(col("crop")).as("m"))
+        .groupBy("vec_id").agg(round(avg(col("m")), 6).as("tta_mean"))
+        .orderBy("vec_id")
+    }
+    val meanExprs =
+      (offs.map { case (x0, y0) => cropSumSql("b1", x0, y0, cw, ch) } ++
+        offs.map { case (x0, y0) => cropSumSql("fl", x0, y0, cw, ch) })
+        .map(cs => s"($cs / ${cw * ch})")
+    Entry("g10_tta_mean", sparkFn,
+      Some(s"""WITH e AS (SELECT vec_id, $B1 AS b1 FROM embeddings),
+        | f AS (SELECT vec_id, b1, ${flipSql("b1")} AS fl FROM e)
+        |SELECT vec_id, round((${meanExprs.mkString(" + ")}) / 10, 6) AS tta_mean
+        |FROM f ORDER BY vec_id""".stripMargin))
+  }
+
+  /** A13 (full): flip + rotate + zoom + shift affine augmentation,
+    * LCG-parameterized per (id, epoch). Rows-only: the rotation's
+    * cos/sin make cross-engine float parity impractical; the resampler
+    * itself is fixture-tested in AffineSpec. */
+  val a13Affine: Entry = Entry("a13_affine",
+    (s, d) => emb(s, d).select(col("vec_id"),
+        round(arraySum(ImageGeometry.augmentFullUdf(
+          col("b1"), lit(W), col("vec_id"), lit(0))), 6).as("aug_sum"))
+      .orderBy("vec_id"),
+    None)
+
   val all: Seq[Entry] = Seq(
     a2BandAlgebra, a7Normalize, a9IsoMask, a10SizeFeature,
-    gRowStats, g8Median, a12TenCrop, a8Resize, a13Augment)
+    gRowStats, g8Median, a12TenCrop, a8Resize, a13Augment, g10TtaMean,
+    a13Affine)
 }

@@ -60,5 +60,34 @@ object QueriesMl {
     },
     None)
 
-  val all: Seq[Entry] = Seq(mlCvLogloss, mlModelSaveLoad)
+  /** The 10-crop TTA inference pipeline (10-crop.py §3.2): train on
+    * whole-image features, explode ten crops per image, score each
+    * crop, average per id (G10 via Ensemble.foldMean). The 3-level
+    * Python loop collapses into one plan per model. */
+  val mlTta: Entry = Entry("ml_tta",
+    (s, d) => {
+      import graft.functions.ArrayOps._
+      import graft.functions.ImageGeometry
+      val cols = Seq("f_mean", "f_std", "f_max", "f_min")
+      def feats(c: org.apache.spark.sql.Column) = Seq(
+        arrayMean(c).as("f_mean"), arrayStd(c).as("f_std"),
+        org.apache.spark.sql.functions.array_max(c).as("f_max"),
+        org.apache.spark.sql.functions.array_min(c).as("f_min"))
+      val e = tbl(s, d, "embeddings").select(col("vec_id").as("id"),
+        (col("label") === 1).cast("double").as("label"),
+        asDouble(col("embedding")).as("img"))
+      val train = e.select(col("id") +: col("label") +: feats(col("img")): _*)
+      val m = Model.pipeline(cols).fit(train)
+      val crops = e.select(col("id"),
+        posexplode(ImageGeometry.tenCropUdf(col("img"), lit(8), lit(8), lit(4), lit(4)))
+          .as(Seq("crop_id", "crop")))
+      val cropFeats = crops.select(col("id") +: feats(col("crop")): _*)
+      val preds = Model.prob1(m.transform(cropFeats)).select(col("id"), col("pred"))
+      Ensemble.foldMean(Seq(preds), "id", "pred")
+        .select(col("id"), round(col("pred"), 4).as("tta_pred"))
+        .orderBy("id")
+    },
+    None)
+
+  val all: Seq[Entry] = Seq(mlCvLogloss, mlModelSaveLoad, mlTta)
 }

@@ -106,6 +106,67 @@ object ImageGeometry {
   def augmentFlip(a: Seq[Double], w: Int, id: Long, epoch: Int): Seq[Double] =
     if (lcg((id & 0xffffL) * 131071L + epoch) % 2 == 0) flipH(a, w) else a
 
+  /** A13 (full): affine augmentation by inverse mapping — for each
+    * output pixel, apply the INVERSE of rotate(θ)∘zoom(z)∘shift(sx,sy)
+    * about the image center, then bilinear-sample the source with edge
+    * clamp (the resampler semantics of A8). Matches the reference's
+    * ImageDataGenerator parameter families: rotation_range 10-30°,
+    * zoom 0.5, width/height_shift 0.2 (main.py:149-156,
+    * main-2-0116.py:151-155); theirs draws per batch, ours derives the
+    * draw deterministically from (id, epoch) via the masked LCG. */
+  def affine(a: Seq[Double], w: Int, h: Int,
+      thetaRad: Double, zoom: Double, shiftX: Double, shiftY: Double): Seq[Double] = {
+    val out = new Array[Double](w * h)
+    val cx = (w - 1) / 2.0
+    val cy = (h - 1) / 2.0
+    val cosT = math.cos(-thetaRad) // inverse rotation
+    val sinT = math.sin(-thetaRad)
+    val invZ = 1.0 / zoom
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        // inverse transform: undo shift, then rotation, then zoom
+        val dx = c - cx - shiftX * w
+        val dy = r - cy - shiftY * h
+        val sx = (dx * cosT - dy * sinT) * invZ + cx
+        val sy = (dx * sinT + dy * cosT) * invZ + cy
+        // bilinear sample with edge clamp (same policy as A8)
+        val x0 = math.max(0, math.min(w - 1, math.floor(sx).toInt))
+        val y0 = math.max(0, math.min(h - 1, math.floor(sy).toInt))
+        val x1 = math.min(w - 1, x0 + 1)
+        val y1 = math.min(h - 1, y0 + 1)
+        val fx = math.max(0.0, math.min(1.0, sx - x0))
+        val fy = math.max(0.0, math.min(1.0, sy - y0))
+        out(r * w + c) =
+          a(y0 * w + x0) * (1 - fx) * (1 - fy) +
+          a(y0 * w + x1) * fx * (1 - fy) +
+          a(y1 * w + x0) * (1 - fx) * fy +
+          a(y1 * w + x1) * fx * fy
+        c += 1
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  /** The reference's full random augmentation (flip + rotate + zoom +
+    * shift), deterministically parameterized: each parameter draws from
+    * an independent masked-LCG stream on (id, epoch). Ranges follow
+    * main-2-0116.py:151-155 (rot ≤30°, shift ≤0.2, zoom ∈ [0.75, 1.25]
+    * — the Keras zoom_range=0.5 convention of [1−z/2, 1+z/2]). */
+  def augmentFull(a: Seq[Double], w: Int, id: Long, epoch: Int): Seq[Double] = {
+    val h = a.length / w
+    def draw(stream: Int): Double = // uniform in [0,1)
+      lcg((id & 0xffffL) * 131071L + epoch * 31L + stream).toDouble / 0x80000000L.toDouble
+    val flipped = if (draw(0) < 0.5) flipH(a, w) else a
+    val theta = (draw(1) * 2 - 1) * math.toRadians(30)
+    val zoom = 0.75 + draw(2) * 0.5
+    val sx = (draw(3) * 2 - 1) * 0.2
+    val sy = (draw(4) * 2 - 1) * 0.2
+    affine(flipped, w, h, theta, zoom, sx, sy)
+  }
+
   // --- Column wrappers ---
   val bilinearResizeUdf =
     udf((a: Seq[Double], h0: Int, w0: Int, h1: Int, w1: Int) => bilinearResize(a, h0, w0, h1, w1))
@@ -116,6 +177,11 @@ object ImageGeometry {
     udf((a: Seq[Double], imgW: Int, imgH: Int, w: Int, h: Int) => tenCrop(a, imgW, imgH, w, h))
   val augmentFlipUdf =
     udf((a: Seq[Double], w: Int, id: Long, epoch: Int) => augmentFlip(a, w, id, epoch))
+  val affineUdf =
+    udf((a: Seq[Double], w: Int, h: Int, theta: Double, zoom: Double, sx: Double, sy: Double) =>
+      affine(a, w, h, theta, zoom, sx, sy))
+  val augmentFullUdf =
+    udf((a: Seq[Double], w: Int, id: Long, epoch: Int) => augmentFull(a, w, id, epoch))
 
   def bilinear_resize(a: Column, h0: Int, w0: Int, h1: Int, w1: Int): Column =
     bilinearResizeUdf(a, org.apache.spark.sql.functions.lit(h0),
