@@ -29,8 +29,11 @@ object Similarity {
   def bruteTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
     val probe = e.where(col("vec_id") === probeId).select(col("v").as("pv"))
+    // cosine_sim is the native codegen expression (GraftExtensions) —
+    // bit-identical to ArrayOps.cosine, one fused pass instead of three
+    // interpreted higher-order folds
     e.crossJoin(broadcast(probe))
-      .select(col("vec_id"), round(ArrayOps.cosine(col("v"), col("pv")), 6).as("cos"))
+      .select(col("vec_id"), round(call_function("cosine_sim", col("v"), col("pv")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
