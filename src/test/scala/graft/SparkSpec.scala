@@ -13,6 +13,7 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "target/tmp/test-warehouse")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
