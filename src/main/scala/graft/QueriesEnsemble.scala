@@ -103,7 +103,24 @@ object QueriesEnsemble {
       |SELECT CAST(o_orderkey AS VARCHAR) AS id, round($sqlMean, 6) AS is_iceberg
       |FROM p ORDER BY id""".stripMargin))
 
+  /** S3: directory-listing source discovery — read a multi-file CSV
+    * glob and tag provenance with input_file_name() (the reference's
+    * os.listdir + per-file read, sub_stacking.py:14-22). Rows-only:
+    * filenames are run-local. */
+  val s3Provenance: Entry = Entry("s3_provenance",
+    (s, d) => {
+      val out = "target/tmp/csv_prov_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      tbl(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+        .repartition(3) // several part files = several "submissions"
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").csv(out + "/*.csv")
+        .withColumn("src_file", regexp_extract(input_file_name(), "([^/]+)\\.csv", 1))
+        .groupBy("src_file").agg(count(lit(1)).as("n_rows"))
+        .orderBy("src_file")
+    },
+    None)
+
   val all: Seq[Entry] = Seq(
     ensMean, ensMedian, ensPushoutMedian, ensMinmaxMean, ensMinmaxMedian,
-    ensMinmaxBestbase, s4CsvRoundtrip)
+    ensMinmaxBestbase, s4CsvRoundtrip, s3Provenance)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** SURVEY.md §2.9 / §7.1-6: event-time window transforms, written once
   * and used from BOTH batch queries (the DuckDB-checkable surface) and
@@ -35,6 +36,63 @@ object StreamingOps {
   def session(df: DataFrame, ts: Column, key: Column, gap: String): DataFrame =
     df.groupBy(session_window(ts, gap), key)
       .agg(count(lit(1)).as("n"))
+
+  /** Event fed to the custom-state sessionizer. `eventTime` must be
+    * the watermarked column of the source stream (the watermark
+    * drives EventTimeTimeout). */
+  case class SessionEvent(userId: Long, eventTime: java.sql.Timestamp)
+  /** Open-session state kept per key between triggers (epoch millis). */
+  case class SessionState(startMs: Long, lastMs: Long, n: Long)
+  /** A completed session emitted once its gap closes (or times out). */
+  case class SessionResult(userId: Long, startMs: Long, endMs: Long, n: Long)
+
+  /** Custom streaming state (SURVEY §2.9 / brief: KeyValueGroupedDataset
+    * .flatMapGroupsWithState): gap-based sessionization where WE own
+    * the state machine — the generalization of session_window for
+    * session logic the built-in cannot express (e.g. per-session
+    * aggregates, early emission). Event-time timeout fires a key's
+    * final session once the watermark passes last + gap; state per key
+    * is O(1), so total state is bounded by live keys regardless of
+    * input rate — the 100 TB/day contract.
+    *
+    * Input must carry an event-time column named `eventTime`
+    * (TimestampType) with a watermark already applied. */
+  def sessionizeWithState(events: Dataset[SessionEvent], gapMs: Long)(
+      implicit enc1: org.apache.spark.sql.Encoder[Long],
+      enc2: org.apache.spark.sql.Encoder[SessionState],
+      enc3: org.apache.spark.sql.Encoder[SessionResult]): Dataset[SessionResult] = {
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionResult](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionResult(userId, s.startMs, s.lastMs + gapMs, s.n))
+          } else {
+            val sorted = rows.map(_.eventTime.getTime).toArray.sorted
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[SessionResult]()
+            for (ts <- sorted) {
+              cur match {
+                case Some(s) if ts - s.lastMs >= gapMs =>
+                  out += SessionResult(userId, s.startMs, s.lastMs + gapMs, s.n)
+                  cur = Some(SessionState(ts, ts, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.startMs, ts, s.n + 1))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
 
   /** The streaming flagship: watermarked tumbling counts — the shape a
     * production pipeline runs 24/7. `readStream`-driven; late rows

@@ -48,6 +48,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: gap split + event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.{SessionEvent, SessionResult}
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("userId", "eventTime")
+      .withWatermark("eventTime", "0 seconds")
+      .as[SessionEvent]
+    val out = StreamingOps.sessionizeWithState(events, gapMs = 10 * 60 * 1000)
+
+    val q = out.writeStream.format("memory").queryName("session_state_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 30-min gap
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 10:35:00"))) // splits: first session closes
+      q.processAllAvailable()
+      // advance the watermark far past 10:45 so the open session times out
+      mem.addData((2L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 14:00:00"))) // push watermark past 12:10 too
+      q.processAllAvailable()
+
+      val rows = spark.table("session_state_test").as[SessionResult]
+        .collect().map(r => (r.userId, r.startMs, r.endMs, r.n)).toSet
+      def ms(s: String) = ts(s).getTime
+      // user 1 session A: 10:00-10:05, closed by the 10:35 event, end = last+gap
+      rows should contain((1L, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:15:00"), 2L))
+      // user 1 session B: the 10:35 singleton, closed by timeout
+      rows should contain((1L, ms("2024-01-01 10:35:00"), ms("2024-01-01 10:45:00"), 1L))
+      // user 2 first event: closed by timeout after the 14:00 event
+      rows should contain((2L, ms("2024-01-01 12:00:00"), ms("2024-01-01 12:10:00"), 1L))
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling agree on the same input") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "a", 1.0), (ts("2024-01-01 10:40:00"), "a", 2.0),
