@@ -260,5 +260,5 @@ object Queries {
     fDates, fMath, fJson, fStrings) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++
     QueriesAggWindow.all ++ QueriesPipeline.all ++ QueriesStreaming.all ++
-    QueriesMl.all
+    QueriesMl.all ++ QueriesSql.all
 }

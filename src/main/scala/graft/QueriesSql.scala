@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Queries.Entry
+import Tables._
+
+/** Complex-SQL capability batch: deep multi-join pipelines, HAVING,
+  * pivot, scalar/IN subqueries (via the spark.sql surface), typed JSON
+  * parsing (from_json → struct), and union set semantics. These go
+  * beyond the reference's operator list to prove the Catalyst surface
+  * a user of a general engine relies on (SURVEY §7.1 step 5's
+  * "capability demos" family).
+  */
+object QueriesSql {
+
+  /** TPC-H Q5-shaped: 5-way join through the whole star, revenue per
+    * nation, agg-filter (HAVING), ordered. Dims broadcast explicitly —
+    * the fact side never shuffles for them. */
+  val q5Join5: Entry = Entry("q5_local_revenue",
+    (s, d) => tbl(s, d, "lineitem")
+      .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .filter(col("n_items") > 100) // HAVING
+      .orderBy("r_name", "n_name"),
+    Some(s"""SELECT r_name, n_name,
+      | ${sqlDsumProd("l_extendedprice", "1 - l_discount")} AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name HAVING count(*) > 100
+      |ORDER BY r_name, n_name""".stripMargin))
+
+  /** Pivot: order counts per priority × status, explicit value list so
+    * the output schema is fixed and oracle-expressible as CASE sums. */
+  val gPivot: Entry = Entry("g_pivot",
+    (s, d) => tbl(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+      | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
+      | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
+      | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Scalar + IN subqueries through the spark.sql surface: orders above
+    * the global average price from customers in a nation subset. */
+  val sqSubqueries: Entry = Entry("sq_subqueries",
+    (s, d) => {
+      tbl(s, d, "orders").createOrReplaceTempView("v_orders")
+      tbl(s, d, "customer").createOrReplaceTempView("v_customer")
+      tbl(s, d, "nation").createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM v_orders)
+          AND o_custkey IN (
+            SELECT c_custkey FROM v_customer
+            WHERE c_nationkey IN (SELECT n_nationkey FROM v_nation WHERE n_regionkey = 0))
+        ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+      |  AND o_custkey IN (
+      |    SELECT c_custkey FROM customer
+      |    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0))
+      |ORDER BY o_orderkey""".stripMargin))
+
+  /** Typed JSON parsing: from_json with an explicit schema → struct
+    * field access (the schema-on-read contract, vs f_json's pathing). */
+  val fStructJson: Entry = Entry("f_struct_json",
+    (s, d) => tbl(s, d, "events")
+      .withColumn("p", from_json(col("props"), StructType(Seq(
+        StructField("k", IntegerType)))))
+      .select(col("event_id"), col("p.k").as("k"),
+        (col("p.k") % 10).as("k_mod"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+      | TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      | TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+      |FROM events ORDER BY event_id""".stripMargin))
+
+  /** UNION ALL vs UNION (distinct) semantics in one result. */
+  val oUnionSemantics: Entry = Entry("o_union_semantics",
+    (s, d) => {
+      val hi = tbl(s, d, "part").filter(col("p_retailprice") > 1500.0).select(col("p_brand"))
+      val lo = tbl(s, d, "part").filter(col("p_retailprice") < 1000.0).select(col("p_brand"))
+      val unionAll = hi.unionByName(lo).groupBy("p_brand").agg(count(lit(1)).as("n_all"))
+      val unionDistinct = hi.union(lo).distinct()
+        .groupBy("p_brand").agg(count(lit(1)).as("n_distinct"))
+      unionAll.join(unionDistinct, "p_brand").orderBy("p_brand")
+    },
+    Some("""WITH hi AS (SELECT p_brand FROM part WHERE p_retailprice > 1500.0),
+      | lo AS (SELECT p_brand FROM part WHERE p_retailprice < 1000.0),
+      | ua AS (SELECT p_brand, count(*) AS n_all FROM (SELECT * FROM hi UNION ALL SELECT * FROM lo) GROUP BY p_brand),
+      | ud AS (SELECT p_brand, count(*) AS n_distinct FROM (SELECT * FROM hi UNION SELECT * FROM lo) GROUP BY p_brand)
+      |SELECT p_brand, CAST(n_all AS BIGINT) AS n_all, CAST(n_distinct AS BIGINT) AS n_distinct
+      |FROM ua JOIN ud USING (p_brand) ORDER BY p_brand""".stripMargin))
+
+  val all: Seq[Entry] = Seq(q5Join5, gPivot, sqSubqueries, fStructJson, oUnionSemantics)
+}
