@@ -54,19 +54,58 @@ object Similarity {
       .orderBy(col("dist"), col("vec_id"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a similarity cut,
-    * bucketed by LSH so candidate generation is an equi-join on hash
-    * buckets (approxSimilarityJoin), never an all-pairs product. */
-  def cosineNearDupPairs(emb: DataFrame, maxL2: Double): DataFrame = {
-    val feat = emb.select(col("vec_id"),
-      array_to_vector(ArrayOps.asDouble(col("embedding"))).as("features"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(2.0).setNumHashTables(3).setSeed(42)
-    val model = lsh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, maxL2, "l2_dist")
-      .select(col("datasetA.vec_id").as("id_a"), col("datasetB.vec_id").as("id_b"),
-        round(col("l2_dist"), 6).as("l2_dist"))
+  /** Embedding near-duplicate pairs above a distance cut, via BANDED
+    * random-projection LSH: each band's key concatenates the bucket ids
+    * of r independent projections, so a collision needs r simultaneous
+    * matches. MLlib's BucketedRandomProjectionLSH buckets on SINGLE
+    * projections per table — measured on the testdata embeddings its
+    * default geometry degenerates to 2 buckets, i.e. a disguised
+    * all-pairs join. Candidates (ids only) come from the band
+    * equi-join; the exact L2 runs on candidate pairs alone.
+    *
+    * Determinism: projection vectors come from a fixed-seed RNG;
+    * straddle probability for a true near-dup at distance d is
+    * ~(d/bucketLength) per projection, amplified to (1-(1-p)^r)^bands
+    * miss probability — ~1e-5 for the planted 0.008-distance pairs. */
+  def cosineNearDupPairs(emb: DataFrame, maxL2: Double,
+      bands: Int = 5, rowsPerBand: Int = 3, bucketLength: Double = 0.25): DataFrame = {
+    val dim = 64
+    val rnd = new scala.util.Random(421)
+    val projections: Array[Array[Double]] =
+      Array.fill(bands * rowsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
+    val bandKeys = udf((v: Seq[Double]) => {
+      (0 until bands).map { b =>
+        var key = 0x9e3779b97f4a7c15L * (b + 1)
+        var r = 0
+        while (r < rowsPerBand) {
+          val w = projections(b * rowsPerBand + r)
+          var dot = 0.0
+          var i = 0
+          while (i < v.length && i < dim) { dot += v(i) * w(i); i += 1 }
+          val bucket = math.floor(dot / bucketLength).toLong
+          key ^= bucket; key *= 0xc2b2ae3d27d4eb4fL; key ^= (key >>> 29)
+          r += 1
+        }
+        (b, key)
+      }
+    })
+    val e = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+    val sigs = e.select(col("vec_id"), explode(bandKeys(col("v"))).as("bk"))
+    val a = sigs.select(col("vec_id").as("id_a"), col("bk"))
+    val b = sigs.select(col("vec_id").as("id_b"), col("bk"))
+    val candidates = a.join(b, "bk")
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val l2 = udf((x: Seq[Double], y: Seq[Double]) => {
+      var s = 0.0; var i = 0
+      while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    })
+    candidates
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), round(l2(col("va"), col("vb")), 6).as("l2_dist"))
+      .where(col("l2_dist") <= maxL2)
   }
 }
