@@ -128,7 +128,41 @@ object QueriesAggWindow {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** Explicit GROUPING SETS (beyond cube/rollup): chosen aggregate
+    * combinations in one Expand + one shuffle. */
+  val gGroupingSets: Entry = Entry("g_grouping_sets",
+    (s, d) => {
+      tbl(s, d, "orders").createOrReplaceTempView("v_orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS st,
+               coalesce(o_orderpriority, 'ALL') AS pri,
+               count(*) AS n
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY st, pri""")
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+      | coalesce(o_orderpriority, 'ALL') AS pri,
+      | count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY st, pri""".stripMargin))
+
+  /** collect_set + sort_array: order-independent list aggregation the
+    * oracle can replay (raw collect_list order is partitioning-
+    * dependent — always sort before comparing or sinking). */
+  val gCollectSet: Entry = Entry("g_collect_set",
+    (s, d) => tbl(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+      | list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      | count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     gCube, gRollup, oExcept, oIntersect, oDistinct, gApproxDistinct,
-    g1FoldAssign, wRunningSum)
+    g1FoldAssign, wRunningSum, gGroupingSets, gCollectSet)
 }
