@@ -109,5 +109,47 @@ object QueriesSql {
       |SELECT p_brand, CAST(n_all AS BIGINT) AS n_all, CAST(n_distinct AS BIGINT) AS n_distinct
       |FROM ua JOIN ud USING (p_brand) ORDER BY p_brand""".stripMargin))
 
-  val all: Seq[Entry] = Seq(q5Join5, gPivot, sqSubqueries, fStructJson, oUnionSemantics)
+  /** Conditional aggregates: count_if / bool_or / bool_and / max_by /
+    * min_by — the argmax family large pipelines lean on. */
+  val gConditionalAgg: Entry = Entry("g_conditional_agg",
+    (s, d) => tbl(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_totalprice") > 200000.0).as("n_big"),
+        bool_or(col("o_orderstatus") === "P").as("any_pending"),
+        bool_and(col("o_totalprice") > 0.0).as("all_positive"),
+        max_by(col("o_orderkey"), col("o_totalprice")).as("key_of_max"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("key_of_min"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+      | count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+      | bool_or(o_orderstatus = 'P') AS any_pending,
+      | bool_and(o_totalprice > 0.0) AS all_positive,
+      | max_by(o_orderkey, o_totalprice) AS key_of_max,
+      | min_by(o_orderkey, o_totalprice) AS key_of_min
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Interval arithmetic + null-handling function family. */
+  val fIntervalsNulls: Entry = Entry("f_intervals_nulls",
+    (s, d) => tbl(s, d, "orders").select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).cast("date").as("plus_3m"),
+        date_add(col("o_orderdate"), 45).cast("date").as("plus_45d"),
+        last_day(col("o_orderdate")).as("month_end"),
+        quarter(col("o_orderdate")).as("q"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"),
+        when(col("o_totalprice") > 300000.0, col("o_totalprice")).otherwise(lit(null))
+          .as("big_or_null"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+      | CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus_45d,
+      | CAST(last_day(o_orderdate) AS DATE) AS month_end,
+      | CAST(quarter(o_orderdate) AS INT) AS q,
+      | coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+      | CASE WHEN o_totalprice > 300000.0 THEN o_totalprice ELSE NULL END AS big_or_null
+      |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[Entry] = Seq(q5Join5, gPivot, sqSubqueries, fStructJson,
+    oUnionSemantics, gConditionalAgg, fIntervalsNulls)
 }
