@@ -40,6 +40,18 @@ class ForwardFillSpec extends SparkSpec {
     check((0L until 10L).map(k => (k, Option.empty[Double])), 4)
   }
 
+  test("randomized sweep: random null patterns, sparse keys, bucket counts") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(150)
+      // sparse, non-contiguous keys exercise the range bucketing
+      val keys = Seq.fill(n)(rnd.nextLong().abs % 1000000L).distinct.sorted
+      val rows = keys.map(k =>
+        (k, if (rnd.nextDouble() < 0.6) None else Some(rnd.nextDouble())))
+      check(rows, 1 + rnd.nextInt(16))
+    }
+  }
+
   test("the data-path window is partitioned by bucket, not global") {
     val df = (0L until 100L).map(k => (k, Some(k.toDouble))).toDF("k", "v")
     val plan = Ingest.forwardFillScalable(df, "v", "k", 8)

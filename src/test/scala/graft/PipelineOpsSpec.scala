@@ -50,6 +50,23 @@ class PipelineOpsSpec extends SparkSpec {
     got should contain((5L, 100L))
   }
 
+  test("jaccard3 properties: symmetric, in [0,1], self-similarity 1 (seeded sweep)") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    def doc() = Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val pairs = Seq.fill(25)((doc(), doc()))
+    val df = pairs.toDF("x", "y")
+    val rows = df.select(
+      Dedup.jaccard3(col("x"), col("y")).as("xy"),
+      Dedup.jaccard3(col("y"), col("x")).as("yx"),
+      Dedup.jaccard3(col("x"), col("x")).as("xx")).collect()
+    rows.foreach { r =>
+      r.getDouble(0) shouldBe r.getDouble(1) // symmetric
+      r.getDouble(0) should (be >= 0.0 and be <= 1.0)
+      r.getDouble(2) shouldBe 1.0 // self-similarity
+    }
+  }
+
   test("multimodal stub: histogram counts bytes, frame sample strides") {
     val df = Seq(("d1", "AAAA")).toDF("doc_id", "text") // 'A' = 0x41 -> bin 4
     val media = MultiModal.asMedia(df, "text")
