@@ -63,7 +63,9 @@ object QueriesPipeline {
   val ddNgramJaccard: Entry = Entry("dd_ngram_jaccard",
     (s, d) => docs(s, d).where(col("doc_id") % 11 === 0)
       .select(col("doc_id"),
-        round(Dedup.jaccard3(col("text"), concat(col("text"), lit(" qq17"))), 6).as("jac"))
+        // tight-loop twin of jaccard3: identical integer set sizes →
+        // identical quotient, minus the interpreted-HOF cost
+        round(Dedup.jaccardText(col("text"), concat(col("text"), lit(" qq17"))), 6).as("jac"))
       .orderBy("doc_id"),
     Some("""WITH v AS (
       | SELECT doc_id, string_split(text, ' ') AS w,

@@ -136,7 +136,11 @@ object Dedup {
   }
 
   /** Exact 3-shingle Jaccard of two raw texts (tight-loop twin of
-    * [[jaccard3]], used on LSH candidate pairs). */
+    * [[jaccard3]]; same integer set sizes → bit-identical quotient).
+    * Used on LSH candidate pairs and wherever the Column-HOF version's
+    * interpreted evaluation would dominate. */
+  def jaccardText(a: Column, b: Column): Column = jaccardTextUdf(a, b)
+
   private val jaccardTextUdf = udf((a: String, b: String) => {
     val sa = shingleSet(a).toSet
     val sb = shingleSet(b).toSet
