@@ -162,7 +162,68 @@ object QueriesAggWindow {
       | count(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`: index p·(n−1), linear interpolation; both
+    * engines compute it from identical doubles, rounded to pin ulps). */
+  val gPercentile: Entry = Entry("g_percentile",
+    (s, d) => tbl(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("o_totalprice"), lit(0.99)), 6).as("p99"))
+      .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus,
+      | round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      | round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+      | round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** RANGE-frame window: 30-day trailing spend per customer — the
+    * value-based frame (vs wRunningSum's ROWS frame) over epoch
+    * seconds, exact-decimal summed. */
+  val wRangeFrame: Entry = Entry("w_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("ts"))
+        .rangeBetween(-30L * 86400, 0)
+      ord(s, d)
+        .withColumn("ts", unix_timestamp(col("o_orderdate")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("spend_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |   OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist,
+    * PARTITIONED by priority (a global unpartitioned rank would funnel
+    * the table through one task — the scale anti-pattern). Divisions
+    * are exact rationals of rank and n, rounded to pin the quotient. */
+  val wDistribution: Entry = Entry("w_distribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      ord(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+      | CAST(ntile(4) OVER w AS INT) AS quartile,
+      | round(percent_rank() OVER w, 6) AS pct_rank,
+      | round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     gCube, gRollup, oExcept, oIntersect, oDistinct, gApproxDistinct,
-    g1FoldAssign, wRunningSum, gGroupingSets, gCollectSet)
+    g1FoldAssign, wRunningSum, gGroupingSets, gCollectSet,
+    gPercentile, wRangeFrame, wDistribution)
 }
