@@ -150,6 +150,32 @@ object QueriesSql {
       | CASE WHEN o_totalprice > 300000.0 THEN o_totalprice ELSE NULL END AS big_or_null
       |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** Generator/lateral family beyond the ten-crop explode: explode a
+    * split column into rows, word-frequency aggregate (the unnest
+    * pattern every text pipeline starts with). */
+  val oExplodeWords: Entry = Entry("o_explode_words",
+    (s, d) => tbl(s, d, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy("word"),
+    Some("""SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |GROUP BY word ORDER BY word""".stripMargin))
+
+  /** Map-typed JSON: from_json to MAP<STRING,STRING> → key listing and
+    * value lookup (schema-free sibling of f_struct_json). */
+  val fMapJson: Entry = Entry("f_map_json",
+    (s, d) => tbl(s, d, "events")
+      .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
+      .select(col("event_id"),
+        sort_array(map_keys(col("m"))).as("keys"),
+        element_at(col("m"), "k").cast("int").as("k_val"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+      | list_sort(json_keys(props)) AS keys,
+      | TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin))
+
   val all: Seq[Entry] = Seq(q5Join5, gPivot, sqSubqueries, fStructJson,
-    oUnionSemantics, gConditionalAgg, fIntervalsNulls)
+    oUnionSemantics, gConditionalAgg, fIntervalsNulls, oExplodeWords, fMapJson)
 }
