@@ -16,11 +16,16 @@ import Tables.tbl
   * (sub_stacking.py:22-26). ~0.8% of rows land in each all-above/
   * all-below cutoff branch, so every mode's every branch is exercised.
   *
-  * Scale: the joins are key-aligned same-size tables — at 100 TB these
-  * are shuffle joins on the join key, which is the unavoidable plan; the
-  * stacking arithmetic itself is per-row, no further exchange. The CSV
-  * sink coalesces to 1 file to mirror the reference's single submission
-  * file; at scale you would drop the coalesce and write N part files.
+  * Scale: the N-way join exists to exercise the reference's shape
+  * (N separate submission FILES joined on id); when members arrive as
+  * separate tables at 100 TB this is the real plan — shuffle joins on
+  * the shared key (or one exchange total if the tables are bucketed on
+  * id). Here the members derive from one source, so a production
+  * pipeline would compute all N in a single projection with zero
+  * shuffles — the stacking arithmetic itself is join-free per-row work.
+  * The CSV sink coalesces to 1 file to mirror the reference's single
+  * submission file; at scale you would drop the coalesce and write N
+  * part files.
   */
 object QueriesEnsemble {
 
