@@ -41,12 +41,27 @@ object Model {
 
   def crossValidate(train: DataFrame, test: DataFrame, featureCols: Seq[String], k: Int): CvResult = {
     val cached = train.persist() // reused K times — the reference's pickle-cache analogue
-    val perFold = (0 until k).map { j =>
-      val m = pipeline(featureCols).fit(Folds.trainSplit(cached, j))
-      val oof = prob1(m.transform(Folds.holdoutSplit(cached, j)))
-      val tst = prob1(m.transform(test)).withColumn("fold", lit(j))
-      (m, oof, tst)
-    }
+    cached.count() // materialize once before the concurrent fits race to build it
+    // Fold fits are independent Spark job sequences driven from the
+    // driver — run them concurrently (the CrossValidator.parallelism
+    // technique) so their many small jobs overlap on the cluster
+    // instead of serializing K× the scheduling latency. The reference
+    // trains folds sequentially on two GPUs (main.py:184,217); here the
+    // cluster is shared and folds pipeline through it together.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(k)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val perFold = try {
+      Await.result(Future.sequence((0 until k).map { j =>
+        Future {
+          val m = pipeline(featureCols).fit(Folds.trainSplit(cached, j))
+          val oof = prob1(m.transform(Folds.holdoutSplit(cached, j)))
+          val tst = prob1(m.transform(test)).withColumn("fold", lit(j))
+          (m, oof, tst)
+        }
+      }), Duration.Inf)
+    } finally pool.shutdown()
     val oof = perFold.map(_._2.select("id", "label", "pred")).reduce(_ unionByName _)
     val testPred = Ensemble.foldMean(perFold.map(_._3.select("id", "pred")), "id", "pred")
     CvResult(oof, testPred, perFold.map(_._1))
