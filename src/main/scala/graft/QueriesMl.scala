@@ -89,5 +89,36 @@ object QueriesMl {
     },
     None)
 
-  val all: Seq[Entry] = Seq(mlCvLogloss, mlModelSaveLoad, mlTta)
+  /** Multi-architecture ensemble, the reference's VGG+ResNet+MobileNet
+    * stacking made real on MLlib: train two model FAMILIES (logistic
+    * regression + gradient-boosted trees) on the same frame, join
+    * their probability outputs into the preds array, and run the
+    * minmax_median stacking mode on genuine model predictions
+    * (sub_stacking.py over real members, not pseudo-models). */
+  val mlStack: Entry = Entry("ml_stack",
+    (s, d) => {
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.classification.GBTClassifier
+      import org.apache.spark.ml.feature.VectorAssembler
+      val frame = featureFrame(s, d).cache()
+      val lrPred = Model.prob1(Model.pipeline(featureCols).fit(frame).transform(frame))
+        .select(col("id"), col("pred").as("m_lr"))
+      val asm = new VectorAssembler().setInputCols(featureCols.toArray)
+        .setOutputCol("features").setHandleInvalid("keep")
+      val gbt = new GBTClassifier().setLabelCol("label").setFeaturesCol("features")
+        .setMaxIter(10).setMaxDepth(3).setSeed(16)
+      val gbtModel = new Pipeline().setStages(Array(asm, gbt)).fit(frame)
+      val gbtPred = Model.prob1(gbtModel.transform(frame))
+        .select(col("id"), col("pred").as("m_gbt"))
+      val out = lrPred.join(gbtPred, "id")
+        .withColumn("preds", array(col("m_lr"), col("m_gbt")))
+        .select(col("id"),
+          round(Ensemble.stack("minmax_median", col("preds"), col("m_lr")), 4).as("stacked"))
+        .orderBy("id")
+      frame.unpersist()
+      out
+    },
+    None)
+
+  val all: Seq[Entry] = Seq(mlCvLogloss, mlModelSaveLoad, mlTta, mlStack)
 }

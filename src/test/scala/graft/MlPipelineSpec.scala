@@ -16,6 +16,17 @@ class MlPipelineSpec extends SparkSpec {
     nOof shouldBe 150L // every customer row appears exactly once OOF
   }
 
+  test("ml_stack: two real model families stack into [0,1] probabilities") {
+    val rows = QueriesMl.mlStack.fn(spark, "/root/testdata/sf0.001").collect()
+    rows.length shouldBe 150
+    rows.foreach { r =>
+      val p = r.getAs[Double]("stacked")
+      p should (be >= 0.0 and be <= 1.0)
+    }
+    // stacking must produce a non-constant signal
+    rows.map(_.getAs[Double]("stacked")).distinct.length should be > 10
+  }
+
   test("ml_model_save_load: reloaded model scores identically") {
     val row = QueriesMl.mlModelSaveLoad.fn(spark, "/root/testdata/sf0.001").head()
     row.getAs[Long]("n") shouldBe 150L
