@@ -47,9 +47,14 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> runOnce(n))
-    def q(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    // escape ALL control chars — an exception message echoing raw input
+    // bytes would otherwise break the driver's JSON parse of this line
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, (t, _)) => s"${q(k)}:$t" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => s"${q(k)}:${q(e)}" }
       .mkString("{", ",", "}")

@@ -72,8 +72,14 @@ object Ingest {
     if (bounds.isNullAt(0)) return df // empty input
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val span = mx - mn + 1
-    val bucket = least(lit(nBuckets - 1),
-      floor(((col(orderCol).cast("long") - mn) * nBuckets) / span)).cast("int")
+    // null order keys get bucket -1 (sorted before every real bucket in
+    // the carry table) instead of a null bucket — a null join key would
+    // silently DROP those rows, where the naive fill keeps them. Their
+    // relative order is undefined in both variants (orderBy on equal
+    // null keys), matching the global window's nulls-first behavior.
+    val bucket = when(col(orderCol).isNull, lit(-1)).otherwise(
+      least(lit(nBuckets - 1),
+        floor(((col(orderCol).cast("long") - mn) * nBuckets) / span)).cast("int"))
 
     val bucketed = df.withColumn("__b", bucket)
     val wIn = Window.partitionBy(col("__b")).orderBy(col(orderCol))

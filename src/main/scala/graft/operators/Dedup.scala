@@ -59,7 +59,11 @@ object Dedup {
     * pipelines (same semantics as [[shingles3]], which stays a Column
     * expression for the oracle-checked Jaccard query). */
   private def shingleSet(text: String): Array[String] = {
-    val w = text.split(" ")
+    // split with limit -1: Java's default drops trailing empty tokens,
+    // but Spark SQL split and DuckDB string_split keep them — the
+    // Column twin shingles3 and the dd_ngram_jaccard oracle would
+    // disagree on texts with trailing spaces otherwise
+    val w = text.split(" ", -1)
     if (w.length < 3) Array.empty
     else {
       val set = new scala.collection.mutable.LinkedHashSet[String]
@@ -94,16 +98,23 @@ object Dedup {
   /** (band index, band signature) keys: signature = hash over the
     * band's r minhashes. */
   val bandKeysUdf = udf((text: String, bands: Int, rowsPerBand: Int) => {
-    val mh = minhashSig(text, bands * rowsPerBand)
-    (0 until bands).map { b =>
-      var h = 0x27d4eb2fL * (b + 1)
-      var r = 0
-      while (r < rowsPerBand) {
-        h ^= mh(b * rowsPerBand + r)
-        h *= 0xc2b2ae3d27d4eb4fL; h ^= (h >>> 29)
-        r += 1
+    // docs with no shingles (<3 words) have NO band keys: their
+    // untouched all-MaxValue signatures would otherwise all collide
+    // into one quadratic bucket — and a 3-gram near-dup relation is
+    // undefined for them anyway
+    if (shingleSet(text).isEmpty) Seq.empty[(Int, Long)]
+    else {
+      val mh = minhashSig(text, bands * rowsPerBand)
+      (0 until bands).map { b =>
+        var h = 0x27d4eb2fL * (b + 1)
+        var r = 0
+        while (r < rowsPerBand) {
+          h ^= mh(b * rowsPerBand + r)
+          h *= 0xc2b2ae3d27d4eb4fL; h ^= (h >>> 29)
+          r += 1
+        }
+        (b, h)
       }
-      (b, h)
     }
   })
 
@@ -144,8 +155,9 @@ object Dedup {
   private val jaccardTextUdf = udf((a: String, b: String) => {
     val sa = shingleSet(a).toSet
     val sb = shingleSet(b).toSet
-    val union = sa.size + sb.size - sa.intersect(sb).size
-    if (union == 0) 0.0 else sa.intersect(sb).size.toDouble / union
+    val inter = sa.intersect(sb).size // the hot-loop cost — compute once
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
   })
 
   /** 64-bit SimHash of the word tokens: per token a stable 64-bit hash

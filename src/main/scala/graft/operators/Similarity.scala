@@ -47,11 +47,16 @@ object Similarity {
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(2.0).setNumHashTables(3).setSeed(42)
     val model = lsh.fit(feat)
-    val probeVec = feat.where(col("vec_id") === probeId)
-      .head().getAs[org.apache.spark.ml.linalg.Vector]("features")
-    model.approxNearestNeighbors(feat, Vectors.dense(probeVec.toArray), k)
-      .select(col("vec_id"), round(col("distCol"), 6).as("dist"))
-      .orderBy(col("dist"), col("vec_id"))
+    feat.where(col("vec_id") === probeId).collect().headOption match {
+      case Some(row) =>
+        val probeVec = row.getAs[org.apache.spark.ml.linalg.Vector]("features")
+        model.approxNearestNeighbors(feat, Vectors.dense(probeVec.toArray), k)
+          .select(col("vec_id"), round(col("distCol"), 6).as("dist"))
+          .orderBy(col("dist"), col("vec_id"))
+      case None => // missing probe degrades to empty, like bruteTopK
+        feat.sparkSession.emptyDataFrame
+          .select(lit(0L).as("vec_id"), lit(0.0).as("dist")).limit(0)
+    }
   }
 
   /** Embedding near-duplicate pairs above a distance cut, via BANDED
@@ -68,8 +73,11 @@ object Similarity {
     * ~(d/bucketLength) per projection, amplified to (1-(1-p)^r)^bands
     * miss probability — ~1e-5 for the planted 0.008-distance pairs. */
   def cosineNearDupPairs(emb: DataFrame, maxL2: Double,
-      bands: Int = 5, rowsPerBand: Int = 3, bucketLength: Double = 0.25): DataFrame = {
-    val dim = 64
+      bands: Int = 5, rowsPerBand: Int = 3, bucketLength: Double = 0.25,
+      dim: Int = 64): DataFrame = {
+    // `dim` must cover the real vector width: components beyond it are
+    // invisible to the LSH keys (still caught by the exact verify, but
+    // as wasted candidates)
     val rnd = new scala.util.Random(421)
     val projections: Array[Array[Double]] =
       Array.fill(bands * rowsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
@@ -98,8 +106,9 @@ object Similarity {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     val l2 = udf((x: Seq[Double], y: Seq[Double]) => {
+      val n = math.min(x.length, y.length) // ragged rows: compare the shared prefix
       var s = 0.0; var i = 0
-      while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
+      while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
       math.sqrt(s)
     })
     candidates

@@ -80,7 +80,11 @@ object StreamingOps {
                   out += SessionResult(userId, s.startMs, s.lastMs + gapMs, s.n)
                   cur = Some(SessionState(ts, ts, 1))
                 case Some(s) =>
-                  cur = Some(SessionState(s.startMs, ts, s.n + 1))
+                  // an out-of-order (within-watermark) event may carry a
+                  // ts older than lastMs — the session must only ever
+                  // extend, never shrink, or later merge/timeout
+                  // decisions are computed against a regressed end
+                  cur = Some(SessionState(math.min(s.startMs, ts), math.max(s.lastMs, ts), s.n + 1))
                 case None =>
                   cur = Some(SessionState(ts, ts, 1))
               }

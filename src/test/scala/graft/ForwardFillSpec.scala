@@ -40,6 +40,20 @@ class ForwardFillSpec extends SparkSpec {
     check((0L until 10L).map(k => (k, Option.empty[Double])), 4)
   }
 
+  test("null order keys are kept, not dropped") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("v", DoubleType, nullable = true)))
+    val rows = Seq(Row(null, null), Row(1L, 10.0), Row(2L, null), Row(null, 5.0))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Ingest.forwardFillScalable(df, "v", "k", 4)
+    out.count() shouldBe 4 // every row survives, incl. null keys
+    // non-null-key rows behave exactly like the naive fill
+    out.where(col("k") === 2L).select("v").head().getDouble(0) shouldBe 10.0
+  }
+
   test("randomized sweep: random null patterns, sparse keys, bucket counts") {
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 5) {

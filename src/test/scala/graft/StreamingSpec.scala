@@ -83,6 +83,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization: out-of-order event across batches cannot shrink a session") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.{SessionEvent, SessionResult}
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("userId", "eventTime")
+      .withWatermark("eventTime", "30 minutes") // late-but-within-watermark arrivals
+      .as[SessionEvent]
+    val out = StreamingOps.sessionizeWithState(events, gapMs = 10 * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("session_ooo_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // batch 2 delivers an OLDER event (within watermark): lastMs must
+      // stay 10:20, so the 10:25 event still merges (10:25-10:20 < gap)
+      mem.addData((1L, ts("2024-01-01 10:10:00")), (1L, ts("2024-01-01 10:25:00")))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 14:00:00"))) // advance watermark, close it
+      q.processAllAvailable()
+      val rows = spark.table("session_ooo_test").as[SessionResult]
+        .collect().filter(_.userId == 1L).map(r => (r.startMs, r.endMs, r.n)).toSet
+      def ms(s: String) = ts(s).getTime
+      // ONE session 10:10-10:35 with all 3 events — a regressed lastMs
+      // would have split it into two
+      rows shouldBe Set((ms("2024-01-01 10:10:00"), ms("2024-01-01 10:35:00"), 3L))
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling agree on the same input") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "a", 1.0), (ts("2024-01-01 10:40:00"), "a", 2.0),
