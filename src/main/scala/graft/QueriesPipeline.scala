@@ -76,7 +76,9 @@ object QueriesPipeline {
       | list_distinct(list_transform(range(1, len(wv) - 1), i -> array_to_string(wv[i:i+2], ' '))) AS sb
       | FROM v)
       |SELECT doc_id,
-      | round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))), 6) AS jac
+      | round(coalesce(
+      |   CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))),
+      |   0.0), 6) AS jac
       |FROM sh ORDER BY doc_id""".stripMargin))
 
   /** MinHash+LSH near-dup candidates (banded equi-join plan; MLlib hash

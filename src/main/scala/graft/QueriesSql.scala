@@ -49,9 +49,9 @@ object QueriesSql {
       .na.fill(0L)
       .orderBy("o_orderpriority"),
     Some("""SELECT o_orderpriority,
-      | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
-      | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
-      | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+      | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
   /** Scalar + IN subqueries through the spark.sql surface: orders above
@@ -61,10 +61,15 @@ object QueriesSql {
       tbl(s, d, "orders").createOrReplaceTempView("v_orders")
       tbl(s, d, "customer").createOrReplaceTempView("v_customer")
       tbl(s, d, "nation").createOrReplaceTempView("v_nation")
+      // threshold through the exact-DECIMAL average (Tables contract):
+      // a raw double avg is partial-sum-order dependent and could admit
+      // different rows per engine in the last-ulp window
       s.sql("""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM v_orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM v_orders)
+        WHERE o_totalprice > (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1.5
+            FROM v_orders)
           AND o_custkey IN (
             SELECT c_custkey FROM v_customer
             WHERE c_nationkey IN (SELECT n_nationkey FROM v_nation WHERE n_regionkey = 0))
@@ -72,7 +77,9 @@ object QueriesSql {
     },
     Some("""SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders
-      |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+      |WHERE o_totalprice > (
+      |   SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1.5
+      |   FROM orders)
       |  AND o_custkey IN (
       |    SELECT c_custkey FROM customer
       |    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0))
@@ -111,23 +118,32 @@ object QueriesSql {
 
   /** Conditional aggregates: count_if / bool_or / bool_and / max_by /
     * min_by — the argmax family large pipelines lean on. */
-  val gConditionalAgg: Entry = Entry("g_conditional_agg",
-    (s, d) => tbl(s, d, "orders")
-      .groupBy("o_orderpriority")
-      .agg(
-        count_if(col("o_totalprice") > 200000.0).as("n_big"),
-        bool_or(col("o_orderstatus") === "P").as("any_pending"),
-        bool_and(col("o_totalprice") > 0.0).as("all_positive"),
-        max_by(col("o_orderkey"), col("o_totalprice")).as("key_of_max"),
-        min_by(col("o_orderkey"), col("o_totalprice")).as("key_of_min"))
-      .orderBy("o_orderpriority"),
-    Some("""SELECT o_orderpriority,
-      | count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
-      | bool_or(o_orderstatus = 'P') AS any_pending,
-      | bool_and(o_totalprice > 0.0) AS all_positive,
-      | max_by(o_orderkey, o_totalprice) AS key_of_max,
-      | min_by(o_orderkey, o_totalprice) AS key_of_min
-      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+  val gConditionalAgg: Entry = {
+    // max_by/min_by need a TOTAL ordering key or a tied group-extreme
+    // price makes the winning orderkey engine-arbitrary: rank on exact
+    // integer (price-cents, orderkey) — unique and identical in both
+    // engines (prices are 2-dp clean; round() kills double dust).
+    val sparkRank = (round(col("o_totalprice") * 100, 0).cast("long") * 100000000L
+      + col("o_orderkey"))
+    val sqlRank = "(CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000 + o_orderkey)"
+    Entry("g_conditional_agg",
+      (s, d) => tbl(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 200000.0).as("n_big"),
+          bool_or(col("o_orderstatus") === "P").as("any_pending"),
+          bool_and(col("o_totalprice") > 0.0).as("all_positive"),
+          max_by(col("o_orderkey"), sparkRank).as("key_of_max"),
+          min_by(col("o_orderkey"), sparkRank).as("key_of_min"))
+        .orderBy("o_orderpriority"),
+      Some(s"""SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        | bool_or(o_orderstatus = 'P') AS any_pending,
+        | bool_and(o_totalprice > 0.0) AS all_positive,
+        | max_by(o_orderkey, $sqlRank) AS key_of_max,
+        | min_by(o_orderkey, $sqlRank) AS key_of_min
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+  }
 
   /** Interval arithmetic + null-handling function family. */
   val fIntervalsNulls: Entry = Entry("f_intervals_nulls",
