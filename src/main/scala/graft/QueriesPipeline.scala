@@ -218,7 +218,9 @@ object QueriesPipeline {
   /** Multimodal plumbing end-to-end: binary payload + typed metadata →
     * stub decode (16-bin byte histogram) → normalized features →
     * frame-sample stride. Codec is stubbed (no media libs in the
-    * container); the schema/partitioning/UDF shape is real. */
+    * container); the schema/partitioning/UDF shape is real — and the
+    * stub's deterministic fake IS oracle-checkable (the corpus is pure
+    * ASCII, so byte histogram = char-code histogram in SQL). */
   val mmDecode: Entry = Entry("mm_decode",
     (s, d) => {
       val media = MultiModal.asMedia(docs(s, d), "text")
@@ -235,7 +237,18 @@ object QueriesPipeline {
           round(element_at(MultiModal.histNormalized(col("hist"), col("n_bytes")), 7), 6).as("hist_bin6_norm"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH m AS (SELECT doc_id, length(text) AS n,
+      |  len(list_filter(list_transform(string_split(text, ''), c -> ord(c)),
+      |      v -> v // 16 = 6)) AS bin6
+      | FROM documents)
+      |SELECT doc_id, 'fake/raw' AS mime,
+      | CAST(n AS INT) AS n_bytes,
+      | CAST(n % 64 + 1 AS INT) AS width,
+      | CAST(n % 48 + 1 AS INT) AS height,
+      | CAST((n + 9) // 10 AS INT) AS n_frames,
+      | CAST(bin6 AS INT) AS hist_bin6,
+      | round(CAST(bin6 AS DOUBLE) / n, 6) AS hist_bin6_norm
+      |FROM m ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash,
