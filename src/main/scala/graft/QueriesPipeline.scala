@@ -198,10 +198,14 @@ object QueriesPipeline {
     (s, d) => Similarity.annTopK(emb(s, d), probeId = 0, k = 10),
     None)
 
-  /** Embedding near-dup pairs via LSH similarity join. Random 64-dim
-    * vectors sit ~1.3 L2 apart, so near-dups are planted: +0.001 on
-    * every component (L2 ≈ 0.008) for vec_id % 13 == 0 — each must
-    * pair with its source under the 0.5 cut. */
+  /** Embedding near-dup pairs via banded LSH. Random 64-dim vectors sit
+    * ~1.3 L2 apart, so near-dups are planted: +0.001 on every component
+    * (L2 ≈ 0.008) for vec_id % 13 == 0. The distance GAP (0.008 vs
+    * ~1.1) puts LSH miss probability at ~1e-5 with fixed projections,
+    * so the output equals the brute-force truth — which the oracle
+    * computes directly (an all-pairs join is fine at oracle scale; the
+    * LSH plan is the point at 100 TB). The oracle thereby also PROVES
+    * 100% recall every round. */
   val simNearDup: Entry = Entry("sim_near_dup",
     (s, d) => {
       val base = emb(s, d).select(col("vec_id"),
@@ -212,7 +216,18 @@ object QueriesPipeline {
             transform(col("embedding"), x => x + lit(0.001)).as("embedding")))
       Similarity.cosineNearDupPairs(corpus, maxL2 = 0.5).orderBy("id_a", "id_b")
     },
-    None)
+    Some("""WITH e AS (
+      | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      | UNION ALL
+      | SELECT vec_id + 100000 AS vec_id,
+      |        list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.001) AS v
+      | FROM embeddings WHERE vec_id % 13 = 0),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(sqrt(list_sum(list_transform(list_zip(a.v, b.v),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2])))), 6) AS l2_dist
+      | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, l2_dist FROM p WHERE l2_dist <= 0.5
+      |ORDER BY id_a, id_b""".stripMargin))
 
   // ------------------------------------------------------------- multimodal
   /** Multimodal plumbing end-to-end: binary payload + typed metadata →
