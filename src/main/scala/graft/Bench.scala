@@ -55,12 +55,26 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, (t, _)) => s"${q(k)}:$t" }.mkString("{", ",", "}")
+    // 3-decimal per-query times: the driver captures only the LAST 2000
+    // output chars, so the one JSON line must fit under that or the
+    // head (alphabetically-first queries) is lost — full-double times
+    // for ~75 queries overflowed it in r2
+    def f3(t: Double): String = if (t < 0) "-1" else f"$t%.3f"
+    val qs = results.map { case (k, (t, _)) => s"${q(k)}:${f3(t)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => s"${q(k)}:${q(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val nErr = results.count(_._2._2.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"errors":$errs,"sf":"$sfDir"}"""
+    // full line also lands in a file so local multi-run tooling
+    // (tools/bench_compare.py) never depends on console truncation
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench_last.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -135,6 +135,40 @@ object Queries {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin))
 
+  /** J-skew: salted shuffle join on a deliberately hot key. Every
+    * orders row carries one of 5 priorities, so a plain shuffle join
+    * funnels ~1/5 of the table through ONE reducer each no matter how
+    * many executors exist — the classic skew wall. Skew.saltedJoin
+    * spreads each hot key over 16 salted reducers: the exchange keys
+    * become (o_orderpriority, __salt). The small side carries a
+    * shuffle_hash hint because at test scale Catalyst would broadcast
+    * the 5-row dim and skip the exchange this query exists to show (at
+    * 100 TB a small-but-not-broadcastable side shuffles naturally).
+    * The aggregate proves the salted row multiset is identical to a
+    * plain join — which is exactly what the oracle computes. */
+  val jSkewSalted: Entry = Entry("j_skew_salted",
+    (s, d) => {
+      val o = ord(s, d)
+      val dim = o.groupBy("o_orderpriority")
+        .agg(davg(col("o_totalprice")).as("prio_avg"))
+        .hint("shuffle_hash")
+      graft.operators.Skew.saltedJoin(
+          o.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+          dim, "o_orderpriority", 16)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          round(max(col("prio_avg")), 6).as("prio_avg"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""WITH dim AS (SELECT o_orderpriority, ${sqlDavg("o_totalprice")} AS prio_avg
+      | FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, count(*) AS n,
+      | ${sqlDsum("o_totalprice")} AS sum_price,
+      | round(max(prio_avg), 6) AS prio_avg
+      |FROM orders JOIN dim USING (o_orderpriority)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   /** O-topk + 3-way join: TPC-H Q3-shaped revenue top-10 (tie-broken).
     * The segment-filtered customer side is ~1/5 of a dimension table —
     * explicitly broadcast so at 100 TB the orders⋈lineitem fact side
@@ -256,7 +290,7 @@ object Queries {
   // Registry — batches append here.
   val all: Seq[Entry] = Seq(
     q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
-    j1Multiway, j2Semi, j3Anti, o1TopK, w3RankLag, gDistinct,
+    j1Multiway, j2Semi, j3Anti, jSkewSalted, o1TopK, w3RankLag, gDistinct,
     fDates, fMath, fJson, fStrings) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++
     QueriesAggWindow.all ++ QueriesPipeline.all ++ QueriesStreaming.all ++

@@ -110,6 +110,17 @@ object QueriesAggWindow {
       | CAST((row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) - 1) % 5 AS INT) AS fold
       |FROM customer ORDER BY c_custkey""".stripMargin))
 
+  /** G1 (100 TB path): stateless hash-mod fold — a pure projection, no
+    * window, no shuffle; the portable multiplicative hash is replayed
+    * exactly by the oracle (see Folds.addHashFold). */
+  val g1FoldAssignHash: Entry = Entry("g1_fold_assign_hash",
+    (s, d) => Folds.addHashFold(
+        cust(s, d).select(col("c_custkey"), col("c_mktsegment")), "c_custkey", 5)
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_mktsegment,
+      | CAST((((c_custkey & 2147483647) * 2654435761) >> 15) % 5 AS INT) AS fold
+      |FROM customer ORDER BY c_custkey""".stripMargin))
+
   /** W-running: cumulative per-customer spend in order-date order —
     * exact DECIMAL running sum so parallel grouping can't drift ulps. */
   val wRunningSum: Entry = Entry("w_running_sum",
@@ -150,15 +161,17 @@ object QueriesAggWindow {
 
   /** collect_set + sort_array: order-independent list aggregation the
     * oracle can replay (raw collect_list order is partitioning-
-    * dependent — always sort before comparing or sinking). */
+    * dependent — always sort before comparing or sinking). Serialized
+    * to a comma-joined string so every result column is scalar — the
+    * comparison harness can't sort array-typed columns. */
   val gCollectSet: Entry = Entry("g_collect_set",
     (s, d) => tbl(s, d, "orders")
       .groupBy("o_orderpriority")
-      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+      .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority"),
     Some("""SELECT o_orderpriority,
-      | list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      | array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
       | count(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
@@ -224,6 +237,6 @@ object QueriesAggWindow {
 
   val all: Seq[Entry] = Seq(
     gCube, gRollup, oExcept, oIntersect, oDistinct, gApproxDistinct,
-    g1FoldAssign, wRunningSum, gGroupingSets, gCollectSet,
+    g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution)
 }

@@ -110,8 +110,10 @@ object QueriesEnsemble {
 
   /** S3: directory-listing source discovery — read a multi-file CSV
     * glob and tag provenance with input_file_name() (the reference's
-    * os.listdir + per-file read, sub_stacking.py:14-22). Rows-only:
-    * filenames are run-local. */
+    * os.listdir + per-file read, sub_stacking.py:14-22). Filenames are
+    * run-local, so the result normalizes provenance to counts: n_files
+    * proves the glob listed every part file, n_rows that no row was
+    * lost or doubled through the sink→scan loop — both oracle-stable. */
   val s3Provenance: Entry = Entry("s3_provenance",
     (s, d) => {
       val out = "target/tmp/csv_prov_" + d.replaceAll("[^0-9a-zA-Z]", "_")
@@ -120,10 +122,11 @@ object QueriesEnsemble {
         .write.mode("overwrite").option("header", "true").csv(out)
       s.read.option("header", "true").csv(out + "/*.csv")
         .withColumn("src_file", regexp_extract(input_file_name(), "([^/]+)\\.csv", 1))
-        .groupBy("src_file").agg(count(lit(1)).as("n_rows"))
-        .orderBy("src_file")
+        .agg(countDistinct(col("src_file")).as("n_files"),
+          count(lit(1)).as("n_rows"))
     },
-    None)
+    Some("""SELECT CAST(3 AS BIGINT) AS n_files, count(*) AS n_rows
+      |FROM nation""".stripMargin))
 
   val all: Seq[Entry] = Seq(
     ensMean, ensMedian, ensPushoutMedian, ensMinmaxMean, ensMinmaxMedian,

@@ -40,6 +40,10 @@ object QueriesMl {
       val testAgg = cv.test.agg(count(lit(1)).as("n_test"),
         round(avg(col("pred")), 4).as("mean_test_pred"))
       metrics.crossJoin(testAgg).withColumn("k", lit(k))
+        // quality gate inside the result: the driver's rows-only check
+        // then also asserts the model beats chance (ln 2 ≈ 0.693), not
+        // just that a row came back
+        .withColumn("quality_ok", col("oof_logloss") < 0.5)
     },
     None)
 
@@ -57,6 +61,8 @@ object QueriesMl {
       a.join(b, "id")
         .agg(count(lit(1)).as("n"),
           sum(when(col("pred_orig") === col("pred_loaded"), 0).otherwise(1)).as("n_mismatch"))
+        // quality gate inside the result: reload must score bit-identically
+        .withColumn("quality_ok", col("n_mismatch") === 0 && col("n") > 0)
     },
     None)
 

@@ -179,16 +179,18 @@ object QueriesSql {
       |GROUP BY word ORDER BY word""".stripMargin))
 
   /** Map-typed JSON: from_json to MAP<STRING,STRING> → key listing and
-    * value lookup (schema-free sibling of f_struct_json). */
+    * value lookup (schema-free sibling of f_struct_json). The key list
+    * is serialized (sorted, comma-joined) so every result column is
+    * scalar — the comparison harness can't sort array-typed columns. */
   val fMapJson: Entry = Entry("f_map_json",
     (s, d) => tbl(s, d, "events")
       .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
       .select(col("event_id"),
-        sort_array(map_keys(col("m"))).as("keys"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys"),
         element_at(col("m"), "k").cast("int").as("k_val"))
       .orderBy("event_id"),
     Some("""SELECT event_id,
-      | list_sort(json_keys(props)) AS keys,
+      | array_to_string(list_sort(json_keys(props)), ',') AS keys,
       | TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val
       |FROM events ORDER BY event_id""".stripMargin))
 
