@@ -255,15 +255,61 @@ object QueriesArrays {
   }
 
   /** A13 (full): flip + rotate + zoom + shift affine augmentation,
-    * LCG-parameterized per (id, epoch). Rows-only: the rotation's
-    * cos/sin make cross-engine float parity impractical; the resampler
-    * itself is fixture-tested in AffineSpec. */
-  val a13Affine: Entry = Entry("a13_affine",
-    (s, d) => emb(s, d).select(col("vec_id"),
-        round(arraySum(ImageGeometry.augmentFullUdf(
-          col("b1"), lit(W), col("vec_id"), lit(0))), 6).as("aug_sum"))
-      .orderBy("vec_id"),
-    None)
+    * LCG-parameterized per (id, epoch). The oracle replays the ENTIRE
+    * pipeline in SQL with the identical operation order: the masked-LCG
+    * draw streams (exact integer arithmetic, the a13_augment_flip
+    * pattern), the flip decision, theta/zoom/shift derivation (the
+    * radians(30) factor is embedded as the exact JVM double literal),
+    * cos/sin of -theta (DuckDB's libm agrees with Math.cos/sin to the
+    * bit at round-6 granularity — verified 500/500), and the
+    * inverse-map bilinear sample per output pixel (floor → clamp →
+    * 4-term multiply-add in source order). Hash-green here means the
+    * full affine resampler — not just its flip branch — is checked. */
+  val a13Affine: Entry = {
+    // one masked-LCG draw per parameter stream (epoch 0): mirrors
+    // ImageGeometry.lcg/augmentFull exactly; all intermediates < 2^55
+    // so DuckDB's checked int64 arithmetic computes the JVM's values
+    def lcgSql(stream: Int): String =
+      s"((((vec_id & 65535) * 131071 + $stream) & 16777215) * 1103515245 + 12345) & 2147483647"
+    val rad30 = math.toRadians(30).toString
+    Entry("a13_affine",
+      (s, d) => emb(s, d).select(col("vec_id"),
+          round(arraySum(ImageGeometry.augmentFullUdf(
+            col("b1"), lit(W), col("vec_id"), lit(0))), 6).as("aug_sum"))
+        .orderBy("vec_id"),
+      Some(s"""WITH e AS (SELECT vec_id, $B1 AS b1 FROM embeddings),
+        |d AS (SELECT vec_id, b1,
+        |  ${lcgSql(0)} AS l0, ${lcgSql(1)} AS l1, ${lcgSql(2)} AS l2,
+        |  ${lcgSql(3)} AS l3, ${lcgSql(4)} AS l4
+        | FROM e),
+        |par AS (SELECT vec_id,
+        |  CASE WHEN l0 < 1073741824 THEN ${flipSql("b1")} ELSE b1 END AS aug,
+        |  (CAST(l1 AS DOUBLE) / 2147483648.0 * 2 - 1) * $rad30 AS theta,
+        |  0.75 + CAST(l2 AS DOUBLE) / 2147483648.0 * 0.5 AS zoom,
+        |  (CAST(l3 AS DOUBLE) / 2147483648.0 * 2 - 1) * 0.2 AS shx,
+        |  (CAST(l4 AS DOUBLE) / 2147483648.0 * 2 - 1) * 0.2 AS shy
+        | FROM d),
+        |pr AS (SELECT vec_id, aug, cos(-theta) AS ct, sin(-theta) AS st,
+        |  1.0 / zoom AS iz, shx, shy FROM par),
+        |sxy AS (SELECT vec_id, aug, list_transform(range(0, ${W * W}), i -> struct_pack(
+        |    px := ((CAST(i % $W AS DOUBLE) - 3.5 - shx * $W) * ct - (CAST(i // $W AS DOUBLE) - 3.5 - shy * $W) * st) * iz + 3.5,
+        |    py := ((CAST(i % $W AS DOUBLE) - 3.5 - shx * $W) * st + (CAST(i // $W AS DOUBLE) - 3.5 - shy * $W) * ct) * iz + 3.5)) AS sl
+        | FROM pr),
+        |g AS (SELECT vec_id, aug, list_transform(sl, s -> struct_pack(
+        |    x0 := greatest(0, least(7, CAST(floor(s.px) AS INT))),
+        |    y0 := greatest(0, least(7, CAST(floor(s.py) AS INT))),
+        |    x1 := least(7, greatest(0, least(7, CAST(floor(s.px) AS INT))) + 1),
+        |    y1 := least(7, greatest(0, least(7, CAST(floor(s.py) AS INT))) + 1),
+        |    fx := greatest(0.0, least(1.0, s.px - greatest(0, least(7, CAST(floor(s.px) AS INT))))),
+        |    fy := greatest(0.0, least(1.0, s.py - greatest(0, least(7, CAST(floor(s.py) AS INT)))))) ) AS gl
+        | FROM sxy)
+        |SELECT vec_id, round(list_sum(list_transform(gl, p ->
+        |  aug[p.y0 * $W + p.x0 + 1] * (1 - p.fx) * (1 - p.fy)
+        |  + aug[p.y0 * $W + p.x1 + 1] * p.fx * (1 - p.fy)
+        |  + aug[p.y1 * $W + p.x0 + 1] * (1 - p.fx) * p.fy
+        |  + aug[p.y1 * $W + p.x1 + 1] * p.fx * p.fy)), 6) AS aug_sum
+        |FROM g ORDER BY vec_id""".stripMargin))
+  }
 
   val all: Seq[Entry] = Seq(
     a2BandAlgebra, a7Normalize, a9IsoMask, a10SizeFeature,

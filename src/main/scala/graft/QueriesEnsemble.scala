@@ -128,7 +128,58 @@ object QueriesEnsemble {
     Some("""SELECT CAST(3 AS BIGINT) AS n_files, count(*) AS n_rows
       |FROM nation""".stripMargin))
 
+  /** S1+P2+P3 composed on reference-shaped data — the reference's
+    * actual ingest path (main.py:50-60) under the oracle. A 40-row SAR
+    * fixture (FIXTURES.md §1 shape: string id, two 25-float bands,
+    * dirty "na" inc_angle, nullable is_iceberg) is written as a single
+    * JSON array by plain file IO (fixture SETUP, not the tested op),
+    * then Spark reads it through `Ingest.readSarJson` (explicit schema,
+    * multiLine) → `coerce` (cast-to-null) → `forwardFill` (ordered pad)
+    * while DuckDB reads the SAME file via read_json with TRY_CAST +
+    * IGNORE NULLS last_value — two independent parsers over one input.
+    * Band checksums prove the arrays survived the scan intact. */
+  val s1SarIngest: Entry = {
+    // deterministic fixture: one-decimal values so both JSON parsers
+    // reconstruct identical doubles; every 5th inc_angle is "na" (rows
+    // 2+ — row 1 stays numeric so the pad always has a seed)
+    def gen(): String = {
+      var st = 20260812L
+      def nxt(): Long = { st = (st * 1103515245L + 12345L) & 0x7fffffffL; st }
+      val rows = (1 to 40).map { i =>
+        def band() = Seq.fill(25)((nxt() % 2000 - 1000) / 10.0).mkString("[", ",", "]")
+        val inc = if (i % 5 == 2) "\"na\"" else "\"" + ((nxt() % 300) / 10.0 + 30.0) + "\""
+        val ice = if (i % 7 == 3) "" else s""","is_iceberg":${nxt() % 2}"""
+        f"""{"id":"s$i%03d","band_1":${band()},"band_2":${band()},"inc_angle":$inc$ice}"""
+      }
+      rows.mkString("[\n", ",\n", "\n]")
+    }
+    val fixture = new java.io.File("target/tmp/sar_fixture.json").getAbsolutePath
+    Entry("s1_sar_ingest",
+      (s, d) => {
+        import graft.functions.ArrayOps.arraySum
+        val f = java.nio.file.Paths.get(fixture)
+        java.nio.file.Files.createDirectories(f.getParent)
+        java.nio.file.Files.writeString(f, gen())
+        val df = Ingest.coerce(Ingest.readSarJson(s, fixture))
+        Ingest.forwardFill(df, "inc_angle", "id")
+          .select(col("id"), col("inc_angle"), col("is_iceberg"),
+            round(arraySum(col("band_1")), 6).as("b1_sum"),
+            round(arraySum(col("band_2")), 6).as("b2_sum"))
+          .orderBy("id")
+      },
+      Some(s"""SELECT id,
+        | last_value(TRY_CAST(inc_angle AS DOUBLE) IGNORE NULLS)
+        |   OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS inc_angle,
+        | is_iceberg,
+        | round(list_sum(band_1), 6) AS b1_sum,
+        | round(list_sum(band_2), 6) AS b2_sum
+        |FROM read_json('$fixture', columns = {id: 'VARCHAR',
+        |  band_1: 'DOUBLE[]', band_2: 'DOUBLE[]', inc_angle: 'VARCHAR',
+        |  is_iceberg: 'INTEGER'})
+        |ORDER BY id""".stripMargin))
+  }
+
   val all: Seq[Entry] = Seq(
     ensMean, ensMedian, ensPushoutMedian, ensMinmaxMean, ensMinmaxMedian,
-    ensMinmaxBestbase, s4CsvRoundtrip, s3Provenance)
+    ensMinmaxBestbase, s4CsvRoundtrip, s3Provenance, s1SarIngest)
 }

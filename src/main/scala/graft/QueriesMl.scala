@@ -116,13 +116,17 @@ object QueriesMl {
       val gbtModel = new Pipeline().setStages(Array(asm, gbt)).fit(frame)
       val gbtPred = Model.prob1(gbtModel.transform(frame))
         .select(col("id"), col("pred").as("m_gbt"))
-      val out = lrPred.join(gbtPred, "id")
+      // materialize member preds (eager localCheckpoint cuts the lineage
+      // back to `frame`) BEFORE unpersisting: the returned plan executes
+      // after this function returns, so a plain unpersist here would
+      // recompute the frame twice at execution time (r3 verdict #2)
+      val joined = lrPred.join(gbtPred, "id")
         .withColumn("preds", array(col("m_lr"), col("m_gbt")))
-        .select(col("id"),
+        .localCheckpoint()
+      frame.unpersist()
+      joined.select(col("id"),
           round(Ensemble.stack("minmax_median", col("preds"), col("m_lr")), 4).as("stacked"))
         .orderBy("id")
-      frame.unpersist()
-      out
     },
     None)
 

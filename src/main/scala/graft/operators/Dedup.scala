@@ -75,14 +75,14 @@ object Dedup {
     }
   }
 
-  /** n minhashes of a doc's shingle set. One base hash per shingle,
-    * then n cheap avalanche mixes — the standard trick. A UDF rather
-    * than aggregate/zip_with builtins: higher-order-function lambdas
+  /** n minhashes of a shingle set. One base hash per shingle, then n
+    * cheap avalanche mixes — the standard trick. A UDF rather than
+    * aggregate/zip_with builtins: higher-order-function lambdas
     * evaluate interpreted (outside whole-stage codegen), which measured
     * ~20 s for this corpus at sf0.1 vs well under 1 s in a JVM loop. */
-  private def minhashSig(text: String, nHash: Int): Array[Long] = {
+  private def minhashSig(shingles: Array[String], nHash: Int): Array[Long] = {
     val out = Array.fill(nHash)(Long.MaxValue)
-    for (s <- shingleSet(text)) {
+    for (s <- shingles) {
       val base = hash64(s, 0x51ab)
       var i = 0
       while (i < nHash) {
@@ -101,10 +101,12 @@ object Dedup {
     // docs with no shingles (<3 words) have NO band keys: their
     // untouched all-MaxValue signatures would otherwise all collide
     // into one quadratic bucket — and a 3-gram near-dup relation is
-    // undefined for them anyway
-    if (shingleSet(text).isEmpty) Seq.empty[(Int, Long)]
+    // undefined for them anyway. Shingle once: this UDF is the per-row
+    // hot loop of the dedup path, and shingling dominates it.
+    val sh = shingleSet(text)
+    if (sh.isEmpty) Seq.empty[(Int, Long)]
     else {
-      val mh = minhashSig(text, bands * rowsPerBand)
+      val mh = minhashSig(sh, bands * rowsPerBand)
       (0 until bands).map { b =>
         var h = 0x27d4eb2fL * (b + 1)
         var r = 0
