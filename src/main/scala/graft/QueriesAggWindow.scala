@@ -91,11 +91,20 @@ object QueriesAggWindow {
       |ORDER BY o_custkey, o_orderstatus""".stripMargin))
 
   /** G-approx: HyperLogLog distinct (rows-only — sketch estimates are
-    * engine-specific by design; the exact twin is g_distinct_count). */
+    * engine-specific by design; the exact twin is g_distinct_count).
+    * The in-result quality_ok gate makes the rows-only entry
+    * falsifiable: the HLL estimate must sit within 5% of the exact
+    * count computed in the same query (default rsd is 0.05), so the
+    * driver's rows check also asserts sketch accuracy, not just that
+    * rows came back. */
   val gApproxDistinct: Entry = Entry("g_approx_distinct",
     (s, d) => li(s, d).groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
+      .withColumn("quality_ok",
+        abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") < 0.05)
       .orderBy("l_returnflag"),
     None)
 

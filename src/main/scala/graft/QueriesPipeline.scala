@@ -52,12 +52,18 @@ object QueriesPipeline {
   }
 
   // ------------------------------------------------------------------ dedup
-  /** Exact dedup: hash-groupBy on content — one shuffle on text (at
-    * 100 TB: group on a content digest instead of the raw text to keep
-    * shuffle rows narrow; md5 digest demo in tx_tokens). */
+  /** Exact dedup: hash-groupBy on a CONTENT DIGEST, not the raw text —
+    * the text column is dropped before the exchange, so shuffle rows
+    * are (int64 digest, int32 length, int64 id) ≈ 20 B instead of the
+    * full document. At 100 TB that is the difference between shuffling
+    * ids and shipping the corpus. (xxhash64, length) as the group key:
+    * a false merge needs a 64-bit collision AT equal lengths within one
+    * corpus — vanishing; the oracle's group-by-text would catch it. */
   val ddExact: Entry = Entry("dd_exact",
     (s, d) => dupCorpus(s, d)
-      .groupBy("text")
+      .select(col("doc_id"), xxhash64(col("text")).as("digest"),
+        length(col("text")).as("tlen"))
+      .groupBy("digest", "tlen")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id"),

@@ -48,18 +48,14 @@ object QueriesStreaming {
       |FROM x GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin))
 
-  /** Session windows: 8-hour inactivity gap per user. The oracle builds
-    * sessions with the classic lag/gap-flag/running-sum construction;
-    * the gap compare is in whole microseconds (split when
-    * diff ≥ gap, matching session_window's strict-merge semantics). */
-  val stSession: Entry = Entry("st_session",
-    (s, d) => StreamingOps.session(ev(s, d), col("ts"), col("user_id"), "8 hours")
-      .select(col("user_id"),
-        col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
-        col("n"))
-      .orderBy("user_id", "session_start"),
-    Some("""WITH o AS (
+  /** The lag/gap-flag/running-sum session construction — one oracle,
+    * two independent Spark implementations: the built-in session_window
+    * (st_session) and our flatMapGroupsWithState state machine
+    * (st_session_custom). The gap compare is in whole microseconds
+    * (split when diff ≥ gap, matching session_window's strict-merge
+    * semantics). */
+  private val sessionOracle =
+    """WITH o AS (
       | SELECT user_id, ts,
       |  CASE WHEN lag(ts) OVER w IS NULL
       |        OR date_diff('microsecond', lag(ts) OVER w, ts) >= 28800000000 THEN 1
@@ -73,7 +69,40 @@ object QueriesStreaming {
       | max(ts) + INTERVAL '8 hours' AS session_end,
       | count(*) AS n
       |FROM s GROUP BY user_id, sid
-      |ORDER BY user_id, session_start""".stripMargin))
+      |ORDER BY user_id, session_start""".stripMargin
 
-  val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession)
+  /** Session windows: 8-hour inactivity gap per user, via the built-in
+    * session_window. */
+  val stSession: Entry = Entry("st_session",
+    (s, d) => StreamingOps.session(ev(s, d), col("ts"), col("user_id"), "8 hours")
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"))
+      .orderBy("user_id", "session_start"),
+    Some(sessionOracle))
+
+  /** The custom-state sessionizer (flatMapGroupsWithState, SURVEY §2.9)
+    * run in batch mode against the SAME oracle as st_session: the two
+    * Spark paths and DuckDB's window construction must agree on every
+    * session boundary. Times flow as whole micros through the state
+    * machine and come back as timestamps — full event precision, no
+    * millis truncation. */
+  val stSessionCustom: Entry = Entry("st_session_custom",
+    (s, d) => {
+      import s.implicits._
+      val gapMicros = 8L * 3600L * 1000000L
+      val events = ev(s, d)
+        .select(col("user_id").cast("long"), unix_micros(col("ts")))
+        .as[(Long, Long)]
+      StreamingOps.sessionizeBatch(events, gapMicros).toDF()
+        .select(col("userId").as("user_id"),
+          timestamp_micros(col("startMs")).as("session_start"),
+          timestamp_micros(col("endMs")).as("session_end"),
+          col("n"))
+        .orderBy("user_id", "session_start")
+    },
+    Some(sessionOracle))
+
+  val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom)
 }

@@ -46,6 +46,33 @@ object StreamingOps {
   /** A completed session emitted once its gap closes (or times out). */
   case class SessionResult(userId: Long, startMs: Long, endMs: Long, n: Long)
 
+  /** The session state machine, unit-agnostic (times and `gap` share
+    * one unit — millis in the streaming wrapper, micros in the batch
+    * gate): fold a key's sorted event times into (closed sessions,
+    * still-open session), continuing from an optional carried-in open
+    * state. Split when ts − last ≥ gap (the strict-merge semantics of
+    * session_window and the lag/gap oracle). An out-of-order
+    * (within-watermark) event may carry a ts older than lastMs — the
+    * session must only ever extend, never shrink, or later
+    * merge/timeout decisions are computed against a regressed end. */
+  private[streaming] def foldSessions(init: Option[SessionState],
+      sortedTimes: Array[Long], gap: Long): (List[SessionState], Option[SessionState]) = {
+    val closed = scala.collection.mutable.ListBuffer[SessionState]()
+    var cur = init
+    for (ts <- sortedTimes) {
+      cur match {
+        case Some(s) if ts - s.lastMs >= gap =>
+          closed += s
+          cur = Some(SessionState(ts, ts, 1))
+        case Some(s) =>
+          cur = Some(SessionState(math.min(s.startMs, ts), math.max(s.lastMs, ts), s.n + 1))
+        case None =>
+          cur = Some(SessionState(ts, ts, 1))
+      }
+    }
+    (closed.toList, cur)
+  }
+
   /** Custom streaming state (SURVEY §2.9 / brief: KeyValueGroupedDataset
     * .flatMapGroupsWithState): gap-based sessionization where WE own
     * the state machine — the generalization of session_window for
@@ -72,29 +99,40 @@ object StreamingOps {
             Iterator.single(SessionResult(userId, s.startMs, s.lastMs + gapMs, s.n))
           } else {
             val sorted = rows.map(_.eventTime.getTime).toArray.sorted
-            var cur = state.getOption
-            val out = scala.collection.mutable.ArrayBuffer[SessionResult]()
-            for (ts <- sorted) {
-              cur match {
-                case Some(s) if ts - s.lastMs >= gapMs =>
-                  out += SessionResult(userId, s.startMs, s.lastMs + gapMs, s.n)
-                  cur = Some(SessionState(ts, ts, 1))
-                case Some(s) =>
-                  // an out-of-order (within-watermark) event may carry a
-                  // ts older than lastMs — the session must only ever
-                  // extend, never shrink, or later merge/timeout
-                  // decisions are computed against a regressed end
-                  cur = Some(SessionState(math.min(s.startMs, ts), math.max(s.lastMs, ts), s.n + 1))
-                case None =>
-                  cur = Some(SessionState(ts, ts, 1))
-              }
-            }
-            cur.foreach { s =>
+            val (closed, open) = foldSessions(state.getOption, sorted, gapMs)
+            open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastMs + gapMs)
             }
-            out.iterator
+            closed.iterator.map(s => SessionResult(userId, s.startMs, s.lastMs + gapMs, s.n))
           }
+      }
+  }
+
+  /** The SAME state machine run through flatMapGroupsWithState in BATCH
+    * mode over (userId, eventTimeMicros) rows — the batch-checkable
+    * face of [[sessionizeWithState]] (its oracle is st_session's
+    * lag/gap SQL). Times are MICROseconds here, not millis: batch
+    * parity with the oracle needs full timestamp precision, while the
+    * streaming wrapper is pinned to millis by setTimeoutTimestamp.
+    * Differences forced by batch semantics, both inherent:
+    *  - NoTimeout — a batch run has no watermark, timeouts never fire;
+    *  - the trailing open session is emitted — a batch group holds the
+    *    key's complete history, so "still open" means final (in
+    *    streaming it stays in state until the event-time timeout).
+    * Result times are in the input unit (micros). */
+  def sessionizeBatch(events: Dataset[(Long, Long)], gapMicros: Long)(
+      implicit enc1: org.apache.spark.sql.Encoder[Long],
+      enc2: org.apache.spark.sql.Encoder[SessionState],
+      enc3: org.apache.spark.sql.Encoder[SessionResult]): Dataset[SessionResult] = {
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionResult](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          val (closed, open) = foldSessions(state.getOption, sorted, gapMicros)
+          (closed ++ open.toList).iterator
+            .map(s => SessionResult(userId, s.startMs, s.lastMs + gapMicros, s.n))
       }
   }
 

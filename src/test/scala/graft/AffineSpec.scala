@@ -45,6 +45,48 @@ class AffineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a13_affine sample coords keep a safe margin from floor boundaries (libm-drift guard)") {
+    // The a13_affine oracle replays cos/sin + floor in DuckDB SQL; its
+    // green row was verified empirically on this data, but a different
+    // DuckDB build/platform libm drifting 1 ulp near a floor() boundary
+    // would surface as an unexplained hash-red. This pins the
+    // precondition instead: over the FULL (id & 0xffff) seed domain —
+    // a superset of every sf's vec_ids — and all 64 output pixels at
+    // epoch 0, every bilinear sample coordinate (sx, sy) stays > 1e-9
+    // from the nearest integer (empirical minimum: 5.9e-8), so no
+    // sub-nanoscale libm disagreement can flip a floor. The parameter
+    // and coordinate formulas mirror augmentFull/affine — the same
+    // contract the oracle SQL encodes (QueriesArrays.a13Affine).
+    val W = 8; val cx = 3.5; val cy = 3.5
+    var minMargin = Double.MaxValue
+    var id = 0L
+    while (id < 65536L) {
+      def draw(stream: Int): Double =
+        lcg((id & 0xffffL) * 131071L + stream).toDouble / 0x80000000L.toDouble
+      val theta = (draw(1) * 2 - 1) * math.toRadians(30)
+      val zoom = 0.75 + draw(2) * 0.5
+      val shX = (draw(3) * 2 - 1) * 0.2
+      val shY = (draw(4) * 2 - 1) * 0.2
+      val cosT = math.cos(-theta); val sinT = math.sin(-theta); val invZ = 1.0 / zoom
+      var r = 0
+      while (r < W) {
+        var c = 0
+        while (c < W) {
+          val dx = c - cx - shX * W
+          val dy = r - cy - shY * W
+          val sx = (dx * cosT - dy * sinT) * invZ + cx
+          val sy = (dx * sinT + dy * cosT) * invZ + cy
+          val m = math.min(math.abs(sx - math.rint(sx)), math.abs(sy - math.rint(sy)))
+          if (m < minMargin) minMargin = m
+          c += 1
+        }
+        r += 1
+      }
+      id += 1
+    }
+    minMargin should be > 1e-9
+  }
+
   test("augmentFull is deterministic in (id, epoch) and varies across both") {
     val a = (1 to 64).map(_.toDouble)
     augmentFull(a, 8, 7L, 2) shouldBe augmentFull(a, 8, 7L, 2)

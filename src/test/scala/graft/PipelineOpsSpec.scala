@@ -40,6 +40,42 @@ class PipelineOpsSpec extends SparkSpec {
     ham(h("t1"), h("t4")) should be > ham(h("t1"), h("t3"))
   }
 
+  test("simHashPairs: equals brute-force band∧hamming truth; pigeonhole-complete for hamming<=3") {
+    // The dd_simhash gate pins only the planted hamming-0 slice (its
+    // post-filter keeps provable pairs); this fixture keeps the
+    // hamming-1..8 verify branch and band-collision behavior covered.
+    // Docs share a 16-token base bag with tiny per-doc variations, so
+    // pairwise signatures land across small hamming distances.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val texts = (0 until 24).map(i => (i.toLong, s"$base extra$i spice${i % 5}"))
+    val docs = texts.toDF("id", "text")
+    val sigs = docs.select(col("id"), Dedup.simHash64(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def bandEq(a: Long, b: Long) = (0 until 4).exists(k =>
+      ((a >>> (k * 16)) & 0xffffL) == ((b >>> (k * 16)) & 0xffffL))
+    val ids = sigs.keys.toSeq.sorted
+    // ground truth of what the banded join MUST emit: pairs sharing at
+    // least one 16-bit band whose full hamming distance is <= max
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      if bandEq(sigs(i), sigs(j)) && ham(sigs(i), sigs(j)) <= 8
+    } yield (i, j)).toSet
+    val got = Dedup.simHashPairs(docs, maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    got shouldBe expected
+    // Manku's pigeonhole: <=3 flipped bits cannot touch all 4 bands, so
+    // every hamming<=3 pair is guaranteed found regardless of hash family
+    val close = (for { i <- ids; j <- ids if i < j
+      if ham(sigs(i), sigs(j)) <= 3 } yield (i, j)).toSet
+    close.subsetOf(got) shouldBe true
+    // the fixture genuinely exercises the 1..8 verify range, not just 0
+    val hams = got.map { case (a, b) => ham(sigs(a), sigs(b)) }
+    hams.count(h => h >= 1 && h <= 8) should be > 0
+    hams.size should be > 2
+  }
+
   test("minHashPairs: planted near-dup pair is recalled, banded plan") {
     val base = (0L until 30L).map(i => (i, s"tok$i alpha beta gamma delta epsilon zeta eta theta iota word$i"))
     val docs = (base :+ (100L, base(5)._2 + " extra")).toDF("id", "text")

@@ -111,6 +111,16 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeBatch: gap split + trailing open session emitted (complete-history semantics)") {
+    val events = Seq((1L, 0L), (1L, 50L), (1L, 200L), (2L, 10L)).toDS()
+    val out = StreamingOps.sessionizeBatch(events, gapMicros = 100L)
+      .collect().sortBy(r => (r.userId, r.startMs))
+      .map(r => (r.userId, r.startMs, r.endMs, r.n)).toSeq
+    // user 1: 0,50 merge (gap 50 < 100); 200 splits (150 >= 100); the
+    // trailing session is emitted because a batch group is complete
+    out shouldBe Seq((1L, 0L, 150L, 2L), (1L, 200L, 300L, 1L), (2L, 10L, 110L, 1L))
+  }
+
   test("batch and streaming tumbling agree on the same input") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "a", 1.0), (ts("2024-01-01 10:40:00"), "a", 2.0),
