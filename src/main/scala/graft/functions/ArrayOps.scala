@@ -3,9 +3,17 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** SURVEY.md §2.3 / §2.5 array operators as pure Catalyst-builtin column
-  * combinators (zip_with / transform / aggregate / filter) — everything
-  * stays inside whole-stage codegen, no UDFs, no driver loops.
+/** SURVEY.md §2.3 / §2.5 array operators as Catalyst column
+  * combinators — no UDFs, no driver loops. The one-pass stats family
+  * (sum/mean/std) and min-max normalize route through the NATIVE
+  * codegen expressions `array_stats` / `minmax_norm`
+  * (plans/ArrayFused.scala, registered by GraftExtensions — every
+  * session here configures it): builtin higher-order-function lambdas
+  * (`aggregate`/`transform`) evaluate interpreted outside whole-stage
+  * codegen, which made these folds the a7/a9/ml_tta hot spots; the
+  * native expressions run the bit-identical left-to-right folds inside
+  * the generated loop. Element-wise algebra stays on `zip_with` etc.
+  * (one lambda application per element is not a measured hot spot).
   *
   * Semantics derive from the reference's per-image numpy algebra
   * (reference: main.py:63-86, main-newInput.py:79-97, sub_stacking.py:30-33);
@@ -13,6 +21,12 @@ import org.apache.spark.sql.functions._
   * image is a 5625-float array, index (r,c) = r*W+c).
   */
 object ArrayOps {
+
+  /** Fused one-pass stats struct (sum, mean, std, mn, mx) — the native
+    * array_stats expression; `.cast("array<double>")` is a no-op for
+    * already-double arrays (Catalyst removes the trivial cast). */
+  private def stats(a: Column): Column =
+    call_function("array_stats", a.cast("array<double>"))
 
   /** Cast array<float> → array<double> so all math is double (oracle parity). */
   def asDouble(a: Column): Column = a.cast("array<double>")
@@ -23,24 +37,18 @@ object ArrayOps {
   def bandMax(a: Column, b: Column): Column = zip_with(a, b, (x, y) => greatest(x, y))
   def bandMin(a: Column, b: Column): Column = zip_with(a, b, (x, y) => least(x, y))
 
-  // --- G9/A9 one-pass stats ---
-  def arraySum(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x)
-  def arrayMean(a: Column): Column = arraySum(a) / size(a)
+  // --- G9/A9 one-pass stats (native array_stats; folds bit-identical
+  // to the former interpreted aggregate(a, 0.0, acc+x) spellings) ---
+  def arraySum(a: Column): Column = stats(a).getField("sum")
+  def arrayMean(a: Column): Column = stats(a).getField("mean")
   /** Population std (ddof=0, matching np.std in main-newInput.py:80). */
-  def arrayStd(a: Column): Column = {
-    val n = size(a).cast("double")
-    val s = arraySum(a)
-    val sq = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
-    sqrt((sq - s * s / n) / n)
-  }
+  def arrayStd(a: Column): Column = stats(a).getField("std")
 
   // --- A7: per-image min-max normalize (main.py:104); epsilon-guarded:
-  // a constant image maps to all-zeros instead of NaN (documented deviation).
-  def minMaxNormalize(a: Column): Column = {
-    val mn = array_min(a); val mx = array_max(a)
-    transform(a, x => when(mx === mn, lit(0.0)).otherwise((x - mn) / (mx - mn)))
-  }
+  // a constant image maps to all-zeros instead of NaN (documented
+  // deviation). Native fused expression (minmax_norm).
+  def minMaxNormalize(a: Column): Column =
+    call_function("minmax_norm", a.cast("array<double>"))
 
   // --- A9: iso threshold mask: keep pixels > mean+2*std, zero the rest
   // (main-newInput.py:79-81). ---

@@ -104,5 +104,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim expects exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("array_stats"),
+      new ExpressionInfo(classOf[ArrayStats].getName, "array_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "array_stats expects exactly 1 argument")
+        ArrayStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minmax_norm"),
+      new ExpressionInfo(classOf[MinMaxNormalize].getName, "minmax_norm"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "minmax_norm expects exactly 1 argument")
+        MinMaxNormalize(children.head)
+      }))
   }
 }
