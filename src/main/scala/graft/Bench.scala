@@ -37,6 +37,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Verify.quietDeliberateWindowWarn()
 
     def runOnce(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -50,6 +51,8 @@ object Bench {
       }
     }
 
+    // harness setup: file fixtures written before anything is timed
+    SarFixture.ensure()
     // warmup, untimed: one SQL-path query + one tiny MLlib fit
     runOnce("q1_pricing_summary")
     try {

@@ -311,8 +311,72 @@ object QueriesArrays {
         |FROM g ORDER BY vec_id""".stripMargin))
   }
 
+  /** The geometry family at the reference's NATIVE resolution: A7
+    * normalize + A8 bilinear resize 75→38 + A9 iso mask over the
+    * 40-row 75×75 SAR fixture (main.py:5,63-115 operates at exactly
+    * this shape). The 8×8 embedding entries above prove the index
+    * arithmetic is size-generic; this proves the same operators at
+    * 5625-element arrays — allocation and codegen pressure included —
+    * under a full DuckDB replay oracle. The resize oracle is the
+    * GENERAL inverse-map formula (one list_transform over the 1444
+    * output pixels, the a13_affine pattern), not per-pixel literals:
+    * sx/sy carry only *, /, +, − (no libm), and every sample
+    * coordinate (75(2k+1)−38)/76 sits ≥ 1/76 from an integer, so no
+    * floor-boundary flake is possible at any size. */
+  val aNative75: Entry = {
+    val S = SarFixture.W      // 75
+    val O = 38                // output side: the 75→38 downscale
+    val scale = (S.toDouble / O).toString // exact JVM double literal
+    Entry("a_native_75",
+      (s, d) => {
+        SarFixture.ensure()
+        val df = Ingest.readSarJson(s, SarFixture.path)
+          // hoist the iso threshold (same rationale as a9IsoMask)
+          .withColumn("thr",
+            arrayMean(col("band_2")) + lit(2.0) * arrayStd(col("band_2")))
+        df.select(col("id"),
+            round(arraySum(minMaxNormalize(col("band_1"))), 6).as("norm_sum"),
+            round(arraySum(ImageGeometry.bilinear_resize(
+              col("band_1"), S, S, O, O)), 6).as("resized_sum"),
+            round(arraySum(transform(col("band_2"),
+              x => when(x > col("thr"), x).otherwise(lit(0.0)))), 6).as("iso_sum"),
+            size(filter(col("band_2"), x => x > col("thr"))).as("n_kept"))
+          .orderBy("id")
+      },
+      Some(s"""WITH e AS (SELECT id, band_1, band_2 FROM read_json('${SarFixture.path}',
+        |  columns = {id: 'VARCHAR', band_1: 'DOUBLE[]', band_2: 'DOUBLE[]',
+        |             inc_angle: 'VARCHAR', is_iceberg: 'INTEGER'})),
+        |nm AS (SELECT *, list_min(band_1) AS mn, list_max(band_1) AS mx FROM e),
+        |st AS (SELECT *, list_sum(band_2) AS sm,
+        |  list_sum(list_transform(band_2, x -> x * x)) AS sq,
+        |  CAST(len(band_2) AS DOUBLE) AS n FROM nm),
+        |th AS (SELECT *, sm / n + 2.0 * sqrt((sq - sm * sm / n) / n) AS thr FROM st),
+        |sxy AS (SELECT *, list_transform(range(0, ${O * O}), i -> struct_pack(
+        |    px := (CAST(i % $O AS DOUBLE) + 0.5) * $scale - 0.5,
+        |    py := (CAST(i // $O AS DOUBLE) + 0.5) * $scale - 0.5)) AS sl FROM th),
+        |g AS (SELECT *, list_transform(sl, s -> struct_pack(
+        |    x0 := greatest(0, least(${S - 1}, CAST(floor(s.px) AS INT))),
+        |    y0 := greatest(0, least(${S - 1}, CAST(floor(s.py) AS INT))),
+        |    x1 := least(${S - 1}, greatest(0, least(${S - 1}, CAST(floor(s.px) AS INT))) + 1),
+        |    y1 := least(${S - 1}, greatest(0, least(${S - 1}, CAST(floor(s.py) AS INT))) + 1),
+        |    fx := greatest(0.0, least(1.0, s.px - greatest(0, least(${S - 1}, CAST(floor(s.px) AS INT))))),
+        |    fy := greatest(0.0, least(1.0, s.py - greatest(0, least(${S - 1}, CAST(floor(s.py) AS INT))))))) AS gl FROM sxy)
+        |SELECT id,
+        | round(list_sum(list_transform(band_1,
+        |   x -> CASE WHEN mx = mn THEN 0.0 ELSE (x - mn) / (mx - mn) END)), 6) AS norm_sum,
+        | round(list_sum(list_transform(gl, p ->
+        |   band_1[p.y0 * $S + p.x0 + 1] * (1 - p.fx) * (1 - p.fy)
+        |   + band_1[p.y0 * $S + p.x1 + 1] * p.fx * (1 - p.fy)
+        |   + band_1[p.y1 * $S + p.x0 + 1] * (1 - p.fx) * p.fy
+        |   + band_1[p.y1 * $S + p.x1 + 1] * p.fx * p.fy)), 6) AS resized_sum,
+        | round(list_sum(list_transform(band_2,
+        |   x -> CASE WHEN x > thr THEN x ELSE 0.0 END)), 6) AS iso_sum,
+        | CAST(len(list_filter(band_2, x -> x > thr)) AS INT) AS n_kept
+        |FROM g ORDER BY id""".stripMargin))
+  }
+
   val all: Seq[Entry] = Seq(
     a2BandAlgebra, a7Normalize, a9IsoMask, a10SizeFeature,
     gRowStats, g8Median, a12TenCrop, a8Resize, a13Augment, g10TtaMean,
-    a13Affine)
+    a13Affine, aNative75)
 }

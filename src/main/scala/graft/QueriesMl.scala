@@ -89,8 +89,24 @@ object QueriesMl {
           .as(Seq("crop_id", "crop")))
       val cropFeats = crops.select(col("id") +: feats(col("crop")): _*)
       val preds = Model.prob1(m.transform(cropFeats)).select(col("id"), col("pred"))
-      Ensemble.foldMean(Seq(preds), "id", "pred")
-        .select(col("id"), round(col("pred"), 4).as("tta_pred"))
+      // G10 mean plus the crop-pred envelope for the in-result gate
+      val tta = preds.groupBy("id").agg(avg(col("pred")).as("tta"),
+        min(col("pred")).as("cmin"), max(col("pred")).as("cmax"))
+      val whole = Model.prob1(m.transform(train))
+        .select(col("id"), col("pred").as("whole_pred"))
+      tta.join(whole, "id")
+        .select(col("id"), round(col("tta"), 4).as("tta_pred"),
+          // falsifiable in-gate checks (r5 verdict #5): the TTA mean must
+          // lie inside its own crop-pred envelope (the sharp check — a
+          // broken grouping/average lands outside it), and within 0.75 of
+          // the whole-image prediction (the sanity band: crops see 1/4 of
+          // the pixels so agreement is approximate; measured max
+          // deviation on this deterministic pipeline is 0.39 / 0.034 /
+          // 0.046 at sf0.001/0.01/0.1 — 0.75 is ~2× the worst while
+          // still rejecting an anti-correlated or constant scorer)
+          (col("tta") >= col("cmin") - lit(1e-9) &&
+            col("tta") <= col("cmax") + lit(1e-9) &&
+            abs(col("tta") - col("whole_pred")) < lit(0.75)).as("quality_ok"))
         .orderBy("id")
     },
     None)
@@ -130,8 +146,17 @@ object QueriesMl {
         .select(col("id"), col("pred").as("m_gbt"))
       val joined = lrPred.join(gbtPred, "id")
         .withColumn("preds", array(col("m_lr"), col("m_gbt")))
+      val stacked = Ensemble.stack("minmax_median", col("preds"), col("m_lr"))
       joined.select(col("id"),
-          round(Ensemble.stack("minmax_median", col("preds"), col("m_lr")), 4).as("stacked"))
+          round(stacked, 4).as("stacked"),
+          // falsifiable in-gate check (r5 verdict #5): every minmax_median
+          // branch (hi→max, lo→min, else→median) returns a value inside
+          // the member envelope, so a stacked output outside
+          // [min(members), max(members)] means the stacking combinator —
+          // or the member join — is broken (gate on the UNROUNDED value;
+          // round(…,4) may legally cross the bound by 5e-5)
+          (stacked >= least(col("m_lr"), col("m_gbt")) - lit(1e-9) &&
+            stacked <= greatest(col("m_lr"), col("m_gbt")) + lit(1e-9)).as("quality_ok"))
         .orderBy("id")
     },
     None)

@@ -121,6 +121,100 @@ class StreamingSpec extends SparkSpec {
     out shouldBe Seq((1L, 0L, 150L, 2L), (1L, 200L, 300L, 1L), (2L, 10L, 110L, 1L))
   }
 
+  /** FileStreamSource requires a DIRECTORY (basePath); the testdata
+    * tables are single parquet files, so stage a byte-identical copy
+    * under target/tmp once and stream from that dir. */
+  private def stagedEventsDir(dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val stage = java.nio.file.Paths.get(
+      "target/tmp/stream_events_" + dir.replaceAll("[^0-9a-zA-Z]", "_"))
+    java.nio.file.Files.createDirectories(stage)
+    val dst = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst))
+      java.nio.file.Files.copy(src, dst)
+    stage.toAbsolutePath.toString
+  }
+
+  test("file-source readStream over events.parquet: tumbling counts match batch") {
+    // the gate's own data through a REAL file source (not MemoryStream):
+    // the same StreamingOps.tumbling fragment the st_tumbling oracle
+    // checks in batch must produce the identical window set when driven
+    // incrementally by readStream. Complete output mode because the
+    // source is finite — append would hold back windows the watermark
+    // never passes.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists)
+    val batch = Tables.tbl(spark, dir, "events")
+    val stream0 = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(stagedEventsDir(dir))
+    // same ns→µs rebuild Tables.tbl applies on the batch side
+    val stream =
+      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.tumbling(df, col("ts"), col("event_type"), col("value"), "1 hour")
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
+    val q = shape(stream).writeStream.format("memory").queryName("file_tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_tumbling")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val want = shape(batch).as[(Timestamp, String, Long, Double)].collect().toSet
+      got shouldBe want
+      got.size should be > 10
+    } finally q.stop()
+  }
+
+  test("file-source readStream sessionization matches batch (finalized sessions)") {
+    // sessionizeWithState driven by a file source over the gate's own
+    // events table, reconciled against the batch state machine at the
+    // same (millis) precision. With a 0-second watermark the stream
+    // finalizes every session whose timeout (last + gap) the end-of-input
+    // watermark (= max ts) passes; trailing open sessions stay in state —
+    // inherent to append-mode streaming over a finite source.
+    import StreamingOps.{SessionEvent, SessionResult}
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists)
+    val gapMs = 8L * 3600 * 1000
+    val batchEv = Tables.tbl(spark, dir, "events")
+    val stream0 = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(stagedEventsDir(dir))
+    val stream =
+      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val events = stream
+      .select(col("user_id").cast("long").as("userId"), col("ts").as("eventTime"))
+      .withWatermark("eventTime", "0 seconds")
+      .as[SessionEvent]
+    val q = StreamingOps.sessionizeWithState(events, gapMs)
+      .writeStream.format("memory").queryName("file_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_sessions").as[SessionResult]
+        .collect().map(r => (r.userId, r.startMs, r.endMs, r.n)).toSet
+      // batch truth at the SAME millis precision the streaming wrapper
+      // uses (SessionEvent timestamps truncate µs→ms via getTime)
+      val allBatch = StreamingOps.sessionizeBatch(
+        batchEv.select(col("user_id").cast("long"),
+          (unix_micros(col("ts")) / 1000L).cast("long")).as[(Long, Long)], gapMs)
+        .collect().map(r => (r.userId, r.startMs, r.endMs, r.n)).toSet
+      val maxMs = batchEv.agg(max(expr("unix_micros(ts) div 1000"))).head().getLong(0)
+      // no fabricated sessions...
+      got.subsetOf(allBatch) shouldBe true
+      // ...and every session the watermark could finalize was emitted
+      // (strict <: event-time timeout fires when watermark > timestamp)
+      val finalizable = allBatch.filter(_._3 < maxMs)
+      finalizable.subsetOf(got) shouldBe true
+      finalizable.size should be > 10
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling agree on the same input") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "a", 1.0), (ts("2024-01-01 10:40:00"), "a", 2.0),
