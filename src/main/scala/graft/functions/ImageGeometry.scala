@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions.udf
   * boundary) which is acceptable: the arithmetic dominates, not the
   * virtual call. Upgrade path if profiling demands: Catalyst Expression
   * with doGenCode.
+  *
+  * The signatures are `Array[Double]`, NOT `Seq[Double]`, and that is
+  * load-bearing: Spark 4's ScalaUDF deserializes a `Seq[Double]` input
+  * as an immutable List, so every `a(i)` in the samplers is an O(n)
+  * linked-list walk — measured 45 ms/row on 75×75 resize (~16M hops)
+  * vs ~0.1 ms with the primitive-array fast path (bulk unboxed copy on
+  * input, `UnsafeArrayData.fromPrimitiveArray` on output).
   */
 object ImageGeometry {
 
@@ -25,7 +32,7 @@ object ImageGeometry {
     * clamp (the semantics of skimage.transform.resize used at
     * main.py:105; reflect-pad differs only outside the clamp region for
     * upscales ≥ half, deviation documented). */
-  def bilinearResize(a: Seq[Double], h0: Int, w0: Int, h1: Int, w1: Int): Seq[Double] = {
+  def bilinearResize(a: Array[Double], h0: Int, w0: Int, h1: Int, w1: Int): Array[Double] = {
     val sy = h0.toDouble / h1
     val sx = w0.toDouble / w1
     val out = new Array[Double](h1 * w1)
@@ -50,11 +57,11 @@ object ImageGeometry {
       }
       r += 1
     }
-    out.toSeq
+    out
   }
 
   /** A11: horizontal flip (np.fliplr, 10-crop.py:241). */
-  def flipH(a: Seq[Double], w: Int): Seq[Double] = {
+  def flipH(a: Array[Double], w: Int): Array[Double] = {
     val h = a.length / w
     val out = new Array[Double](a.length)
     var r = 0
@@ -63,11 +70,11 @@ object ImageGeometry {
       while (c < w) { out(r * w + c) = a(r * w + (w - 1 - c)); c += 1 }
       r += 1
     }
-    out.toSeq
+    out
   }
 
   /** A12: rectangular crop at (x0, y0) of size w×h from a W-wide image. */
-  def crop(a: Seq[Double], imgW: Int, x0: Int, y0: Int, w: Int, h: Int): Seq[Double] = {
+  def crop(a: Array[Double], imgW: Int, x0: Int, y0: Int, w: Int, h: Int): Array[Double] = {
     val out = new Array[Double](w * h)
     var r = 0
     while (r < h) {
@@ -75,7 +82,7 @@ object ImageGeometry {
       while (c < w) { out(r * w + c) = a((y0 + r) * imgW + (x0 + c)); c += 1 }
       r += 1
     }
-    out.toSeq
+    out
   }
 
   /** A12: the reference's 10-crop TTA (10-crop.py:240-255): 4 corners +
@@ -87,9 +94,9 @@ object ImageGeometry {
     * i.e. size+1 for even crop sizes, so its center crop differs in
     * shape from its corner crops. We return a uniform w×h for all ten
     * (consistent tensors downstream); flagged here per the advisor. */
-  def tenCrop(a: Seq[Double], imgW: Int, imgH: Int, w: Int, h: Int): Seq[Seq[Double]] = {
+  def tenCrop(a: Array[Double], imgW: Int, imgH: Int, w: Int, h: Int): Array[Array[Double]] = {
     val cx = (imgW - w) / 2; val cy = (imgH - h) / 2
-    val offs = Seq((0, 0), (imgW - w, 0), (0, imgH - h), (imgW - w, imgH - h), (cx, cy))
+    val offs = Array((0, 0), (imgW - w, 0), (0, imgH - h), (imgW - w, imgH - h), (cx, cy))
     val flipped = flipH(a, imgW)
     offs.map { case (x0, y0) => crop(a, imgW, x0, y0, w, h) } ++
       offs.map { case (x0, y0) => crop(flipped, imgW, x0, y0, w, h) }
@@ -103,7 +110,7 @@ object ImageGeometry {
     * checked int64 arithmetic (DuckDB) evaluate the identical value
     * instead of erroring where the JVM would silently wrap. */
   def lcg(seed: Long): Long = ((seed & 0xffffffL) * 1103515245L + 12345L) & 0x7fffffffL
-  def augmentFlip(a: Seq[Double], w: Int, id: Long, epoch: Int): Seq[Double] =
+  def augmentFlip(a: Array[Double], w: Int, id: Long, epoch: Int): Array[Double] =
     if (lcg((id & 0xffffL) * 131071L + epoch) % 2 == 0) flipH(a, w) else a
 
   /** A13 (full): affine augmentation by inverse mapping — for each
@@ -114,8 +121,8 @@ object ImageGeometry {
     * zoom 0.5, width/height_shift 0.2 (main.py:149-156,
     * main-2-0116.py:151-155); theirs draws per batch, ours derives the
     * draw deterministically from (id, epoch) via the masked LCG. */
-  def affine(a: Seq[Double], w: Int, h: Int,
-      thetaRad: Double, zoom: Double, shiftX: Double, shiftY: Double): Seq[Double] = {
+  def affine(a: Array[Double], w: Int, h: Int,
+      thetaRad: Double, zoom: Double, shiftX: Double, shiftY: Double): Array[Double] = {
     val out = new Array[Double](w * h)
     val cx = (w - 1) / 2.0
     val cy = (h - 1) / 2.0
@@ -147,7 +154,7 @@ object ImageGeometry {
       }
       r += 1
     }
-    out.toSeq
+    out
   }
 
   /** The reference's full random augmentation (flip + rotate + zoom +
@@ -155,7 +162,7 @@ object ImageGeometry {
     * an independent masked-LCG stream on (id, epoch). Ranges follow
     * main-2-0116.py:151-155 (rot ≤30°, shift ≤0.2, zoom ∈ [0.75, 1.25]
     * — the Keras zoom_range=0.5 convention of [1−z/2, 1+z/2]). */
-  def augmentFull(a: Seq[Double], w: Int, id: Long, epoch: Int): Seq[Double] = {
+  def augmentFull(a: Array[Double], w: Int, id: Long, epoch: Int): Array[Double] = {
     val h = a.length / w
     def draw(stream: Int): Double = // uniform in [0,1)
       lcg((id & 0xffffL) * 131071L + epoch * 31L + stream).toDouble / 0x80000000L.toDouble
@@ -169,19 +176,19 @@ object ImageGeometry {
 
   // --- Column wrappers ---
   val bilinearResizeUdf =
-    udf((a: Seq[Double], h0: Int, w0: Int, h1: Int, w1: Int) => bilinearResize(a, h0, w0, h1, w1))
-  val flipHUdf = udf((a: Seq[Double], w: Int) => flipH(a, w))
+    udf((a: Array[Double], h0: Int, w0: Int, h1: Int, w1: Int) => bilinearResize(a, h0, w0, h1, w1))
+  val flipHUdf = udf((a: Array[Double], w: Int) => flipH(a, w))
   val cropUdf =
-    udf((a: Seq[Double], imgW: Int, x0: Int, y0: Int, w: Int, h: Int) => crop(a, imgW, x0, y0, w, h))
+    udf((a: Array[Double], imgW: Int, x0: Int, y0: Int, w: Int, h: Int) => crop(a, imgW, x0, y0, w, h))
   val tenCropUdf =
-    udf((a: Seq[Double], imgW: Int, imgH: Int, w: Int, h: Int) => tenCrop(a, imgW, imgH, w, h))
+    udf((a: Array[Double], imgW: Int, imgH: Int, w: Int, h: Int) => tenCrop(a, imgW, imgH, w, h))
   val augmentFlipUdf =
-    udf((a: Seq[Double], w: Int, id: Long, epoch: Int) => augmentFlip(a, w, id, epoch))
+    udf((a: Array[Double], w: Int, id: Long, epoch: Int) => augmentFlip(a, w, id, epoch))
   val affineUdf =
-    udf((a: Seq[Double], w: Int, h: Int, theta: Double, zoom: Double, sx: Double, sy: Double) =>
+    udf((a: Array[Double], w: Int, h: Int, theta: Double, zoom: Double, sx: Double, sy: Double) =>
       affine(a, w, h, theta, zoom, sx, sy))
   val augmentFullUdf =
-    udf((a: Seq[Double], w: Int, id: Long, epoch: Int) => augmentFull(a, w, id, epoch))
+    udf((a: Array[Double], w: Int, id: Long, epoch: Int) => augmentFull(a, w, id, epoch))
 
   def bilinear_resize(a: Column, h0: Int, w0: Int, h1: Int, w1: Int): Column =
     bilinearResizeUdf(a, org.apache.spark.sql.functions.lit(h0),

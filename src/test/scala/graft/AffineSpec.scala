@@ -7,7 +7,7 @@ import org.scalatest.matchers.should.Matchers
 /** A13 full augmentation: affine inverse-mapping resampler fixtures. */
 class AffineSpec extends AnyFunSuite with Matchers {
 
-  private val img3 = (1 to 9).map(_.toDouble) // 3x3 [1..9]
+  private val img3 = (1 to 9).map(_.toDouble).toArray // 3x3 [1..9]
 
   private def approxSeq(got: Seq[Double], want: Seq[Double], eps: Double = 1e-9): Unit = {
     got.length shouldBe want.length
@@ -88,9 +88,9 @@ class AffineSpec extends AnyFunSuite with Matchers {
   }
 
   test("augmentFull is deterministic in (id, epoch) and varies across both") {
-    val a = (1 to 64).map(_.toDouble)
+    val a = (1 to 64).map(_.toDouble).toArray
     augmentFull(a, 8, 7L, 2) shouldBe augmentFull(a, 8, 7L, 2)
-    val byId = (0L to 10L).map(id => augmentFull(a, 8, id, 0)).toSet
+    val byId = (0L to 10L).map(id => augmentFull(a, 8, id, 0).toSeq).toSet
     byId.size should be > 5
     augmentFull(a, 8, 7L, 0) should not be augmentFull(a, 8, 7L, 1)
   }

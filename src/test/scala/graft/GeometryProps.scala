@@ -7,24 +7,24 @@ import org.scalacheck.{Gen, Prop, Properties}
   * functions (sbt's ScalaCheck framework runs Properties objects). */
 object GeometryProps extends Properties("geometry") {
 
-  private val imgGen: Gen[(List[Double], Int, Int)] = for {
+  private val imgGen: Gen[(Array[Double], Int, Int)] = for {
     w <- Gen.choose(1, 10)
     h <- Gen.choose(1, 10)
     a <- Gen.listOfN(w * h, Gen.choose(-1000.0, 1000.0))
-  } yield (a, w, h)
+  } yield (a.toArray, w, h)
 
   property("flipH is an involution") = Prop.forAll(imgGen) { case (a, w, _) =>
-    flipH(flipH(a, w), w) == a
+    flipH(flipH(a, w), w).sameElements(a)
   }
 
   property("flipH preserves multiset of pixels") = Prop.forAll(imgGen) { case (a, w, _) =>
-    flipH(a, w).sorted == a.sorted
+    flipH(a, w).sorted.sameElements(a.sorted)
   }
 
   property("tenCrop yields 10 crops of exactly w*h pixels") =
     Prop.forAll(Gen.choose(2, 8), Gen.choose(2, 8)) { (cw, ch) =>
       val w = 10; val h = 10
-      val a = List.tabulate(w * h)(_.toDouble)
+      val a = Array.tabulate(w * h)(_.toDouble)
       val crops = tenCrop(a, w, h, cw, ch)
       crops.length == 10 && crops.forall(_.length == cw * ch)
     }
@@ -32,7 +32,7 @@ object GeometryProps extends Properties("geometry") {
   property("crop contents come from the source rectangle") =
     Prop.forAll(Gen.choose(0, 4), Gen.choose(0, 4)) { (x0, y0) =>
       val w = 8
-      val a = List.tabulate(w * w)(_.toDouble)
+      val a = Array.tabulate(w * w)(_.toDouble)
       val c = crop(a, w, x0, y0, 3, 3)
       c.zipWithIndex.forall { case (v, i) =>
         v == a((y0 + i / 3) * w + (x0 + i % 3))
@@ -40,7 +40,7 @@ object GeometryProps extends Properties("geometry") {
     }
 
   property("bilinearResize to same size is identity") = Prop.forAll(imgGen) {
-    case (a, w, h) => bilinearResize(a, h, w, h, w) == a
+    case (a, w, h) => bilinearResize(a, h, w, h, w).sameElements(a)
   }
 
   property("bilinearResize output within [min,max] of input") =

@@ -9,35 +9,35 @@ import org.scalatest.matchers.should.Matchers
   * ScalaCheck properties for this family live in [[GeometryProps]]. */
 class ImageGeometrySpec extends AnyFunSuite with Matchers {
 
-  private val img3 = (1 to 9).map(_.toDouble) // 3x3 row-major [1..9]
-  private val img4 = (0 until 16).map(_.toDouble) // 4x4
+  private val img3 = (1 to 9).map(_.toDouble).toArray // 3x3 row-major [1..9]
+  private val img4 = (0 until 16).map(_.toDouble).toArray // 4x4
 
   test("A11 flipH on 3x3 [1..9]: each row reversed") {
-    flipH(img3, 3) shouldBe Seq(3.0, 2.0, 1.0, 6.0, 5.0, 4.0, 9.0, 8.0, 7.0)
+    flipH(img3, 3).toSeq shouldBe Seq(3.0, 2.0, 1.0, 6.0, 5.0, 4.0, 9.0, 8.0, 7.0)
   }
 
   test("A11 flipH involution: flip(flip(a)) == a (seeded sweep)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 50) {
       val w = 1 + rnd.nextInt(8); val h = 1 + rnd.nextInt(8)
-      val a = Seq.fill(w * h)(rnd.nextDouble() * 200 - 100)
+      val a = Array.fill(w * h)(rnd.nextDouble() * 200 - 100)
       flipH(flipH(a, w), w) shouldBe a
     }
   }
 
   test("A12 crop: 2x2 corners + center of 4x4") {
-    crop(img4, 4, 0, 0, 2, 2) shouldBe Seq(0.0, 1.0, 4.0, 5.0) // TL
-    crop(img4, 4, 2, 0, 2, 2) shouldBe Seq(2.0, 3.0, 6.0, 7.0) // TR
-    crop(img4, 4, 0, 2, 2, 2) shouldBe Seq(8.0, 9.0, 12.0, 13.0) // BL
-    crop(img4, 4, 2, 2, 2, 2) shouldBe Seq(10.0, 11.0, 14.0, 15.0) // BR
-    crop(img4, 4, 1, 1, 2, 2) shouldBe Seq(5.0, 6.0, 9.0, 10.0) // center
+    crop(img4, 4, 0, 0, 2, 2).toSeq shouldBe Seq(0.0, 1.0, 4.0, 5.0) // TL
+    crop(img4, 4, 2, 0, 2, 2).toSeq shouldBe Seq(2.0, 3.0, 6.0, 7.0) // TR
+    crop(img4, 4, 0, 2, 2, 2).toSeq shouldBe Seq(8.0, 9.0, 12.0, 13.0) // BL
+    crop(img4, 4, 2, 2, 2, 2).toSeq shouldBe Seq(10.0, 11.0, 14.0, 15.0) // BR
+    crop(img4, 4, 1, 1, 2, 2).toSeq shouldBe Seq(5.0, 6.0, 9.0, 10.0) // center
   }
 
   test("A12 tenCrop: 10 crops of w*h, fixed [TL,TR,BL,BR,C] x {orig,flip} order") {
     val crops = tenCrop(img4, 4, 4, 2, 2)
     crops should have length 10
     all(crops.map(_.length)) shouldBe 4
-    crops(0) shouldBe Seq(0.0, 1.0, 4.0, 5.0) // TL of original
+    crops(0).toSeq shouldBe Seq(0.0, 1.0, 4.0, 5.0) // TL of original
     // TL of flipped image = reversed first rows' left block
     val flipped = flipH(img4, 4)
     crops(5) shouldBe crop(flipped, 4, 0, 0, 2, 2)
@@ -49,7 +49,7 @@ class ImageGeometrySpec extends AnyFunSuite with Matchers {
 
   test("A8 bilinearResize: 2x2 -> 4x4 known interpolation values") {
     // image [[0,1],[2,3]]; half-pixel centers, edge clamp
-    val out = bilinearResize(Seq(0.0, 1.0, 2.0, 3.0), 2, 2, 4, 4)
+    val out = bilinearResize(Array(0.0, 1.0, 2.0, 3.0), 2, 2, 4, 4)
     out should have length 16
     out(0) shouldBe 0.0 // corner clamps to source corner
     out(15) shouldBe 3.0
@@ -61,14 +61,14 @@ class ImageGeometrySpec extends AnyFunSuite with Matchers {
   test("A8 bilinearResize: downscale 4x4 -> 2x2 averages 2x2 blocks at centers") {
     val out = bilinearResize(img4, 4, 4, 2, 2)
     // center of TL quadrant = avg(0,1,4,5) = 2.5
-    out shouldBe Seq(2.5, 4.5, 10.5, 12.5)
+    out.toSeq shouldBe Seq(2.5, 4.5, 10.5, 12.5)
   }
 
   test("A13 augmentFlip is deterministic in (id, epoch)") {
     val a = img3
     augmentFlip(a, 3, 42L, 1) shouldBe augmentFlip(a, 3, 42L, 1)
     // both branches occur over ids
-    val outs = (0L to 20L).map(id => augmentFlip(a, 3, id, 0))
+    val outs = (0L to 20L).map(id => augmentFlip(a, 3, id, 0).toSeq)
     outs.toSet.size shouldBe 2
   }
 }
