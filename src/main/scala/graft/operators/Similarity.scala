@@ -81,7 +81,9 @@ object Similarity {
     val rnd = new scala.util.Random(421)
     val projections: Array[Array[Double]] =
       Array.fill(bands * rowsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
-    val bandKeys = udf((v: Seq[Double]) => {
+    // Array[Double], not Seq: a Seq param deserializes as List and
+    // makes v(i) an O(n) walk (see ImageGeometry scale note)
+    val bandKeys = udf((v: Array[Double]) => {
       (0 until bands).map { b =>
         var key = 0x9e3779b97f4a7c15L * (b + 1)
         var r = 0
@@ -105,7 +107,7 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val l2 = udf((x: Seq[Double], y: Seq[Double]) => {
+    val l2 = udf((x: Array[Double], y: Array[Double]) => {
       val n = math.min(x.length, y.length) // ragged rows: compare the shared prefix
       var s = 0.0; var i = 0
       while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
