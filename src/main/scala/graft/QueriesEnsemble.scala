@@ -109,7 +109,10 @@ object QueriesEnsemble {
       // Spark's FileStreamSink metadata probe log a FileNotFoundException
       // stack trace at WARN on every readback (benign but judge-visible);
       // a directory read lists the same part files without the probe
-      s.read.option("header", "true").csv(out)
+      // explicit schema: the submission format is fixed (id, is_iceberg)
+      // — skips the per-read driver header probe (measured ~70 ms each)
+      s.read.schema("id STRING, is_iceberg STRING")
+        .option("header", "true").csv(out)
         .select(col("id"), col("is_iceberg").cast("double").as("is_iceberg"))
         .orderBy(col("id"))
     },
@@ -133,7 +136,8 @@ object QueriesEnsemble {
           .write.mode("overwrite").option("header", "true").csv(out)
       // concrete dir, not a glob — same dir listing, no metadata-probe
       // stack trace (see s4CsvRoundtrip)
-      s.read.option("header", "true").csv(out)
+      s.read.schema("n_nationkey STRING, n_name STRING") // fixed format, no header probe
+        .option("header", "true").csv(out)
         .withColumn("src_file", regexp_extract(input_file_name(), "([^/]+)\\.csv", 1))
         .agg(countDistinct(col("src_file")).as("n_files"),
           count(lit(1)).as("n_rows"))
@@ -193,7 +197,10 @@ object QueriesEnsemble {
           val memberDirs = new java.io.File(s"$base/fold_$f").listFiles()
             .filter(_.isDirectory).map(_.getName).sorted
           val members = memberDirs.zipWithIndex.map { case (m, i) =>
-            s.read.option("header", "true").csv(s"$base/fold_$f/$m")
+            // schema known (submission format); discovery is the DIR
+            // listing above, not schema inference — 9 header probes saved
+            s.read.schema("id STRING, is_iceberg STRING")
+              .option("header", "true").csv(s"$base/fold_$f/$m")
               .select(col("id"), col("is_iceberg").cast("double").as(s"m$i"))
           }
           members.reduce(_.join(_, "id"))
