@@ -234,6 +234,65 @@ object QueriesPipeline {
       | md5(text) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Repetition-quality signals in the style of the Gopher rules (Rae
+    * et al. 2021, "Scaling Language Models", appendix A1.1): per-doc
+    * character-3-gram repetition ratio (1 − distinct/total) and
+    * top-word fraction (most frequent word / word count) — the filters
+    * a pretraining pipeline applies alongside tx_stats' length/stopword
+    * scores. One tight JVM pass per row (a HOF spelling would walk the
+    * ~300-char texts interpreted, [[graft.functions.ArrayOps]] note);
+    * integer counts cross the UDF boundary and the two ratios are each
+    * a single double division + round, mirrored exactly in the oracle.
+    * Scale: pure projection — no shuffle, runs inside the scan stage. */
+  val txRepetition: Entry = {
+    val repUdf = udf((text: String) => {
+      val n = text.length
+      val n3 = math.max(n - 2, 0)
+      val seen = new java.util.HashSet[String](math.max(16, n3 * 2))
+      var i = 0
+      while (i < n3) { seen.add(text.substring(i, i + 3)); i += 1 }
+      val counts = new java.util.HashMap[String, Integer]()
+      var top = 0
+      var nw = 0
+      for (w <- text.split(" ", -1) if w.nonEmpty) {
+        nw += 1
+        val c = counts.merge(w, 1, (a, b) => a + b)
+        if (c > top) top = c
+      }
+      (n3, seen.size, nw, top)
+    })
+    Entry("tx_repetition",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), repUdf(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("n_3grams"),
+          when(col("r._1") > 0,
+            round(lit(1.0) - col("r._2").cast("double") / col("r._1"), 6))
+            .otherwise(lit(0.0)).as("char3_rep"),
+          col("r._3").as("n_words"),
+          when(col("r._3") > 0,
+            round(col("r._4").cast("double") / col("r._3"), 6))
+            .otherwise(lit(0.0)).as("top_word_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |t AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_words FROM c GROUP BY 1),
+        |g AS (SELECT doc_id, greatest(length(text) - 2, 0) AS n3,
+        |  len(list_distinct(list_transform(range(1, greatest(length(text) - 1, 1)),
+        |    i -> substr(text, CAST(i AS INT), 3)))) AS uniq3
+        |  FROM documents)
+        |SELECT g.doc_id,
+        | CAST(n3 AS INT) AS n_3grams,
+        | CASE WHEN n3 > 0 THEN round(1.0 - CAST(uniq3 AS DOUBLE) / n3, 6) ELSE 0.0 END AS char3_rep,
+        | CAST(coalesce(n_words, 0) AS INT) AS n_words,
+        | CASE WHEN coalesce(n_words, 0) > 0
+        |      THEN round(CAST(top_cnt AS DOUBLE) / n_words, 6) ELSE 0.0 END AS top_word_frac
+        |FROM g LEFT JOIN t ON g.doc_id = t.doc_id
+        |ORDER BY g.doc_id""".stripMargin))
+  }
+
   // ------------------------------------------------------------- similarity
   /** Exact brute-force cosine top-k against a probe vector (the
     * baseline; plan = scan + broadcast probe + TakeOrderedAndProject). */
@@ -350,6 +409,6 @@ object QueriesPipeline {
 
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash,
-    txStats, txLangid, txTokens,
+    txStats, txLangid, txTokens, txRepetition,
     simTopk, simAnnLsh, simNearDup, mmDecode)
 }
