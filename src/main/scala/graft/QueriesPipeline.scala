@@ -340,6 +340,39 @@ object QueriesPipeline {
       | FROM e, p)
       |SELECT vec_id, dist FROM c ORDER BY dist, vec_id LIMIT 10""".stripMargin))
 
+  /** ANN via IVF (k-means inverted file, nProbe cell search) — the
+    * data-adaptive counterpart to sim_ann_lsh's RP buckets; oracle =
+    * the same planted-neighbor brute-force truth. The planted points
+    * sit at L2 ≤ 0.19 from the probe vs the ~1.12 natural frontier, so
+    * they land in the probe's own k-means cell with overwhelming
+    * margin: the nProbe search provably returns the exact top-10
+    * whatever the (partitioning-sensitive, float-sum) centroid ulps do.
+    * Honest contract, as with LSH: recall is guaranteed when real
+    * neighbor structure exists, not on structure-free noise. Offsets
+    * differ from sim_ann_lsh (j·0.0025, ids 300000+) so a cached or
+    * cross-wired result cannot satisfy both oracles. */
+  val simAnnIvf: Entry = Entry("sim_ann_ivf",
+    (s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        graft.functions.ArrayOps.asDouble(col("embedding")).as("embedding"))
+      val planted = base.where(col("vec_id") === 0)
+        .select(explode(sequence(lit(1L), lit(12L))).as("j"), col("embedding"))
+        .select((lit(300000L) + col("j")).as("vec_id"),
+          transform(col("embedding"), x => x + col("j") * lit(0.0025)).as("embedding"))
+      Similarity.ivfTopK(base.unionByName(planted), probeId = 0, k = 10)
+    },
+    Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |planted AS (
+      | SELECT 300000 + t.j AS vec_id, list_transform(p.v, x -> x + t.j * 0.0025) AS v
+      | FROM base p, range(1, 13) t(j) WHERE p.vec_id = 0),
+      |e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM planted),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |c AS (SELECT vec_id,
+      |  round(sqrt(list_sum(list_transform(list_zip(v, pv),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2])))), 6) AS dist
+      | FROM e, p)
+      |SELECT vec_id, dist FROM c ORDER BY dist, vec_id LIMIT 10""".stripMargin))
+
   /** Embedding near-dup pairs via banded LSH. Random 64-dim vectors sit
     * ~1.3 L2 apart, so near-dups are planted: +0.001 on every component
     * (L2 ≈ 0.008) for vec_id % 13 == 0. The distance GAP (0.008 vs
@@ -410,5 +443,5 @@ object QueriesPipeline {
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash,
     txStats, txLangid, txTokens, txRepetition,
-    simTopk, simAnnLsh, simNearDup, mmDecode)
+    simTopk, simAnnLsh, simAnnIvf, simNearDup, mmDecode)
 }

@@ -59,6 +59,62 @@ object Similarity {
     }
   }
 
+  /** Approximate nearest neighbours via IVF (inverted-file index, the
+    * coarse-quantizer search of Jégou et al. 2011 / FAISS): a k-means
+    * model partitions the corpus into nLists cells, the probe searches
+    * only the nProbe cells whose centroids are nearest, and the exact
+    * L2 runs on that pruned slice. Complements the LSH paths: IVF
+    * adapts its cells to the data distribution where RP buckets are
+    * data-oblivious.
+    *
+    * Scale shape: the quantizer fits on a sample (here: the corpus —
+    * it IS the sample at test SF; at 100 TB fit on ~1M rows and
+    * persist like [[graft.Model]]); assignment is a map-side transform
+    * against broadcast centroids (no shuffle); the probe-to-centroid
+    * argmin is driver-side over nLists rows; the search scans
+    * ~nProbe/nLists of the table, then TakeOrderedAndProject. */
+  def ivfTopK(emb: DataFrame, probeId: Long, k: Int,
+      nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val feat = emb.select(col("vec_id"),
+      array_to_vector(ArrayOps.asDouble(col("embedding"))).as("features"))
+    val km = new KMeans().setK(nLists).setSeed(77).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(feat)
+    feat.where(col("vec_id") === probeId).collect().headOption match {
+      case Some(row) => // 1-row probe fetch, same contract as annTopK
+        val pv = row.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
+        val cells = model.clusterCenters.zipWithIndex
+          .map { case (c, i) =>
+            val ca = c.toArray
+            var s = 0.0; var j = 0
+            while (j < ca.length && j < pv.length) { val dd = ca(j) - pv(j); s += dd * dd; j += 1 }
+            (i, s)
+          }
+          .sortBy(_._2).take(nProbe).map(_._1)
+        // Array[Double] params (List-deserialization pitfall) and a JVM
+        // loop (HOF lambdas run interpreted); left-to-right sum matches
+        // the oracle's list_sum fold order
+        val l2 = udf((x: Array[Double], y: Array[Double]) => {
+          val n = math.min(x.length, y.length)
+          var s = 0.0; var i = 0
+          while (i < n) { val dd = x(i) - y(i); s += dd * dd; i += 1 }
+          math.sqrt(s)
+        })
+        val toArr = org.apache.spark.ml.functions.vector_to_array(_: org.apache.spark.sql.Column)
+        val probe = feat.where(col("vec_id") === probeId).select(toArr(col("features")).as("pv"))
+        model.transform(feat)
+          .where(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"), round(l2(toArr(col("features")), col("pv")), 6).as("dist"))
+          .orderBy(col("dist"), col("vec_id"))
+          .limit(k)
+      case None =>
+        feat.sparkSession.emptyDataFrame
+          .select(lit(0L).as("vec_id"), lit(0.0).as("dist")).limit(0)
+    }
+  }
+
   /** Embedding near-duplicate pairs above a distance cut, via BANDED
     * random-projection LSH: each band's key concatenates the bucket ids
     * of r independent projections, so a collision needs r simultaneous
