@@ -78,7 +78,12 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     val feat = emb.select(col("vec_id"),
       array_to_vector(ArrayOps.asDouble(col("embedding"))).as("features"))
-    val km = new KMeans().setK(nLists).setSeed(77).setMaxIter(5)
+    // coarse-quantizer settings: random init + 2 Lloyd passes — cell
+    // QUALITY only shifts the pruning ratio, never correctness (exact
+    // L2 runs on whatever the cells keep); k-means|| init alone costs
+    // more passes than the whole fit needs
+    val km = new KMeans().setK(nLists).setSeed(77).setMaxIter(2)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(feat)
     feat.where(col("vec_id") === probeId).collect().headOption match {
