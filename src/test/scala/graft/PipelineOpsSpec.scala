@@ -125,4 +125,29 @@ class PipelineOpsSpec extends SparkSpec {
     got(1)._1 shouldBe 1L
     got(2)._1 shouldBe 2L
   }
+
+  test("ivfTopK: pruned cell search still returns the exact top-k on clustered data") {
+    // two well-separated blobs of 20 vectors each; the probe's blob
+    // holds its true top-5, so cutting the OTHER blob's cells away
+    // (nProbe=1 of nLists=2) must not change the answer — the IVF
+    // contract: pruning shifts cost, never correctness, when neighbor
+    // structure exists. Brute force over the same corpus is the truth.
+    val rnd = new scala.util.Random(11)
+    def blob(center: Double, baseId: Long) = (0 until 20).map { i =>
+      (baseId + i, Seq.fill(8)((center + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val emb = (blob(0.0, 0L) ++ blob(10.0, 100L)).toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(emb, probeId = 0, k = 5, nLists = 2, nProbe = 1)
+      .as[(Long, Double)].collect().toSeq
+    // brute-force L2 truth, same rounding/tie rules
+    val all = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val pv = all.find(_._1 == 0L).get._2
+    val brute = all.map { case (id, v) =>
+      (id, BigDecimal(math.sqrt(v.zip(pv).map { case (a, b) => (a - b) * (a - b) }.sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(t => (t._2, t._1)).take(5).toSeq
+    ivf shouldBe brute
+    // and every hit comes from the probe's blob — the far cells were pruned
+    ivf.map(_._1).forall(_ < 100L) shouldBe true
+  }
 }
