@@ -375,8 +375,47 @@ object QueriesArrays {
         |FROM g ORDER BY id""".stripMargin))
   }
 
+  /** A12 at the reference's NATIVE shape: ten-crop 75→64 over the SAR
+    * fixture (the reference crops 350→299, ~85% — 64/75 matches that
+    * ratio; 10-crop.py:22-23,240-255). Completes the native-resolution
+    * gate the 8×8 a12_ten_crop can't give: 10 × 4096-element crops per
+    * row through the Array[Double] UDF + posexplode, each crop sum
+    * replayed by the oracle as 64 concatenated row slices into ONE
+    * list_sum (fold order = the JVM's row-major crop walk). */
+  val aNativeTenCrop: Entry = {
+    val S = SarFixture.W // 75
+    val c = 64
+    val offs = Seq((0, 0), (S - c, 0), (0, S - c), (S - c, S - c), ((S - c) / 2, (S - c) / 2))
+    def idxS(r: Int, cc: Int) = r * S + cc + 1 // 1-based flat index
+    def cropSum(l: String, x0: Int, y0: Int): String =
+      (0 until c).map(r => s"$l[${idxS(y0 + r, x0)}:${idxS(y0 + r, x0 + c - 1)}]")
+        .mkString("list_sum(", " || ", ")")
+    val flip = s"list_transform(range(0, ${S * S}), i -> band_1[(i // $S) * $S + ($S - (i % $S))])"
+    val cropExprs = offs.map { case (x0, y0) => cropSum("band_1", x0, y0) } ++
+      offs.map { case (x0, y0) => cropSum("fl", x0, y0) }
+    val unions = cropExprs.zipWithIndex.map { case (e, i) =>
+      s"SELECT id, $i AS crop_id, round($e, 6) AS crop_sum FROM f"
+    }.mkString("\n UNION ALL ")
+    Entry("a_native_tencrop",
+      (s, d) => {
+        SarFixture.ensure()
+        Ingest.readSarJson(s, SarFixture.path)
+          .select(col("id"), posexplode(ImageGeometry.tenCropUdf(
+            col("band_1"), lit(S), lit(S), lit(c), lit(c))).as(Seq("crop_id", "crop")))
+          .select(col("id"), col("crop_id"),
+            round(arraySum(col("crop")), 6).as("crop_sum"))
+          .orderBy("id", "crop_id")
+      },
+      Some(s"""WITH e AS (SELECT id, band_1 FROM read_json('${SarFixture.path}',
+        |  columns = {id: 'VARCHAR', band_1: 'DOUBLE[]', band_2: 'DOUBLE[]',
+        |             inc_angle: 'VARCHAR', is_iceberg: 'INTEGER'})),
+        | f AS (SELECT id, band_1, $flip AS fl FROM e)
+        |$unions
+        |ORDER BY id, crop_id""".stripMargin))
+  }
+
   val all: Seq[Entry] = Seq(
     a2BandAlgebra, a7Normalize, a9IsoMask, a10SizeFeature,
     gRowStats, g8Median, a12TenCrop, a8Resize, a13Augment, g10TtaMean,
-    a13Affine, aNative75)
+    a13Affine, aNative75, aNativeTenCrop)
 }
