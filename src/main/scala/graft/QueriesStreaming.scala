@@ -104,5 +104,53 @@ object QueriesStreaming {
     },
     Some(sessionOracle))
 
-  val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom)
+  private val execSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming EXECUTION under the oracle (not just the shared plan
+    * fragment): the same tumbling transform st_tumbling checks in
+    * batch, driven through a real file-source readStream micro-batch
+    * run into a memory sink, then hash-compared against the identical
+    * DuckDB SQL. Complete output mode because the source is finite —
+    * append would hold back windows the watermark never passes — and
+    * the sink table is the returned result, so a state-management bug
+    * (lost window, double-counted batch) fails the gate, where the
+    * batch-plan entries could not see it.
+    *
+    * FileStreamSource needs a directory; the staged copy of
+    * events.parquet is harness-fixture IO (load-if-exists, S5
+    * semantics). The memory-sink table name is unique per invocation
+    * so repeated bench/verify runs don't collide. */
+  val stStreamExec: Entry = Entry("st_stream_exec",
+    (s, d) => {
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      val stage = java.nio.file.Paths.get(
+        "target/tmp/stream_src_" + d.replaceAll("[^0-9a-zA-Z]", "_"))
+      java.nio.file.Files.createDirectories(stage)
+      val dst = stage.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(dst)) java.nio.file.Files.copy(src, dst)
+      val raw = s.readStream
+        .schema(s.read.parquet(src.toString).schema)
+        .parquet(stage.toAbsolutePath.toString)
+      // same ns→µs rebuild Tables.tbl applies on the batch side
+      val stream =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val name = "st_stream_exec_" + execSeq.incrementAndGet()
+      val q = StreamingOps.tumbling(stream, col("ts"), col("event_type"),
+          col("value"), "1 hour")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_v"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy("window_start", "event_type")
+    },
+    Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      | count(*) AS n, ${sqlDsum("value")} AS sum_v
+      |FROM events GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin))
+
+  val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom,
+    stStreamExec)
 }
