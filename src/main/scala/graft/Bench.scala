@@ -26,6 +26,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    Verify.quietDeliberateWindowWarn() // BEFORE the session: NativeCodeLoader logs at startup
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -35,6 +36,10 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // wide geometry plans (640 slice refs in a_native_tencrop's
+      // analyzed plan) trip the default 25-field toString truncation
+      // WARN; the plan text is debug-only either way
+      .config("spark.sql.debug.maxToStringFields", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Verify.quietDeliberateWindowWarn()
@@ -84,28 +89,34 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // 3-decimal per-query times: the driver captures only the LAST 2000
-    // output chars, so the one JSON line must fit under that or the
-    // head (alphabetically-first queries) is lost — full-double times
-    // for ~75 queries overflowed it in r2
-    def f3(t: Double): String = if (t < 0) "-1" else f"$t%.3f"
-    val qs = results.map { case (k, (t, _)) => s"${q(k)}:${f3(t)}" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, Some(e))) => s"${q(k)}:${q(e)}" }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST ~2000 output chars (minus sbt's
+    // trailing "[success] ..." line), so the printed JSON line must fit
+    // that budget or its HEAD — "{"metric":"total","value":… — is cut
+    // and the whole line fails to parse. At 84 queries the 3-decimal
+    // spelling is already at 1956 chars: emit ADAPTIVELY, degrading
+    // per-query precision (3 → 2 → 1 decimals) until the line fits
+    // 1900; the full 3-decimal line always lands in
+    // target/bench_last.json for local tooling (tools/bench_compare.py).
+    def fmt(t: Double, dec: Int): String =
+      if (t < 0) "-1" else String.format(s"%.${dec}f", Double.box(t))
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val nErr = results.count(_._2._2.isDefined)
+    val errs = results.collect { case (k, (_, Some(e))) => s"${q(k)}:${q(e)}" }
+      .mkString("{", ",", "}")
     def passTotal(p: Map[String, (Double, Option[String])]) =
-      f3(p.values.map(_._1).filter(_ >= 0).sum)
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"errors":$errs,"passes":[${passTotal(pass1)},${passTotal(pass2)}],"sf":"$sfDir"}"""
-    // full line also lands in a file so local multi-run tooling
-    // (tools/bench_compare.py) never depends on console truncation
+      fmt(p.values.map(_._1).filter(_ >= 0).sum, 3)
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, (t, _)) => s"${q(k)}:${fmt(t, dec)}" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"errors":$errs,"passes":[${passTotal(pass1)},${passTotal(pass2)}],"sf":"$sfDir"}"""
+    }
     try {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve("bench_last.json"),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        line(3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(line)
+    println(Seq(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(1)))
     spark.stop()
   }
 }

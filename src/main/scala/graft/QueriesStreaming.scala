@@ -136,12 +136,18 @@ object QueriesStreaming {
         if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         else raw
-      val name = "st_stream_exec_" + execSeq.incrementAndGet()
+      // name unique per JVM AND per run: the memory sink cannot recover
+      // from an existing checkpoint, so a stale dir from a previous
+      // process must never be reused
+      val name = s"st_stream_exec_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
       val q = StreamingOps.tumbling(stream, col("ts"), col("event_type"),
           col("value"), "1 hour")
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("sum_v"))
         .writeStream.format("memory").queryName(name)
+        // explicit checkpoint dir (vs the "temporary location created"
+        // WARN + leaked /tmp dir a default checkpoint brings)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
       s.table(name).orderBy("window_start", "event_type")

@@ -13,14 +13,65 @@ object Verify {
     * in the driver-visible tail, so route that one logger to ERROR in
     * the two mains only — tests keep the warning, so an ACCIDENTAL
     * global window added later still surfaces in `sbt test` output. */
-  def quietDeliberateWindowWarn(): Unit =
+  def quietDeliberateWindowWarn(): Unit = {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // st_stream_exec adds two more benign, by-construction messages:
+    // MicroBatchExecution's "Disabling AQE ... stateful workloads"
+    // (inherent to any stateful stream) and DAGScheduler's "Failed to
+    // cancel job group" (the stop() after processAllAvailable races a
+    // query with no active jobs — nothing was lost). The DAGScheduler
+    // filter is message-targeted so its real warnings still surface.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      org.apache.logging.log4j.Level.ERROR)
+    // "spark.sql.adaptive.enabled is not supported in streaming" — the
+    // session-wide AQE flag is right for the 83 batch queries; Spark
+    // disabling it per-stream is the designed behavior, not a defect
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+      org.apache.logging.log4j.Level.ERROR)
+    // "Asked to cache already cached data" IS the ml_stack/ml_cv design:
+    // repeated invocations dedup through CacheManager's canonicalized
+    // plans instead of accumulating checkpoints (QueriesMl rationale)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager",
+      org.apache.logging.log4j.Level.ERROR)
+    // hadoop's NativeCodeLoader startup WARN: same environmental class
+    // — no native-hadoop lib in the container, builtin-java is the path
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.hadoop.util.NativeCodeLoader",
+      org.apache.logging.log4j.Level.ERROR)
+    // netlib's "Failed to load implementation" pair at first MLlib fit:
+    // no native BLAS exists in this environment; the Java fallback is
+    // the only path, so the message carries no action
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "dev.ludovic.netlib", org.apache.logging.log4j.Level.ERROR)
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.Filter
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.RegexFilter
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val dag = "org.apache.spark.scheduler.DAGScheduler"
+    val lc = cfg.getLoggerConfig(dag) match {
+      case existing if existing.getName == dag => existing
+      case _ =>
+        val fresh = new LoggerConfig(dag, null, true)
+        cfg.addLogger(dag, fresh); fresh
+    }
+    lc.addFilter(RegexFilter.createFilter(
+      ".*Failed to cancel job group.*", null, java.lang.Boolean.FALSE,
+      Filter.Result.DENY, Filter.Result.NEUTRAL))
+    ctx.updateLoggers()
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    quietDeliberateWindowWarn() // BEFORE the session: NativeCodeLoader logs at startup
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -34,6 +85,10 @@ object Verify {
       // rebuilds a micros timestamp.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // wide geometry plans (640 slice refs in a_native_tencrop's
+      // analyzed plan) trip the default 25-field toString truncation
+      // WARN; the plan text is debug-only either way
+      .config("spark.sql.debug.maxToStringFields", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     quietDeliberateWindowWarn()
