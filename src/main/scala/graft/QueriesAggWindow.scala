@@ -108,6 +108,31 @@ object QueriesAggWindow {
       .orderBy("l_returnflag"),
     None)
 
+  /** Approximate percentile sketch (the 100 TB path for quantiles —
+    * Greenwald-Khanna with bounded accuracy, one pass, mergeable
+    * partials) gated against its exact twin computed in the same
+    * query: the sketch's rank error is ≤ 1/accuracy of the row count,
+    * so |approx − exact| must stay within the value spread of that
+    * rank window. Rows-only like g_approx_distinct — the sketch is
+    * engine-internal — but falsifiable in-gate via quality_ok. */
+  val gApproxPercentile: Entry = Entry("g_approx_percentile",
+    (s, d) => li(s, d).groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("quality_ok",
+        // rank error 1/1000 of n_rows; bound the VALUE error by that
+        // rank slice of the (lo, hi) spread with a 2× safety factor —
+        // loose enough to be stable, tight enough that a broken sketch
+        // (constant, swapped column, off-by-10× rank) fails
+        abs(col("approx_p50") - col("exact_p50")) <=
+          (col("hi") - col("lo")) * lit(0.02) + lit(1e-6))
+      .orderBy("l_returnflag"),
+    None)
+
   /** G1 fold assignment as a query: deterministic stratified K-fold via
     * row_number over (label, key) — oracle-expressible (W2). */
   val g1FoldAssign: Entry = Entry("g1_fold_assign",
@@ -246,6 +271,7 @@ object QueriesAggWindow {
 
   val all: Seq[Entry] = Seq(
     gCube, gRollup, oExcept, oIntersect, oDistinct, gApproxDistinct,
+    gApproxPercentile,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution)
 }

@@ -244,8 +244,9 @@ object QueriesPipeline {
     * integer counts cross the UDF boundary and the two ratios are each
     * a single double division + round, mirrored exactly in the oracle.
     * Scale: pure projection — no shuffle, runs inside the scan stage. */
-  val txRepetition: Entry = {
-    val repUdf = udf((text: String) => {
+  /** (n_3grams, distinct_3grams, n_words, top_word_count) in one JVM
+    * pass — shared by tx_repetition and pl_clean_corpus. */
+  private val repUdf = udf((text: String) => {
       val n = text.length
       val n3 = math.max(n - 2, 0)
       val seen = new java.util.HashSet[String](math.max(16, n3 * 2))
@@ -260,7 +261,9 @@ object QueriesPipeline {
         if (c > top) top = c
       }
       (n3, seen.size, nw, top)
-    })
+  })
+
+  val txRepetition: Entry = {
     Entry("tx_repetition",
       (s, d) => docs(s, d)
         .select(col("doc_id"), repUdf(col("text")).as("r"))
@@ -292,6 +295,54 @@ object QueriesPipeline {
         |FROM g LEFT JOIN t ON g.doc_id = t.doc_id
         |ORDER BY g.doc_id""".stripMargin))
   }
+
+  /** The pipeline COMPOSED end-to-end — what the engine exists for at
+    * 100 TB: corpus (with planted duplicates) → exact dedup
+    * (digest-keyed, ids-only shuffle) → Gopher-style quality filter
+    * (repetition + length cuts, thresholds at the corpus median so the
+    * filter provably bites) → kept documents. The oracle replays the
+    * whole chain in SQL, so a regression in ANY stage — dedup keeping
+    * the wrong id, a metric drifting, a filter flipping — fails one
+    * hash. Every stage is shuffle-minimal: dedup groups on (digest,
+    * length), metrics are a pure projection, the filter is a scan
+    * predicate. */
+  val plCleanCorpus: Entry = Entry("pl_clean_corpus",
+    (s, d) => {
+      val kept = dupCorpus(s, d)
+        .select(col("doc_id"), col("text"),
+          xxhash64(col("text")).as("dg"), length(col("text")).as("tl"))
+        .groupBy("dg", "tl")
+        // texts within a (digest, length) group are identical by
+        // construction, so first() is deterministic here
+        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      kept.select(col("doc_id"), repUdf(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r._3").as("n_words"),
+          round(lit(1.0) - col("r._2").cast("double") / col("r._1"), 6).as("char3_rep"),
+          round(col("r._4").cast("double") / col("r._3"), 6).as("top_word_frac"))
+        .where(col("char3_rep") < 0.5 && col("top_word_frac") < 0.12 &&
+          col("n_words") >= 15)
+        .orderBy("doc_id")
+    },
+    Some("""WITH all_docs AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+      |k AS (SELECT min(doc_id) AS doc_id, text FROM all_docs GROUP BY text),
+      |w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM k),
+      |c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+      |t AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_words FROM c GROUP BY 1),
+      |g AS (SELECT doc_id, greatest(length(text) - 2, 0) AS n3,
+      |  len(list_distinct(list_transform(range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3)))) AS uniq3
+      |  FROM k),
+      |m AS (SELECT g.doc_id, CAST(n_words AS INT) AS n_words,
+      |  round(1.0 - CAST(uniq3 AS DOUBLE) / n3, 6) AS char3_rep,
+      |  round(CAST(top_cnt AS DOUBLE) / n_words, 6) AS top_word_frac
+      | FROM g JOIN t ON g.doc_id = t.doc_id)
+      |SELECT doc_id, n_words, char3_rep, top_word_frac FROM m
+      |WHERE char3_rep < 0.5 AND top_word_frac < 0.12 AND n_words >= 15
+      |ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------------------- similarity
   /** Exact brute-force cosine top-k against a probe vector (the
@@ -442,6 +493,6 @@ object QueriesPipeline {
 
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash,
-    txStats, txLangid, txTokens, txRepetition,
+    txStats, txLangid, txTokens, txRepetition, plCleanCorpus,
     simTopk, simAnnLsh, simAnnIvf, simNearDup, mmDecode)
 }
