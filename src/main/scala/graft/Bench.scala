@@ -105,18 +105,24 @@ object Bench {
       .mkString("{", ",", "}")
     def passTotal(p: Map[String, (Double, Option[String])]) =
       fmt(p.values.map(_._1).filter(_ >= 0).sum, 3)
-    def line(dec: Int): String = {
+    // printed line: errors dict only when non-empty, pass totals only in
+    // the file — every byte spent on always-empty fields narrows the
+    // per-query precision the 1900-char budget can afford
+    def line(dec: Int, full: Boolean): String = {
       val qs = results.map { case (k, (t, _)) => s"${q(k)}:${fmt(t, dec)}" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr,"errors":$errs,"passes":[${passTotal(pass1)},${passTotal(pass2)}],"sf":"$sfDir"}"""
+      val extra = (if (nErr > 0 || full) s""","errors":$errs""" else "") +
+        (if (full) s""","passes":[${passTotal(pass1)},${passTotal(pass2)}]""" else "")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr$extra,"sf":"$sfDir"}"""
     }
     try {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve("bench_last.json"),
-        line(3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        line(3, full = true).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(Seq(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(1)))
+    println(Seq(3, 2, 1).map(line(_, full = false)).find(_.length <= 1900)
+      .getOrElse(line(1, full = false)))
     spark.stop()
   }
 }
