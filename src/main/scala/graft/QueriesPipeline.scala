@@ -308,15 +308,19 @@ object QueriesPipeline {
     * predicate. */
   val plCleanCorpus: Entry = Entry("pl_clean_corpus",
     (s, d) => {
+      // metrics BEFORE the exchange: the repetition counts are a pure
+      // scan-stage projection, so the dedup shuffle carries (digest,
+      // length, id, 4 ints) ≈ 36 B rows instead of the document text —
+      // the dd_exact principle, kept through the composed pipeline.
+      // Copies have identical text hence identical metrics, so first()
+      // over the group is deterministic; the recompute-on-duplicates
+      // cost is the standard projection-before-exchange trade.
       val kept = dupCorpus(s, d)
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"), repUdf(col("text")).as("r"),
           xxhash64(col("text")).as("dg"), length(col("text")).as("tl"))
         .groupBy("dg", "tl")
-        // texts within a (digest, length) group are identical by
-        // construction, so first() is deterministic here
-        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
-      kept.select(col("doc_id"), repUdf(col("text")).as("r"))
-        .select(col("doc_id"),
+        .agg(min(col("doc_id")).as("doc_id"), first(col("r")).as("r"))
+      kept.select(col("doc_id"),
           col("r._3").as("n_words"),
           round(lit(1.0) - col("r._2").cast("double") / col("r._1"), 6).as("char3_rep"),
           round(col("r._4").cast("double") / col("r._3"), 6).as("top_word_frac"))
