@@ -296,6 +296,64 @@ object QueriesPipeline {
         |ORDER BY g.doc_id""".stripMargin))
   }
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    * scheme): a polynomial rolling hash over char-3-grams, then the
+    * minimum hash of each sliding window of 8 — the fingerprint SET is
+    * what plagiarism/dup detectors index, robust to local edits in a
+    * way one whole-document digest (tx_tokens' md5) is not. Integer
+    * outputs: hashes stay < 2^17 (ASCII chars, 31-polynomial, no
+    * masking subtleties), the distinct-set sum is exact integer
+    * arithmetic — both engines replay it bit-for-bit. One JVM pass with
+    * an O(n) sliding minimum; scale shape is a pure projection. */
+  val txFingerprint: Entry = {
+    val winUdf = udf((text: String) => {
+      val n = text.length
+      val n3 = math.max(n - 2, 0)
+      val h = new Array[Int](n3)
+      var i = 0
+      while (i < n3) {
+        h(i) = text.charAt(i) * 961 + text.charAt(i + 1) * 31 + text.charAt(i + 2)
+        i += 1
+      }
+      val w = 8
+      val fps = new java.util.TreeSet[Integer]()
+      if (n3 >= w) {
+        // O(n) sliding-window minimum via monotonic deque
+        val dq = new java.util.ArrayDeque[Int]()
+        var j = 0
+        while (j < n3) {
+          while (!dq.isEmpty && h(dq.peekLast()) >= h(j)) dq.pollLast()
+          dq.addLast(j)
+          if (dq.peekFirst() <= j - w) dq.pollFirst()
+          if (j >= w - 1) fps.add(h(dq.peekFirst()))
+          j += 1
+        }
+      }
+      var sum = 0L
+      val it = fps.iterator()
+      while (it.hasNext) sum += it.next().toLong
+      (fps.size, sum)
+    })
+    Entry("tx_fingerprint",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), winUdf(col("text")).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_fp"), col("r._2").as("fp_sum"))
+        .orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(length(text) - 1, 1)), i ->
+        |    ascii(substr(text, CAST(i AS INT), 1)) * 961 +
+        |    ascii(substr(text, CAST(i + 1 AS INT), 1)) * 31 +
+        |    ascii(substr(text, CAST(i + 2 AS INT), 1))) AS h
+        | FROM documents),
+        |f AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(h) - 6, 1)),
+        |    i -> list_min(h[CAST(i AS INT):CAST(i + 7 AS INT)]))) AS fps
+        | FROM g)
+        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+        | CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
+        |FROM f ORDER BY doc_id""".stripMargin))
+  }
+
   /** The pipeline COMPOSED end-to-end — what the engine exists for at
     * 100 TB: corpus (with planted duplicates) → exact dedup
     * (digest-keyed, ids-only shuffle) → Gopher-style quality filter
@@ -497,6 +555,6 @@ object QueriesPipeline {
 
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash,
-    txStats, txLangid, txTokens, txRepetition, plCleanCorpus,
+    txStats, txLangid, txTokens, txRepetition, txFingerprint, plCleanCorpus,
     simTopk, simAnnLsh, simAnnIvf, simNearDup, mmDecode)
 }
