@@ -157,6 +157,68 @@ object QueriesStreaming {
       |FROM events GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin))
 
+  /** The custom-state sessionizer under REAL incremental execution —
+    * the flatMapGroupsWithState machine driven by a file-source
+    * readStream with event-time timeouts, its emitted set pinned by an
+    * oracle that models streaming finalization exactly: a session
+    * emits if a later same-user event closed it (every session but the
+    * user's last) OR the end-of-input watermark strictly passed its
+    * timeout (`end < max event time` — Spark fires event-time timeouts
+    * on `timeout < watermark`, and with a 0s delay the final watermark
+    * is the max event time). The user's trailing session otherwise
+    * stays in state — that asymmetry vs batch is the semantics under
+    * test, not an approximation. Times are in the machine's native
+    * milliseconds (`setTimeoutTimestamp` is ms-pinned), so the oracle
+    * works in `epoch_ms` — both sides floor the same micros. */
+  val stStreamSessionExec: Entry = Entry("st_stream_session_exec",
+    (s, d) => {
+      import s.implicits._
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      val stage = java.nio.file.Paths.get(
+        "target/tmp/stream_src_" + d.replaceAll("[^0-9a-zA-Z]", "_"))
+      java.nio.file.Files.createDirectories(stage)
+      val dst = stage.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(dst)) java.nio.file.Files.copy(src, dst)
+      val raw = s.readStream
+        .schema(s.read.parquet(src.toString).schema)
+        .parquet(stage.toAbsolutePath.toString)
+      val stream =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val events = stream
+        .select(col("user_id").cast("long").as("userId"), col("ts").as("eventTime"))
+        .withWatermark("eventTime", "0 seconds")
+        .as[StreamingOps.SessionEvent]
+      val name = s"st_sess_exec_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val q = StreamingOps.sessionizeWithState(events, gapMs = 8L * 3600 * 1000)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
+          col("endMs").as("end_ms"), col("n"))
+        .orderBy("user_id", "start_ms")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS m FROM events),
+      |o AS (SELECT user_id, m,
+      |  CASE WHEN lag(m) OVER w IS NULL OR m - lag(m) OVER w >= 28800000 THEN 1
+      |       ELSE 0 END AS brk
+      | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY m)),
+      |s AS (SELECT user_id, m,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY m
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      | FROM o),
+      |g AS (SELECT user_id, min(m) AS start_ms, max(m) + 28800000 AS end_ms,
+      |  count(*) AS n FROM s GROUP BY user_id, sid),
+      |l AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY start_ms DESC) AS rn
+      | FROM g),
+      |mx AS (SELECT max(m) AS maxm FROM e)
+      |SELECT user_id, start_ms, end_ms, n FROM l, mx
+      |WHERE rn > 1 OR end_ms < maxm
+      |ORDER BY user_id, start_ms""".stripMargin))
+
   val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom,
-    stStreamExec)
+    stStreamExec, stStreamSessionExec)
 }
