@@ -414,8 +414,71 @@ object QueriesArrays {
         |ORDER BY id, crop_id""".stripMargin))
   }
 
+  /** A13 (full flip+rotate+zoom+shift) at NATIVE 75×75 resolution over
+    * the SAR fixture — the last geometry op still gated only at 8×8.
+    * Same oracle construction as a13_affine (masked-LCG draw streams,
+    * libm cos/sin, generalized inverse-map bilinear replay) at S=75,
+    * center 37.0. Libm-drift safety at this scale is pinned by the
+    * AffineSpec fixture-domain margin sweep (min distance of every
+    * sample coordinate from a floor boundary > 1e-7 across all 40 ids
+    * × 5625 px — the full-seed-domain guarantee cannot transfer to
+    * 75×75, the fixture-domain one is what the oracle actually needs). */
+  val aNativeAffine: Entry = {
+    val S = SarFixture.W          // 75
+    val c0 = (S - 1) / 2.0        // 37.0
+    def lcgSql(stream: Int): String =
+      s"((((vec_id & 65535) * 131071 + $stream) & 16777215) * 1103515245 + 12345) & 2147483647"
+    val rad30 = math.toRadians(30).toString
+    val flip = s"list_transform(range(0, ${S * S}), i -> b[(i // $S) * $S + ($S - (i % $S))])"
+    Entry("a_native_affine",
+      (s, d) => {
+        SarFixture.ensure()
+        Ingest.readSarJson(s, SarFixture.path)
+          .select(substring(col("id"), 2, 3).cast("long").as("vec_id"), col("band_1"))
+          .select(col("vec_id"),
+            round(arraySum(ImageGeometry.augmentFullUdf(
+              col("band_1"), lit(S), col("vec_id"), lit(0))), 6).as("aug_sum"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT CAST(substr(id, 2) AS BIGINT) AS vec_id, band_1 AS b
+        |  FROM read_json('${SarFixture.path}',
+        |  columns = {id: 'VARCHAR', band_1: 'DOUBLE[]', band_2: 'DOUBLE[]',
+        |             inc_angle: 'VARCHAR', is_iceberg: 'INTEGER'})),
+        |d AS (SELECT vec_id, b,
+        |  ${lcgSql(0)} AS l0, ${lcgSql(1)} AS l1, ${lcgSql(2)} AS l2,
+        |  ${lcgSql(3)} AS l3, ${lcgSql(4)} AS l4
+        | FROM e),
+        |par AS (SELECT vec_id,
+        |  CASE WHEN l0 < 1073741824 THEN $flip ELSE b END AS aug,
+        |  (CAST(l1 AS DOUBLE) / 2147483648.0 * 2 - 1) * $rad30 AS theta,
+        |  0.75 + CAST(l2 AS DOUBLE) / 2147483648.0 * 0.5 AS zoom,
+        |  (CAST(l3 AS DOUBLE) / 2147483648.0 * 2 - 1) * 0.2 AS shx,
+        |  (CAST(l4 AS DOUBLE) / 2147483648.0 * 2 - 1) * 0.2 AS shy
+        | FROM d),
+        |pr AS (SELECT vec_id, aug, cos(-theta) AS ct, sin(-theta) AS st,
+        |  1.0 / zoom AS iz, shx, shy FROM par),
+        |sxy AS (SELECT vec_id, aug, list_transform(range(0, ${S * S}), i -> struct_pack(
+        |    px := ((CAST(i % $S AS DOUBLE) - $c0 - shx * $S) * ct - (CAST(i // $S AS DOUBLE) - $c0 - shy * $S) * st) * iz + $c0,
+        |    py := ((CAST(i % $S AS DOUBLE) - $c0 - shx * $S) * st + (CAST(i // $S AS DOUBLE) - $c0 - shy * $S) * ct) * iz + $c0)) AS sl
+        | FROM pr),
+        |g AS (SELECT vec_id, aug, list_transform(sl, s -> struct_pack(
+        |    x0 := greatest(0, least(${S - 1}, CAST(floor(s.px) AS INT))),
+        |    y0 := greatest(0, least(${S - 1}, CAST(floor(s.py) AS INT))),
+        |    x1 := least(${S - 1}, greatest(0, least(${S - 1}, CAST(floor(s.px) AS INT))) + 1),
+        |    y1 := least(${S - 1}, greatest(0, least(${S - 1}, CAST(floor(s.py) AS INT))) + 1),
+        |    fx := greatest(0.0, least(1.0, s.px - greatest(0, least(${S - 1}, CAST(floor(s.px) AS INT))))),
+        |    fy := greatest(0.0, least(1.0, s.py - greatest(0, least(${S - 1}, CAST(floor(s.py) AS INT)))))) ) AS gl
+        | FROM sxy)
+        |SELECT vec_id, round(list_sum(list_transform(gl, p ->
+        |  aug[p.y0 * $S + p.x0 + 1] * (1 - p.fx) * (1 - p.fy)
+        |  + aug[p.y0 * $S + p.x1 + 1] * p.fx * (1 - p.fy)
+        |  + aug[p.y1 * $S + p.x0 + 1] * (1 - p.fx) * p.fy
+        |  + aug[p.y1 * $S + p.x1 + 1] * p.fx * p.fy)), 6) AS aug_sum
+        |FROM g ORDER BY vec_id""".stripMargin))
+  }
+
   val all: Seq[Entry] = Seq(
     a2BandAlgebra, a7Normalize, a9IsoMask, a10SizeFeature,
     gRowStats, g8Median, a12TenCrop, a8Resize, a13Augment, g10TtaMean,
-    a13Affine, aNative75, aNativeTenCrop)
+    a13Affine, aNative75, aNativeTenCrop, aNativeAffine)
 }

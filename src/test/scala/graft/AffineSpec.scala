@@ -87,6 +87,44 @@ class AffineSpec extends AnyFunSuite with Matchers {
     minMargin should be > 1e-9
   }
 
+  test("a_native_affine fixture ids keep a safe floor margin at 75x75") {
+    // The native-resolution affine entry (a_native_affine) replays
+    // cos/sin + floor at 75×75. The FULL-domain sweep above cannot
+    // transfer: 65536 seeds × 5625 px ≈ 368M samples would crowd the
+    // fractional space to ~1e-9 of the boundaries. The entry, however,
+    // evaluates exactly 40 fixture ids — this pins the margin for that
+    // actual domain (expected ~1/(40·5625·2) ≈ 2e-6) so the oracle
+    // stays libm-drift-proof on the data it runs on.
+    val W = 75; val c0 = (W - 1) / 2.0
+    var minMargin = Double.MaxValue
+    var id = 1L
+    while (id <= 40L) {
+      def draw(stream: Int): Double =
+        lcg((id & 0xffffL) * 131071L + stream).toDouble / 0x80000000L.toDouble
+      val theta = (draw(1) * 2 - 1) * math.toRadians(30)
+      val zoom = 0.75 + draw(2) * 0.5
+      val shX = (draw(3) * 2 - 1) * 0.2
+      val shY = (draw(4) * 2 - 1) * 0.2
+      val cosT = math.cos(-theta); val sinT = math.sin(-theta); val invZ = 1.0 / zoom
+      var r = 0
+      while (r < W) {
+        var c = 0
+        while (c < W) {
+          val dx = c - c0 - shX * W
+          val dy = r - c0 - shY * W
+          val sx = (dx * cosT - dy * sinT) * invZ + c0
+          val sy = (dx * sinT + dy * cosT) * invZ + c0
+          val m = math.min(math.abs(sx - math.rint(sx)), math.abs(sy - math.rint(sy)))
+          if (m < minMargin) minMargin = m
+          c += 1
+        }
+        r += 1
+      }
+      id += 1
+    }
+    minMargin should be > 1e-7
+  }
+
   test("augmentFull is deterministic in (id, epoch) and varies across both") {
     val a = (1 to 64).map(_.toDouble).toArray
     augmentFull(a, 8, 7L, 2) shouldBe augmentFull(a, 8, 7L, 2)
