@@ -106,6 +106,11 @@ object QueriesStreaming {
 
   private val execSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** Streaming EXECUTION under the oracle (not just the shared plan
     * fragment): the same tumbling transform st_tumbling checks in
     * batch, driven through a real file-source readStream micro-batch
@@ -149,7 +154,12 @@ object QueriesStreaming {
         // WARN + leaked /tmp dir a default checkpoint brings)
         .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        // the checkpoint is single-use (name is per-run unique): drop it
+        // so repeated bench/verify runs don't accumulate dirs
+        deleteRecursively(new java.io.File(s"target/tmp/ckpt_$name"))
+      }
       s.table(name).orderBy("window_start", "event_type")
     },
     Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
@@ -195,7 +205,12 @@ object QueriesStreaming {
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        // the checkpoint is single-use (name is per-run unique): drop it
+        // so repeated bench/verify runs don't accumulate dirs
+        deleteRecursively(new java.io.File(s"target/tmp/ckpt_$name"))
+      }
       s.table(name)
         .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
           col("endMs").as("end_ms"), col("n"))
