@@ -97,8 +97,12 @@ object Bench {
     // per-query precision (3 → 2 → 1 decimals) until the line fits
     // 1900; the full 3-decimal line always lands in
     // target/bench_last.json for local tooling (tools/bench_compare.py).
+    // Locale.ROOT: the default-locale overload renders a comma decimal
+    // separator under e.g. LANG=de_DE, corrupting the JSON line AND
+    // bench_last.json
     def fmt(t: Double, dec: Int): String =
-      if (t < 0) "-1" else String.format(s"%.${dec}f", Double.box(t))
+      if (t < 0) "-1"
+      else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(t))
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val nErr = results.count(_._2._2.isDefined)
     val errs = results.collect { case (k, (_, Some(e))) => s"${q(k)}:${q(e)}" }

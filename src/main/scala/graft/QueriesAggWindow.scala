@@ -110,27 +110,41 @@ object QueriesAggWindow {
 
   /** Approximate percentile sketch (the 100 TB path for quantiles —
     * Greenwald-Khanna with bounded accuracy, one pass, mergeable
-    * partials) gated against its exact twin computed in the same
-    * query: the sketch's rank error is ≤ 1/accuracy of the row count,
-    * so |approx − exact| must stay within the value spread of that
-    * rank window. Rows-only like g_approx_distinct — the sketch is
-    * engine-internal — but falsifiable in-gate via quality_ok. */
+    * partials) gated on the guarantee the sketch ACTUALLY makes: the
+    * returned value sits at some rank within n·q ± n/accuracy. A value
+    * -error bound (|approx − exact| vs a slice of the spread) does NOT
+    * follow from that — a distribution with a value jump at the median
+    * can legally produce a value error near the full spread — so the
+    * gate counts ranks instead: approx_p50's occupied rank interval
+    * (rows < it, rows ≤ it] must intersect [n/2 − n/1000, n/2 +
+    * n/1000] (+1 slack for rank-convention off-by-one). Distribution-
+    * free, and drops the exact-percentile twin (which buffers every
+    * group value — the thing the sketch exists to avoid). Rows-only
+    * like g_approx_distinct — the sketch is engine-internal — but
+    * falsifiable in-gate via quality_ok.
+    *
+    * Scale: the rank count is a second scan joined to the O(groups)
+    * sketch output via broadcast — both passes are map-side partial
+    * aggregations; nothing buffers raw values. */
   val gApproxPercentile: Entry = Entry("g_approx_percentile",
-    (s, d) => li(s, d).groupBy("l_returnflag")
-      .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-        min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi"),
-        count(lit(1)).as("n_rows"))
-      .withColumn("quality_ok",
-        // rank error 1/1000 of n_rows; bound the VALUE error by that
-        // rank slice of the (lo, hi) spread with a 2× safety factor —
-        // loose enough to be stable, tight enough that a broken sketch
-        // (constant, swapped column, off-by-10× rank) fails
-        abs(col("approx_p50") - col("exact_p50")) <=
-          (col("hi") - col("lo")) * lit(0.02) + lit(1e-6))
-      .orderBy("l_returnflag"),
+    (s, d) => {
+      val base = li(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+      val sketch = base.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_p50"),
+          count(lit(1)).as("n_rows"))
+      base.join(broadcast(sketch), "l_returnflag")
+        .groupBy("l_returnflag", "approx_p50", "n_rows")
+        .agg(
+          sum(when(col("l_extendedprice") < col("approx_p50"), 1L).otherwise(0L))
+            .as("rank_below"),
+          sum(when(col("l_extendedprice") <= col("approx_p50"), 1L).otherwise(0L))
+            .as("rank_at"))
+        .withColumn("quality_ok",
+          col("rank_at") >= col("n_rows") * 0.5 - col("n_rows") / 1000.0 - 1 &&
+            col("rank_below") <= col("n_rows") * 0.5 + col("n_rows") / 1000.0 + 1)
+        .orderBy("l_returnflag")
+    },
     None)
 
   /** G1 fold assignment as a query: deterministic stratified K-fold via

@@ -34,6 +34,18 @@ object QueriesEnsemble {
   private val Ms = Seq(37, 71, 113) // ensemble members
   private val BaseK = 53 // the "best base" submission
 
+  /** Cache-key version for the target/tmp CSV fixtures below: the
+    * cached bytes are a pure function of (d) AND of the generating
+    * constants, so those constants fold into the directory name —
+    * changing Ms/BaseK (or bumping `gen` when the member/submission
+    * FORMULA code itself changes) retargets the cache instead of
+    * silently serving stale fixtures against an updated oracle. */
+  private val fixtureVer: String = {
+    val gen = 1 // bump on any change to the pm/stack/fold write formulas
+    val sig = s"g$gen;Ms=${Ms.mkString("_")};B=$BaseK;K=3;fmt=6"
+    (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
+  }
+
   /** J1/P5: three per-model frames joined N-way on the key, then the
     * preds array column (the reference's concat-on-index, P4/P5). */
   private def predsFrame(s: SparkSession, d: String): DataFrame = {
@@ -94,7 +106,7 @@ object QueriesEnsemble {
     * oracle checks the full sink→scan loop including the formatting. */
   val s4CsvRoundtrip: Entry = Entry("s4_csv_roundtrip",
     (s, d) => {
-      val out = "target/tmp/csv_rt_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      val out = s"target/tmp/csv_rt_${fixtureVer}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
       // S5 load-if-exists (main.py:93): the submission CSV is a pure
       // function of (d); once a complete write exists (_SUCCESS), later
       // runs — the second bench pass, repeated verifies — time the
@@ -128,7 +140,7 @@ object QueriesEnsemble {
     * lost or doubled through the sink→scan loop — both oracle-stable. */
   val s3Provenance: Entry = Entry("s3_provenance",
     (s, d) => {
-      val out = "target/tmp/csv_prov_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      val out = s"target/tmp/csv_prov_${fixtureVer}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
       // S5 load-if-exists: input fixture, same rationale as s4CsvRoundtrip
       if (!new java.io.File(s"$out/_SUCCESS").isFile)
         tbl(s, d, "nation").select(col("n_nationkey"), col("n_name"))
@@ -170,7 +182,7 @@ object QueriesEnsemble {
     }
     Entry("ens_fold_dirs",
       (s, d) => {
-        val base = "target/tmp/fold_stack_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+        val base = s"target/tmp/fold_stack_${fixtureVer}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
         // SETUP — the upstream per-fold submission writers the reference
         // assumes already ran: fold_<f>/m<i> member CSVs, 6-dp formatted.
         // S5 load-if-exists (main.py:93): each member is a pure function
@@ -192,10 +204,14 @@ object QueriesEnsemble {
           }
         }
         // the tested loop: DISCOVER each fold dir's members by listing
-        // (not by assuming Ms) — a member dir dropped on disk would join in
+        // (not by assuming Ms) — a member dir dropped on disk would join
+        // in. The m<i> name filter mirrors the reference's
+        // listdir+pattern member selection and keeps stray dirs (an
+        // aborted write's temp dir, an experiment) out of the stack.
         val perFold = (0 until K).map { f =>
           val memberDirs = new java.io.File(s"$base/fold_$f").listFiles()
-            .filter(_.isDirectory).map(_.getName).sorted
+            .filter(x => x.isDirectory && x.getName.matches("m\\d+"))
+            .map(_.getName).sorted
           val members = memberDirs.zipWithIndex.map { case (m, i) =>
             // schema known (submission format); discovery is the DIR
             // listing above, not schema inference — 9 header probes saved

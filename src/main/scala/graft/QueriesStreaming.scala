@@ -111,6 +111,38 @@ object QueriesStreaming {
     f.delete(): Unit
   }
 
+  /** FileStreamSource needs a DIRECTORY; the testdata tables are single
+    * parquet files, so stage a byte-identical copy once (load-if-exists,
+    * S5 semantics; temp-file + atomic move so a killed run can't leave a
+    * truncated copy that later exists()-checks trust) and return the
+    * ns→µs-rebuilt streaming frame — the same rebuild Tables.tbl applies
+    * on the batch side. private[graft]: StreamingSpec drives the same
+    * staged source, so one helper owns the copy+rebuild invariants. */
+  private[graft] def stagedEventsStream(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val stage = java.nio.file.Paths.get(
+      "target/tmp/stream_src_" + d.replaceAll("[^0-9a-zA-Z]", "_"))
+    java.nio.file.Files.createDirectories(stage)
+    val dst = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst)) {
+      val tmp = stage.resolve(s"events.parquet.tmp.${ProcessHandle.current().pid()}")
+      java.nio.file.Files.copy(src, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp): Unit
+      }
+    }
+    val raw = s.readStream
+      .schema(s.read.parquet(src.toString).schema)
+      .parquet(stage.toAbsolutePath.toString)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   /** Streaming EXECUTION under the oracle (not just the shared plan
     * fragment): the same tumbling transform st_tumbling checks in
     * batch, driven through a real file-source readStream micro-batch
@@ -127,20 +159,7 @@ object QueriesStreaming {
     * so repeated bench/verify runs don't collide. */
   val stStreamExec: Entry = Entry("st_stream_exec",
     (s, d) => {
-      val src = java.nio.file.Paths.get(s"$d/events.parquet")
-      val stage = java.nio.file.Paths.get(
-        "target/tmp/stream_src_" + d.replaceAll("[^0-9a-zA-Z]", "_"))
-      java.nio.file.Files.createDirectories(stage)
-      val dst = stage.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(dst)) java.nio.file.Files.copy(src, dst)
-      val raw = s.readStream
-        .schema(s.read.parquet(src.toString).schema)
-        .parquet(stage.toAbsolutePath.toString)
-      // same ns→µs rebuild Tables.tbl applies on the batch side
-      val stream =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val stream = stagedEventsStream(s, d)
       // name unique per JVM AND per run: the memory sink cannot recover
       // from an existing checkpoint, so a stale dir from a previous
       // process must never be reused
@@ -183,20 +202,7 @@ object QueriesStreaming {
   val stStreamSessionExec: Entry = Entry("st_stream_session_exec",
     (s, d) => {
       import s.implicits._
-      val src = java.nio.file.Paths.get(s"$d/events.parquet")
-      val stage = java.nio.file.Paths.get(
-        "target/tmp/stream_src_" + d.replaceAll("[^0-9a-zA-Z]", "_"))
-      java.nio.file.Files.createDirectories(stage)
-      val dst = stage.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(dst)) java.nio.file.Files.copy(src, dst)
-      val raw = s.readStream
-        .schema(s.read.parquet(src.toString).schema)
-        .parquet(stage.toAbsolutePath.toString)
-      val stream =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      val events = stream
+      val events = stagedEventsStream(s, d)
         .select(col("user_id").cast("long").as("userId"), col("ts").as("eventTime"))
         .withWatermark("eventTime", "0 seconds")
         .as[StreamingOps.SessionEvent]

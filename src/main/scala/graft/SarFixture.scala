@@ -49,12 +49,20 @@ object SarFixture {
   }
 
   /** Load-if-exists write (S5 semantics): repeated calls — bench
-    * passes, verify, tests — cost one stat(2) after the first. */
+    * passes, verify, tests — cost one stat(2) after the first. The
+    * write goes through a temp file + ATOMIC_MOVE: a bare writeString
+    * is not atomic, so a run killed mid-write would otherwise leave a
+    * truncated fixture that every later exists()-check trusts. */
   def ensure(): Unit = {
     val p = Paths.get(path)
     if (!Files.exists(p)) {
       Files.createDirectories(p.getParent)
-      Files.writeString(p, gen())
+      val tmp = p.resolveSibling(p.getFileName.toString + s".tmp.${ProcessHandle.current().pid()}")
+      Files.writeString(tmp, gen())
+      try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost a concurrent race: the winner's bytes are identical
+        case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp): Unit
+      }
     }
   }
 

@@ -62,9 +62,14 @@ object Verify {
         val fresh = new LoggerConfig(dag, null, true)
         cfg.addLogger(dag, fresh); fresh
     }
-    lc.addFilter(RegexFilter.createFilter(
-      ".*Failed to cancel job group.*", null, java.lang.Boolean.FALSE,
-      Filter.Result.DENY, Filter.Result.NEUTRAL))
+    // guard the install: both mains call this twice (pre-session for
+    // startup WARNs, post-session in case init reloaded the config), and
+    // addFilter ACCUMULATES into a CompositeFilter — only the DENY filter
+    // needs the once-per-config check; setLevel above is idempotent
+    if (lc.getFilter == null)
+      lc.addFilter(RegexFilter.createFilter(
+        ".*Failed to cancel job group.*", null, java.lang.Boolean.FALSE,
+        Filter.Result.DENY, Filter.Result.NEUTRAL))
     ctx.updateLoggers()
   }
 

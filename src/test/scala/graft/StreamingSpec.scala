@@ -121,20 +121,6 @@ class StreamingSpec extends SparkSpec {
     out shouldBe Seq((1L, 0L, 150L, 2L), (1L, 200L, 300L, 1L), (2L, 10L, 110L, 1L))
   }
 
-  /** FileStreamSource requires a DIRECTORY (basePath); the testdata
-    * tables are single parquet files, so stage a byte-identical copy
-    * under target/tmp once and stream from that dir. */
-  private def stagedEventsDir(dir: String): String = {
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val stage = java.nio.file.Paths.get(
-      "target/tmp/stream_events_" + dir.replaceAll("[^0-9a-zA-Z]", "_"))
-    java.nio.file.Files.createDirectories(stage)
-    val dst = stage.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst))
-      java.nio.file.Files.copy(src, dst)
-    stage.toAbsolutePath.toString
-  }
-
   test("file-source readStream over events.parquet: tumbling counts match batch") {
     // the gate's own data through a REAL file source (not MemoryStream):
     // the same StreamingOps.tumbling fragment the st_tumbling oracle
@@ -145,14 +131,9 @@ class StreamingSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists)
     val batch = Tables.tbl(spark, dir, "events")
-    val stream0 = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .parquet(stagedEventsDir(dir))
-    // same ns→µs rebuild Tables.tbl applies on the batch side
-    val stream =
-      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    // the shared staged source (atomic copy + ns→µs rebuild) the two
+    // st_stream_* entries use — one helper owns those invariants
+    val stream = QueriesStreaming.stagedEventsStream(spark, dir)
     def shape(df: org.apache.spark.sql.DataFrame) =
       StreamingOps.tumbling(df, col("ts"), col("event_type"), col("value"), "1 hour")
         .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
@@ -180,14 +161,7 @@ class StreamingSpec extends SparkSpec {
     assume(new java.io.File(s"$dir/events.parquet").exists)
     val gapMs = 8L * 3600 * 1000
     val batchEv = Tables.tbl(spark, dir, "events")
-    val stream0 = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .parquet(stagedEventsDir(dir))
-    val stream =
-      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
-    val events = stream
+    val events = QueriesStreaming.stagedEventsStream(spark, dir)
       .select(col("user_id").cast("long").as("userId"), col("ts").as("eventTime"))
       .withWatermark("eventTime", "0 seconds")
       .as[SessionEvent]
