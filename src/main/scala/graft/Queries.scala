@@ -169,6 +169,38 @@ object Queries {
       |FROM orders JOIN dim USING (o_orderpriority)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** J-asof: point-in-time join ([[graft.operators.AsOf]]) — for each
+    * purchase event, the most recent click by the same user at or
+    * before it (the "feature snapshot in effect at label time" shape).
+    * Clicks are pre-aggregated per (user, ts) so "most recent" is
+    * unique — the determinism contract ASOF engines leave implicit.
+    * Oracle: DuckDB's NATIVE ASOF LEFT JOIN over the same inputs — two
+    * independent implementations of the operator semantics. Both sides
+    * work at µs (Spark's ts rebuild truncates ns→µs; the oracle CASTs
+    * its TIMESTAMP_NS the same way BEFORE grouping/comparing, so
+    * sub-µs ordering can't diverge). */
+  val jAsof: Entry = Entry("j_asof",
+    (s, d) => {
+      val ev = tbl(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOf.asofJoin(purchases, clicks, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("asof.t").as("click_ts"), col("asof.click_value").as("click_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  max(value) AS click_value
+      | FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      | FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      | c.ts AS click_ts, c.click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin))
+
   /** O-topk + 3-way join: TPC-H Q3-shaped revenue top-10 (tie-broken).
     * The segment-filtered customer side is ~1/5 of a dimension table —
     * explicitly broadcast so at 100 TB the orders⋈lineitem fact side
@@ -290,7 +322,7 @@ object Queries {
   // Registry — batches append here.
   val all: Seq[Entry] = Seq(
     q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
-    j1Multiway, j2Semi, j3Anti, jSkewSalted, o1TopK, w3RankLag, gDistinct,
+    j1Multiway, j2Semi, j3Anti, jSkewSalted, jAsof, o1TopK, w3RankLag, gDistinct,
     fDates, fMath, fJson, fStrings) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++
     QueriesAggWindow.all ++ QueriesPipeline.all ++ QueriesStreaming.all ++

@@ -147,6 +147,36 @@ object QueriesAggWindow {
     },
     None)
 
+  /** Deterministic stratified sampling — the training-data primitive a
+    * 100 TB pipeline needs where `rand()`-based `sample()` cannot
+    * serve: reproducible across runs, retries, AND cluster sizes, and
+    * joinable (the same row lands in the same split everywhere, so a
+    * labels sample and a features sample agree without coordination).
+    * The coin is multiplicative-hash arithmetic on the row key — exact
+    * integer ops both engines replay bit-for-bit (a production run
+    * would swap in xxhash64 for better mixing; the per-stratum-rate
+    * STRUCTURE is what's under test). Rates per o_orderstatus: F 5%,
+    * O 2%, else 20%.
+    * Scale: a pure filter evaluated inside the scan stage — no
+    * shuffle, no window, no state; prunes before any downstream
+    * exchange, which is exactly why hash-split beats sort- or
+    * window-based splitting at scale. */
+  val gSampleStrat: Entry = Entry("g_sample_strat",
+    (s, d) => {
+      val bucket = (col("o_orderkey") * lit(1000003L)) % 1000L
+      val rate = when(col("o_orderstatus") === "F", 50L)
+        .when(col("o_orderstatus") === "O", 20L).otherwise(200L)
+      ord(s, d).filter(bucket < rate)
+        .select(col("o_orderkey"), col("o_orderstatus"), bucket.as("bucket"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+      | (o_orderkey * 1000003) % 1000 AS bucket
+      |FROM orders
+      |WHERE (o_orderkey * 1000003) % 1000 <
+      | CASE o_orderstatus WHEN 'F' THEN 50 WHEN 'O' THEN 20 ELSE 200 END
+      |ORDER BY o_orderkey""".stripMargin))
+
   /** G1 fold assignment as a query: deterministic stratified K-fold via
     * row_number over (label, key) — oracle-expressible (W2). */
   val g1FoldAssign: Entry = Entry("g1_fold_assign",
@@ -285,7 +315,7 @@ object QueriesAggWindow {
 
   val all: Seq[Entry] = Seq(
     gCube, gRollup, oExcept, oIntersect, oDistinct, gApproxDistinct,
-    gApproxPercentile,
+    gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution)
 }

@@ -296,6 +296,59 @@ object QueriesPipeline {
         |ORDER BY g.doc_id""".stripMargin))
   }
 
+  /** TF-IDF top terms per document — the inverted-index construction a
+    * retrieval/dedup pipeline runs over the corpus. Tokens explode to
+    * (doc, term) pairs; tf is one shuffle on (doc_id, term); the
+    * document-frequency table aggregates tf a second time but is
+    * vocabulary-sized (≪ corpus), so it BROADCASTS back onto tf and
+    * the per-doc top-k window reuses tf's (doc_id, term) clustering —
+    * two narrow shuffles total at any corpus size, never a join on the
+    * token stream. N arrives as a broadcast 1-row aggregate, not a
+    * driver-side count().
+    *
+    * The score is the log-free tf·N/df ratio: integer products and
+    * ONE exactly-rounded IEEE division, bit-identical in both engines.
+    * ln() would put libm bit-parity inside the gate (the a13_affine
+    * lesson), so the undamped ratio IS the tested semantic; the
+    * log-damped spelling is a one-expression swap in production.
+    * Top-3 per doc via row_number ordered by the ROUNDED score with a
+    * term tie-break; whitespace tokenization matches tx_tokens'
+    * n_ws_tokens convention, empty tokens dropped on both sides. */
+  val txTfidf: Entry = Entry("tx_tfidf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, d).select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", round(col("tf") * col("n_docs") / col("df"), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+          col("df"), col("score"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |t AS (SELECT doc_id, term, count(*) AS tf
+      |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+      |f AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (SELECT doc_id, t.term, tf, df,
+      |   round(tf * n_docs / df, 6) AS score
+      |  FROM t JOIN f USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number()
+      |   OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |  FROM sc)
+      |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df, score
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+
   /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
     * scheme): a polynomial rolling hash over char-3-grams, then the
     * minimum hash of each sliding window of 8 — the fingerprint SET is
@@ -555,6 +608,7 @@ object QueriesPipeline {
 
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash,
-    txStats, txLangid, txTokens, txRepetition, txFingerprint, plCleanCorpus,
+    txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
+    plCleanCorpus,
     simTopk, simAnnLsh, simAnnIvf, simNearDup, mmDecode)
 }
