@@ -201,6 +201,49 @@ object Queries {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin))
 
+  /** J-range: bucketed interval join ([[graft.operators.RangeJoin]]) —
+    * clicks landing inside each signup's 2-hour follow-on window,
+    * counted per signup, zero-match signups kept via a left re-attach.
+    * 30-minute buckets: each interval replicates onto ≤ 5 buckets and
+    * the work is ONE (user, bucket) equi-shuffle — vs the quadratic
+    * per-user point×interval filter Catalyst would plan for the raw
+    * range predicate. Times work in integer epoch-µs on both sides
+    * (exact bucket arithmetic; the oracle's CAST truncates ns→µs like
+    * the Spark rebuild). Oracle: DuckDB plans the naive BETWEEN join —
+    * fine at oracle scale — so the bucketed decomposition is checked
+    * against the declarative semantics, not a replay of itself. */
+  val jRangeBucketed: Entry = Entry("j_range_bucketed",
+    (s, d) => {
+      val base = tbl(s, d, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_type"), col("value"))
+      val hourUs = 3600L * 1000000L
+      val signups = base.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("t_us").as("lo"),
+          (col("t_us") + lit(2 * hourUs)).as("hi"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t_us"), col("value"))
+      val matched = graft.operators.RangeJoin.bucketedPointInterval(
+          clicks, signups, "user_id", "t_us", "lo", "hi", hourUs / 2)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks"), dsum(col("value")).as("sum_v"))
+      signups.join(matched, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("sum_v"), lit(0.0)).as("click_value_sum"))
+        .orderBy("event_id")
+    },
+    Some(s"""WITH e AS (SELECT event_id, user_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_type, value FROM events),
+      |s AS (SELECT event_id, user_id, t_us AS lo, t_us + 7200000000 AS hi
+      | FROM e WHERE event_type = 'signup'),
+      |c AS (SELECT user_id, t_us, value FROM e WHERE event_type = 'click')
+      |SELECT s.event_id, s.user_id,
+      | count(c.t_us) AS n_clicks,
+      | coalesce(${sqlDsum("c.value")}, 0.0) AS click_value_sum
+      |FROM s LEFT JOIN c
+      | ON c.user_id = s.user_id AND c.t_us >= s.lo AND c.t_us < s.hi
+      |GROUP BY s.event_id, s.user_id ORDER BY s.event_id""".stripMargin))
+
   /** O-topk + 3-way join: TPC-H Q3-shaped revenue top-10 (tie-broken).
     * The segment-filtered customer side is ~1/5 of a dimension table —
     * explicitly broadcast so at 100 TB the orders⋈lineitem fact side
@@ -322,7 +365,8 @@ object Queries {
   // Registry — batches append here.
   val all: Seq[Entry] = Seq(
     q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
-    j1Multiway, j2Semi, j3Anti, jSkewSalted, jAsof, o1TopK, w3RankLag, gDistinct,
+    j1Multiway, j2Semi, j3Anti, jSkewSalted, jAsof, jRangeBucketed,
+    o1TopK, w3RankLag, gDistinct,
     fDates, fMath, fJson, fStrings) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++
     QueriesAggWindow.all ++ QueriesPipeline.all ++ QueriesStreaming.all ++
