@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, MultiModal, Similarity}
+import graft.operators.{Components, Dedup, MultiModal, Similarity}
 import Queries.Entry
 import Tables.tbl
 
@@ -152,6 +152,94 @@ object QueriesPipeline {
       .orderBy("id_a", "id_b"),
     Some("""SELECT doc_id AS id_a, doc_id + 100000 AS id_b
       |FROM documents WHERE doc_id % 11 = 0 ORDER BY id_a, id_b""".stripMargin))
+
+  /** Dup-graph connected components: near-dup matching is pairwise but
+    * NOT transitive, so real dedup keeps one doc per *component* of the
+    * match graph (A~B, B~C collapse together even when A~C fails the
+    * threshold). The corpus plants exactly that shape: an A-variant
+    * (id+100000) = the first ceil(0.7·W) words of each doc_id % 7 == 0,
+    * and for doc_id % 14 == 0 a C-variant (id+200000) = the same
+    * truncation applied to A. Prefix shingles are a subset of the
+    * full-text shingles, so for a W-word doc the link similarities are
+    * |SA|/|SB| ≈ 0.7 (B~A, A~C, above τ = 0.55) while the skip pair
+    * B~C sits near 0.49 (below τ) — a genuine 3-chain.
+    *
+    * Plan: candidate pairs from a 2-word-prefix blocking key (an
+    * equi-join — the record-linkage "blocking" technique; the LSH
+    * generators above are the scale path when no blocking key exists),
+    * exact Jaccard verify on candidates only, then
+    * [[Components.connectedComponents]] (alternating large-star /
+    * small-star, O(log n) rounds). The oracle replays blocking + verify
+    * declaratively and closes the graph with a recursive CTE. */
+  val ddComponents: Entry = {
+    def chainCorpus(s: SparkSession, d: String): DataFrame = {
+      def prefix(t: org.apache.spark.sql.Column) = {
+        val w = split(t, " ")
+        array_join(slice(w, lit(1), ((size(w) * 7 + 9) / 10).cast("int")), " ")
+      }
+      val base = docs(s, d).select(col("doc_id").as("id"), col("text"))
+      base
+        .unionByName(base.where(col("id") % 7 === 0)
+          .select((col("id") + 100000).as("id"), prefix(col("text")).as("text")))
+        .unionByName(base.where(col("id") % 14 === 0)
+          .select((col("id") + 200000).as("id"),
+            prefix(prefix(col("text"))).as("text")))
+    }
+    // DuckDB twin of `prefix` over a list column named `l`.
+    def sqlPrefix(l: String) = s"array_to_string($l[1:(7*len($l)+9)//10], ' ')"
+    Entry("dd_components",
+      (s, d) => {
+        val corpus = chainCorpus(s, d)
+        val blk = corpus.withColumn("blk",
+          array_join(slice(split(col("text"), " "), 1, 2), " "))
+        val edges = blk.select(col("id").as("u"), col("text").as("ta"), col("blk"))
+          .join(blk.select(col("id").as("v"), col("text").as("tb"), col("blk")), Seq("blk"))
+          .where(col("u") < col("v"))
+          .where(coalesce(Dedup.jaccardText(col("ta"), col("tb")), lit(0.0)) >= 0.55)
+          .select("u", "v")
+        val comp = Components.connectedComponents(edges)
+        corpus.select(col("id")).join(comp, Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("component")))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE w0 AS (
+        | SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |corpus AS (
+        | SELECT doc_id AS id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000, ${sqlPrefix("w")} FROM w0 WHERE doc_id % 7 = 0
+        | UNION ALL
+        | SELECT doc_id + 200000, ${sqlPrefix("a")}
+        | FROM (SELECT doc_id, string_split(${sqlPrefix("w")}, ' ') AS a FROM w0)
+        | WHERE doc_id % 14 = 0),
+        |blk AS (SELECT id, text,
+        |  array_to_string((string_split(text, ' '))[1:2], ' ') AS b FROM corpus),
+        |cand AS (SELECT x.id AS ia, y.id AS ib,
+        |  string_split(x.text, ' ') AS wa, string_split(y.text, ' ') AS wb
+        | FROM blk x JOIN blk y ON x.b = y.b AND x.id < y.id),
+        |sh AS (SELECT ia, ib,
+        |  list_distinct(list_transform(range(1, len(wa) - 1),
+        |    i -> array_to_string(wa[i:i+2], ' '))) AS sa,
+        |  list_distinct(list_transform(range(1, len(wb) - 1),
+        |    i -> array_to_string(wb[i:i+2], ' '))) AS sb
+        | FROM cand),
+        |edges AS (SELECT ia AS u, ib AS v FROM sh
+        | WHERE coalesce(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(sa, sb))), 0.0) >= 0.55),
+        |bid AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        |reach(u, r) AS (
+        | SELECT u, v FROM bid
+        | UNION
+        | SELECT b2.u, r.r FROM bid b2 JOIN reach r ON b2.v = r.u),
+        |comp AS (SELECT u AS id, least(u, min(r)) AS component
+        | FROM reach GROUP BY u)
+        |SELECT c.id, coalesce(p.component, c.id) AS component,
+        | count(*) OVER (PARTITION BY coalesce(p.component, c.id)) AS cluster_size
+        |FROM corpus c LEFT JOIN comp p ON c.id = p.id
+        |ORDER BY c.id""".stripMargin))
+  }
 
   // ------------------------------------------------------------------- text
   /** Per-language corpus statistics (length / word count / stopword
@@ -607,7 +695,7 @@ object QueriesPipeline {
       |FROM m ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Entry] = Seq(
-    ddExact, ddNgramJaccard, ddMinhash, ddSimhash,
+    ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     plCleanCorpus,
     simTopk, simAnnLsh, simAnnIvf, simNearDup, mmDecode)
