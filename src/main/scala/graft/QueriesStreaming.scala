@@ -240,6 +240,125 @@ object QueriesStreaming {
       |WHERE rn > 1 OR end_ms < maxm
       |ORDER BY user_id, start_ms""".stripMargin))
 
+  /** Cache-key version for the staged two-batch document stream below:
+    * the staged bytes are a pure function of (d) and the slice formulas
+    * (dup offset, copy modulus), so those fold into the directory name —
+    * changing them retargets the cache instead of serving stale files
+    * against an updated oracle. */
+  private val docStreamVer: String = {
+    val gen = 1 // bump on any change to the slice/staging formulas
+    val sig = s"g$gen;dup=7;off=100000;files=2"
+    (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
+  }
+
+  /** Stage the incremental-ingestion fixture: batch file b0 = the base
+    * documents, b1 = planted exact copies (doc_id+100000 for
+    * doc_id%7==0 — the dd_exact dup slice). Two files + distinct mtimes
+    * + maxFilesPerTrigger=1 force two ordered micro-batches, so the
+    * dedup state genuinely crosses a batch boundary. Load-if-exists
+    * behind a _READY marker (S5 semantics); parts are written to temp
+    * dirs and atomically moved, marker last, so a killed run can't
+    * leave a half-staged dir that later exists()-checks trust. */
+  private def stagedDocBatches(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val stage = java.nio.file.Paths.get(
+      "target/tmp/stream_docs_" + d.replaceAll("[^0-9a-zA-Z]", "_") +
+        "_" + docStreamVer)
+    val ready = stage.resolve("_READY")
+    if (!java.nio.file.Files.exists(ready)) {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val slices = Seq(
+        "b0" -> docs,
+        "b1" -> docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      java.nio.file.Files.createDirectories(stage)
+      slices.zipWithIndex.foreach { case ((nm, df), i) =>
+        val dst = stage.resolve(s"$nm.parquet")
+        if (!java.nio.file.Files.exists(dst)) {
+          val tmp = stage.resolve(s"$nm.tmp.${ProcessHandle.current().pid()}")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).filter(p =>
+            p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+          try java.nio.file.Files.move(part, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          deleteRecursively(tmp.toFile)
+        }
+        // FileStreamSource orders by modification time: pin b0 strictly
+        // before b1 so batch order (and therefore which row the dedup
+        // state keeps) is deterministic, not copy-timing luck
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val tmp = stage.resolve(s"_READY.tmp.${ProcessHandle.current().pid()}")
+      java.nio.file.Files.writeString(tmp, "ok")
+      try java.nio.file.Files.move(tmp, ready,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp): Unit
+      }
+    }
+    stage.toAbsolutePath.toString
+  }
+
+  /** Incremental corpus-ingestion dedup under REAL streaming execution
+    * — the pattern a production pipeline runs when new crawl drops land
+    * next to an already-deduped corpus. A file-source stream of
+    * incoming documents (two micro-batches, see [[stagedDocBatches]])
+    * is digested (xxhash64+length, the dd_exact key: shuffle rows carry
+    * ~20 B, never the text), then stream-static LEFT ANTI joined
+    * against the known-corpus digest set BEFORE the stateful
+    * dropDuplicates — so the dedup state only ever holds digests that
+    * are novel vs the corpus, the order that keeps state bounded at
+    * 100 TB. (There, the static side is a broadcast/bucketed digest
+    * table and the state store would use dropDuplicatesWithinWatermark
+    * to bound retention; the finite fixture needs no watermark.)
+    *
+    * Deterministic because base texts are distinct (dd_exact proves
+    * 500 groups from 500 base docs): every planted b1 copy is dropped
+    * either by the anti-join (its source is in the known corpus) or by
+    * batch-0 state (its digest was seen), so survivors are exactly the
+    * base docs outside the known corpus — SQL-expressible, and the
+    * in-query `require` pins that ≥2 micro-batches actually ran, so
+    * the cross-batch state path cannot silently collapse into one
+    * batch. Known corpus = doc_id%3==0 (overlaps the %7 dup slice at
+    * %21, exercising both drop paths on the same stream). */
+  val stStreamDedup: Entry = Entry("st_stream_dedup",
+    (s, d) => {
+      val stage = stagedDocBatches(s, d)
+      val known = tbl(s, d, "documents").where(col("doc_id") % 3 === 0)
+        .select(xxhash64(col("text")).as("k_digest"),
+          length(col("text")).cast("long").as("k_tlen"))
+      val incoming = s.readStream
+        .schema(s.read.parquet(s"$stage/b0.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+      val name = s"st_stream_dedup_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val q = incoming
+        .select(col("doc_id"), xxhash64(col("text")).as("digest"),
+          length(col("text")).cast("long").as("tlen"))
+        .join(known, col("digest") === col("k_digest") &&
+          col("tlen") === col("k_tlen"), "left_anti")
+        .dropDuplicates("digest", "tlen")
+        .select(col("doc_id"), col("tlen"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"expected >=2 data micro-batches (cross-batch dedup state), saw $fed")
+      } finally {
+        q.stop()
+        deleteRecursively(new java.io.File(s"target/tmp/ckpt_$name"))
+      }
+      s.table(name).orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, length(text) AS tlen FROM documents
+      |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom,
-    stStreamExec, stStreamSessionExec)
+    stStreamExec, stStreamSessionExec, stStreamDedup)
 }
