@@ -169,6 +169,45 @@ object Queries {
       |FROM orders JOIN dim USING (o_orderpriority)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** J-full-outer: snapshot reconciliation — per-customer 1994 spend vs
+    * 1995 spend, FULL OUTER on the customer key with coalesced output
+    * (the diff-two-snapshots shape: churned / new / both). Both inputs
+    * aggregate on o_custkey and the join keys match that partitioning,
+    * so the full outer reuses the aggregation exchange — one shuffle
+    * total at any scale, and no row of either snapshot is dropped. */
+  val jFullOuter: Entry = Entry("j_full_outer",
+    (s, d) => {
+      def spend(yr: Int, sn: String, cn: String) = ord(s, d)
+        .where(year(col("o_orderdate")) === yr)
+        .groupBy("o_custkey")
+        .agg(dsum(col("o_totalprice")).as(sn), count(lit(1)).as(cn))
+      spend(1994, "spend_94", "n_94")
+        .join(spend(1995, "spend_95", "n_95"), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey").as("custkey"),
+          coalesce(col("spend_94"), lit(0.0)).as("spend_94"),
+          coalesce(col("spend_95"), lit(0.0)).as("spend_95"),
+          (coalesce(col("spend_95"), lit(0.0)) - coalesce(col("spend_94"), lit(0.0))).as("delta"),
+          (coalesce(col("n_94"), lit(0L)) + coalesce(col("n_95"), lit(0L))).as("n_orders"),
+          when(col("spend_94").isNull, "new")
+            .when(col("spend_95").isNull, "churned")
+            .otherwise("both").as("status"))
+        .orderBy("custkey")
+    },
+    Some(s"""WITH a AS (SELECT o_custkey, ${sqlDsum("o_totalprice")} AS spend_94,
+      |  count(*) AS n_94 FROM orders WHERE year(o_orderdate) = 1994 GROUP BY o_custkey),
+      |b AS (SELECT o_custkey, ${sqlDsum("o_totalprice")} AS spend_95,
+      |  count(*) AS n_95 FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey)
+      |SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+      | coalesce(spend_94, 0.0) AS spend_94,
+      | coalesce(spend_95, 0.0) AS spend_95,
+      | coalesce(spend_95, 0.0) - coalesce(spend_94, 0.0) AS delta,
+      | CAST(coalesce(n_94, 0) + coalesce(n_95, 0) AS BIGINT) AS n_orders,
+      | CASE WHEN a.o_custkey IS NULL THEN 'new'
+      |      WHEN b.o_custkey IS NULL THEN 'churned'
+      |      ELSE 'both' END AS status
+      |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+      |ORDER BY custkey""".stripMargin))
+
   /** J-asof: point-in-time join ([[graft.operators.AsOf]]) — for each
     * purchase event, the most recent click by the same user at or
     * before it (the "feature snapshot in effect at label time" shape).
@@ -365,7 +404,7 @@ object Queries {
   // Registry — batches append here.
   val all: Seq[Entry] = Seq(
     q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
-    j1Multiway, j2Semi, j3Anti, jSkewSalted, jAsof, jRangeBucketed,
+    j1Multiway, j2Semi, j3Anti, jSkewSalted, jFullOuter, jAsof, jRangeBucketed,
     o1TopK, w3RankLag, gDistinct,
     fDates, fMath, fJson, fStrings) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++

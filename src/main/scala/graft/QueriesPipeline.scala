@@ -153,58 +153,52 @@ object QueriesPipeline {
     Some("""SELECT doc_id AS id_a, doc_id + 100000 AS id_b
       |FROM documents WHERE doc_id % 11 = 0 ORDER BY id_a, id_b""".stripMargin))
 
-  /** Dup-graph connected components: near-dup matching is pairwise but
-    * NOT transitive, so real dedup keeps one doc per *component* of the
-    * match graph (A~B, B~C collapse together even when A~C fails the
-    * threshold). The corpus plants exactly that shape: an A-variant
-    * (id+100000) = the first ceil(0.7·W) words of each doc_id % 7 == 0,
-    * and for doc_id % 14 == 0 a C-variant (id+200000) = the same
-    * truncation applied to A. Prefix shingles are a subset of the
-    * full-text shingles, so for a W-word doc the link similarities are
-    * |SA|/|SB| ≈ 0.7 (B~A, A~C, above τ = 0.55) while the skip pair
-    * B~C sits near 0.49 (below τ) — a genuine 3-chain.
-    *
-    * Plan: candidate pairs from a 2-word-prefix blocking key (an
-    * equi-join — the record-linkage "blocking" technique; the LSH
-    * generators above are the scale path when no blocking key exists),
-    * exact Jaccard verify on candidates only, then
-    * [[Components.connectedComponents]] (alternating large-star /
-    * small-star, O(log n) rounds). The oracle replays blocking + verify
-    * declaratively and closes the graph with a recursive CTE. */
-  val ddComponents: Entry = {
-    def chainCorpus(s: SparkSession, d: String): DataFrame = {
-      def prefix(t: org.apache.spark.sql.Column) = {
-        val w = split(t, " ")
-        array_join(slice(w, lit(1), ((size(w) * 7 + 9) / 10).cast("int")), " ")
-      }
-      val base = docs(s, d).select(col("doc_id").as("id"), col("text"))
-      base
-        .unionByName(base.where(col("id") % 7 === 0)
-          .select((col("id") + 100000).as("id"), prefix(col("text")).as("text")))
-        .unionByName(base.where(col("id") % 14 === 0)
-          .select((col("id") + 200000).as("id"),
-            prefix(prefix(col("text"))).as("text")))
+  /** The 3-chain corpus shared by dd_components / pl_canonical_docs:
+    * base docs plus prefix-truncation variants (see [[ddComponents]]'s
+    * Scaladoc for why the chain shape is provable). */
+  private def chainCorpus(s: SparkSession, d: String): DataFrame = {
+    def prefix(t: org.apache.spark.sql.Column) = {
+      val w = split(t, " ")
+      array_join(slice(w, lit(1), ((size(w) * 7 + 9) / 10).cast("int")), " ")
     }
-    // DuckDB twin of `prefix` over a list column named `l`.
-    def sqlPrefix(l: String) = s"array_to_string($l[1:(7*len($l)+9)//10], ' ')"
-    Entry("dd_components",
-      (s, d) => {
-        val corpus = chainCorpus(s, d)
-        val blk = corpus.withColumn("blk",
-          array_join(slice(split(col("text"), " "), 1, 2), " "))
-        val edges = blk.select(col("id").as("u"), col("text").as("ta"), col("blk"))
-          .join(blk.select(col("id").as("v"), col("text").as("tb"), col("blk")), Seq("blk"))
-          .where(col("u") < col("v"))
-          .where(coalesce(Dedup.jaccardText(col("ta"), col("tb")), lit(0.0)) >= 0.55)
-          .select("u", "v")
-        val comp = Components.connectedComponents(edges)
-        corpus.select(col("id")).join(comp, Seq("id"), "left")
-          .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-          .withColumn("cluster_size",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("component")))
-          .orderBy("id")
-      },
-      Some(s"""WITH RECURSIVE w0 AS (
+    val base = docs(s, d).select(col("doc_id").as("id"), col("text"))
+    base
+      .unionByName(base.where(col("id") % 7 === 0)
+        .select((col("id") + 100000).as("id"), prefix(col("text")).as("text")))
+      .unionByName(base.where(col("id") % 14 === 0)
+        .select((col("id") + 200000).as("id"),
+          prefix(prefix(col("text"))).as("text")))
+  }
+
+  /** Blocking-key candidates (2-word-prefix equi-join) + exact-Jaccard
+    * verify → dup-graph edge list. Candidates only ever meet inside a
+    * block, never all-pairs. */
+  private def dupEdges(corpus: DataFrame): DataFrame = {
+    val blk = corpus.withColumn("blk",
+      array_join(slice(split(col("text"), " "), 1, 2), " "))
+    blk.select(col("id").as("u"), col("text").as("ta"), col("blk"))
+      .join(blk.select(col("id").as("v"), col("text").as("tb"), col("blk")), Seq("blk"))
+      .where(col("u") < col("v"))
+      .where(coalesce(Dedup.jaccardText(col("ta"), col("tb")), lit(0.0)) >= 0.55)
+      .select("u", "v")
+  }
+
+  /** Per-doc component assignment over [[chainCorpus]]: singletons keep
+    * their own id as component. */
+  private def componentAssign(s: SparkSession, d: String): DataFrame = {
+    val corpus = chainCorpus(s, d)
+    corpus.select(col("id")).join(
+        Components.connectedComponents(dupEdges(corpus)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  // DuckDB twin of `prefix` over a list column named `l`.
+  private def sqlPrefix(l: String) = s"array_to_string($l[1:(7*len($l)+9)//10], ' ')"
+
+  /** Shared oracle CTE chain: corpus → blocking → verify → recursive
+    * closure → per-id component map (`comp`). Consumers append either a
+    * final SELECT (dd_components) or further CTEs (pl_canonical_docs). */
+  private val componentsOracleCte: String = s"""WITH RECURSIVE w0 AS (
         | SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
         |corpus AS (
         | SELECT doc_id AS id, text FROM documents
@@ -234,12 +228,73 @@ object QueriesPipeline {
         | UNION
         | SELECT b2.u, r.r FROM bid b2 JOIN reach r ON b2.v = r.u),
         |comp AS (SELECT u AS id, least(u, min(r)) AS component
-        | FROM reach GROUP BY u)
-        |SELECT c.id, coalesce(p.component, c.id) AS component,
-        | count(*) OVER (PARTITION BY coalesce(p.component, c.id)) AS cluster_size
-        |FROM corpus c LEFT JOIN comp p ON c.id = p.id
-        |ORDER BY c.id""".stripMargin))
-  }
+        | FROM reach GROUP BY u)""".stripMargin
+
+  /** Dup-graph connected components: near-dup matching is pairwise but
+    * NOT transitive, so real dedup keeps one doc per *component* of the
+    * match graph (A~B, B~C collapse together even when A~C fails the
+    * threshold). The corpus plants exactly that shape: an A-variant
+    * (id+100000) = the first ceil(0.7·W) words of each doc_id % 7 == 0,
+    * and for doc_id % 14 == 0 a C-variant (id+200000) = the same
+    * truncation applied to A. Prefix shingles are a subset of the
+    * full-text shingles, so for a W-word doc the link similarities are
+    * |SA|/|SB| ≈ 0.7 (B~A, A~C, above τ = 0.55) while the skip pair
+    * B~C sits near 0.49 (below τ) — a genuine 3-chain.
+    *
+    * Plan: candidate pairs from a 2-word-prefix blocking key (an
+    * equi-join — the record-linkage "blocking" technique; the LSH
+    * generators above are the scale path when no blocking key exists),
+    * exact Jaccard verify on candidates only, then
+    * [[Components.connectedComponents]] (alternating large-star /
+    * small-star, O(log n) rounds). The oracle replays blocking + verify
+    * declaratively and closes the graph with a recursive CTE. */
+  val ddComponents: Entry = Entry("dd_components",
+    (s, d) => componentAssign(s, d)
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("component")))
+      .orderBy("id"),
+    Some(componentsOracleCte + """
+      |SELECT c.id, coalesce(p.component, c.id) AS component,
+      | count(*) OVER (PARTITION BY coalesce(p.component, c.id)) AS cluster_size
+      |FROM corpus c LEFT JOIN comp p ON c.id = p.id
+      |ORDER BY c.id""".stripMargin))
+
+  /** Canonical-document selection — the step a dedup pipeline ENDS
+    * with: having clustered near-dups (dd_components), keep exactly one
+    * representative per component. Policy: longest text wins (the
+    * planted variants are truncations, so the canonical is always the
+    * original), ties broken by lowest id — a total order, so the kept
+    * set is deterministic. Plan: component assignment (O(log n)
+    * large-star/small-star rounds) ⨝ per-doc lengths, then a
+    * row_number window PARTITIONed BY component — partitions are
+    * cluster-sized (tiny, bounded by near-dup cluster cardinality), so
+    * the window shuffles on component and never funnels through one
+    * task at 100 TB. Output is the kept corpus manifest: one row per
+    * component with its canonical id and what the cluster collapsed. */
+  val plCanonical: Entry = Entry("pl_canonical_docs",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val withLen = componentAssign(s, d).join(
+        chainCorpus(s, d).select(col("id"), length(col("text")).as("len")), Seq("id"))
+      val w = Window.partitionBy("component")
+      withLen
+        .withColumn("rn", row_number().over(w.orderBy(col("len").desc, col("id"))))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .where(col("rn") === 1)
+        .select(col("component"), col("id").as("canonical_id"),
+          col("len").cast("long").as("canonical_len"), col("cluster_size"))
+        .orderBy("component")
+    },
+    Some(componentsOracleCte + """,
+      |asg AS (SELECT c.id, coalesce(p.component, c.id) AS component,
+      |  length(c.text) AS len
+      | FROM corpus c LEFT JOIN comp p ON c.id = p.id),
+      |r AS (SELECT *,
+      |  row_number() OVER (PARTITION BY component ORDER BY len DESC, id) AS rn,
+      |  count(*) OVER (PARTITION BY component) AS cluster_size
+      | FROM asg)
+      |SELECT component, id AS canonical_id, len AS canonical_len, cluster_size
+      |FROM r WHERE rn = 1 ORDER BY component""".stripMargin))
 
   // ------------------------------------------------------------------- text
   /** Per-language corpus statistics (length / word count / stopword
@@ -495,6 +550,51 @@ object QueriesPipeline {
         |FROM f ORDER BY doc_id""".stripMargin))
   }
 
+  /** PII redaction — the scrub pass every training-data pipeline runs
+    * before anything leaves the corpus: regex-match emails and
+    * phone-shaped tokens, count them, replace with typed placeholders.
+    * The corpus plants both kinds deterministically (doc_id-derived
+    * address for %5==0, 555-line for %9==0, overlapping at %45) so the
+    * counts and redacted lengths are provable, and natural text flows
+    * through the same expressions. Pure per-row projection — codegen'd
+    * regexp, zero shuffles; at 100 TB this is a map-only stage. Both
+    * regexes stay inside the Java-regex ∩ RE2 common dialect so Spark
+    * and the DuckDB oracle match the same spans. */
+  val txRedactPii: Entry = {
+    val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val phoneRe = """\b555-[0-9]{4}\b"""
+    Entry("tx_redact_pii",
+      (s, d) => {
+        val planted = docs(s, d).select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" reach me at user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            concat(lit(" or 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+        planted.select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+          length(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).cast("long").as("redacted_len"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, text ||
+        | CASE WHEN doc_id % 5 = 0
+        |   THEN ' reach me at user' || doc_id || '@example.com' ELSE '' END ||
+        | CASE WHEN doc_id % 9 = 0
+        |   THEN ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |   ELSE '' END AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+        | CAST(length(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+        |   '$phoneRe', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+        |FROM p ORDER BY doc_id""".stripMargin))
+  }
+
   /** The pipeline COMPOSED end-to-end — what the engine exists for at
     * 100 TB: corpus (with planted duplicates) → exact dedup
     * (digest-keyed, ids-only shuffle) → Gopher-style quality filter
@@ -697,6 +797,6 @@ object QueriesPipeline {
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
-    plCleanCorpus,
+    txRedactPii, plCleanCorpus, plCanonical,
     simTopk, simAnnLsh, simAnnIvf, simNearDup, mmDecode)
 }
