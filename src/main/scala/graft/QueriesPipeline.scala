@@ -727,6 +727,34 @@ object QueriesPipeline {
       | FROM e, p)
       |SELECT vec_id, dist FROM c ORDER BY dist, vec_id LIMIT 10""".stripMargin))
 
+  /** Nearest-centroid assignment ([[Similarity.kmeansAssign]]) — the
+    * k-means E-step and the backbone of clustering-based curation
+    * (cluster the corpus, then sample/filter per cluster). Centroids
+    * are pinned deterministically (the K=8 lowest vec_ids) so the
+    * assignment is a pure function the oracle replays: per-pair squared
+    * L2 as a left-to-right double fold (bit-identical to list_sum),
+    * argmin by (d2, cid) — a total order, so ties are engine-stable.
+    * The broadcast-expand + partial-agg plan shuffles one row per
+    * vector regardless of K. */
+  val simKmeans: Entry = Entry("sim_kmeans_assign",
+    (s, d) => {
+      val e = emb(s, d)
+      val centroids = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          graft.functions.ArrayOps.asDouble(col("embedding")).as("cv"))
+      Similarity.kmeansAssign(e, centroids).orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |d AS (SELECT e.vec_id, c.cid,
+      |  list_sum(list_transform(list_zip(e.v, c.cv),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      | FROM e, c),
+      |r AS (SELECT vec_id, cid, d2,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+      |SELECT vec_id, cid AS cluster, round(sqrt(d2), 6) AS dist
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+
   /** Embedding near-dup pairs via banded LSH. Random 64-dim vectors sit
     * ~1.3 L2 apart, so near-dups are planted: +0.001 on every component
     * (L2 ≈ 0.008) for vec_id % 13 == 0. The distance GAP (0.008 vs
@@ -798,5 +826,5 @@ object QueriesPipeline {
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, plCleanCorpus, plCanonical,
-    simTopk, simAnnLsh, simAnnIvf, simNearDup, mmDecode)
+    simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup, mmDecode)
 }

@@ -82,6 +82,11 @@ object ArrayOps {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Squared L2 distance — left-to-right fold, so the double sum is
+    * bit-identical to DuckDB's list_sum over the same zip (the
+    * engine-parity contract the sim_* oracles rely on). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   /** Round every element — used to pin float results for the oracle hash. */
   def roundArray(a: Column, s: Int = 6): Column = transform(a, x => round(x, s))

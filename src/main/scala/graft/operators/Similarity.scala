@@ -38,6 +38,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** Nearest-centroid assignment — the k-means E-step, and the shape of
+    * clustering-based corpus curation (assign every embedding to its
+    * centroid, then sample/filter per cluster). Centroids arrive as a
+    * K-row frame (cid, cv): broadcast cross join expands each vector
+    * against all K, then a partial-aggregatable `min(struct(d2, cid))`
+    * picks the argmin with a deterministic tie-break — map-side combine
+    * collapses the K-fold expansion back to one row per vector before
+    * the exchange, so the shuffle carries N rows of (id, 16 B struct)
+    * no matter how large K×N is on the map side. */
+  def kmeansAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cid"), ArrayOps.l2Sq(col("v"), col("cv")).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster"),
+        round(sqrt(col("m.d2")), 6).as("dist"))
+  }
+
   /** Approximate nearest neighbours via random-projection LSH buckets.
     * Returns (vec_id, distCol) for the k nearest to the probe row. */
   def annTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
