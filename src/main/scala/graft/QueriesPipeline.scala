@@ -595,6 +595,39 @@ object QueriesPipeline {
         |FROM p ORDER BY doc_id""".stripMargin))
   }
 
+  /** Sequence packing — the step that turns a cleaned corpus into
+    * fixed-budget training sequences: concatenate documents in a
+    * deterministic order and cut every C tokens, so each doc gets a
+    * (bin, offset) in the packed stream. Expressed as a running-sum
+    * window PARTITIONed BY lang (the pack-within-language convention):
+    * offset = cumulative tokens before the doc, bin = offset div C.
+    * No global window — each language packs independently, and at
+    * 100 TB the partition key widens to (lang, shard) so no partition
+    * outgrows an executor (the same bucketed-carry trick as
+    * forwardFillScalable if even one shard is too big). Whitespace
+    * token counts keep both engines integer-exact. */
+  val plPack: Entry = Entry("pl_pack_sequences",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("seq_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("seq_offset"),
+          expr("seq_offset div 512").as("bin"))
+        .orderBy("lang", "doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+      |    AS seq_offset
+      | FROM t)
+      |SELECT doc_id, lang, n_tokens, seq_offset, seq_offset // 512 AS bin
+      |FROM c ORDER BY lang, doc_id""".stripMargin))
+
   /** The pipeline COMPOSED end-to-end — what the engine exists for at
     * 100 TB: corpus (with planted duplicates) → exact dedup
     * (digest-keyed, ids-only shuffle) → Gopher-style quality filter
@@ -825,6 +858,6 @@ object QueriesPipeline {
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
-    txRedactPii, plCleanCorpus, plCanonical,
+    txRedactPii, plCleanCorpus, plCanonical, plPack,
     simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup, mmDecode)
 }

@@ -251,28 +251,20 @@ object QueriesStreaming {
     (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
   }
 
-  /** Stage the incremental-ingestion fixture: batch file b0 = the base
-    * documents, b1 = planted exact copies (doc_id+100000 for
-    * doc_id%7==0 — the dd_exact dup slice). Two files + distinct mtimes
-    * + maxFilesPerTrigger=1 force two ordered micro-batches, so the
-    * dedup state genuinely crosses a batch boundary. Load-if-exists
-    * behind a _READY marker (S5 semantics); parts are written to temp
-    * dirs and atomically moved, marker last, so a killed run can't
+  /** Stage a sequence of frames as single parquet files in one
+    * directory, ordered for FileStreamSource: distinct ascending mtimes
+    * (the source sorts by modification time) + maxFilesPerTrigger=1 on
+    * the reader give one deterministic micro-batch per part. Load-if-
+    * exists behind a _READY marker (S5 semantics); parts are written to
+    * temp dirs and atomically moved, marker last, so a killed run can't
     * leave a half-staged dir that later exists()-checks trust. */
-  private def stagedDocBatches(s: org.apache.spark.sql.SparkSession,
-      d: String): String = {
-    val stage = java.nio.file.Paths.get(
-      "target/tmp/stream_docs_" + d.replaceAll("[^0-9a-zA-Z]", "_") +
-        "_" + docStreamVer)
+  private def stageBatchFiles(stageName: String,
+      parts: => Seq[(String, org.apache.spark.sql.DataFrame)]): String = {
+    val stage = java.nio.file.Paths.get("target/tmp/" + stageName)
     val ready = stage.resolve("_READY")
     if (!java.nio.file.Files.exists(ready)) {
-      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
-      val slices = Seq(
-        "b0" -> docs,
-        "b1" -> docs.where(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
       java.nio.file.Files.createDirectories(stage)
-      slices.zipWithIndex.foreach { case ((nm, df), i) =>
+      parts.zipWithIndex.foreach { case ((nm, df), i) =>
         val dst = stage.resolve(s"$nm.parquet")
         if (!java.nio.file.Files.exists(dst)) {
           val tmp = stage.resolve(s"$nm.tmp.${ProcessHandle.current().pid()}")
@@ -285,9 +277,9 @@ object QueriesStreaming {
           catch { case _: java.nio.file.FileAlreadyExistsException => () }
           deleteRecursively(tmp.toFile)
         }
-        // FileStreamSource orders by modification time: pin b0 strictly
-        // before b1 so batch order (and therefore which row the dedup
-        // state keeps) is deterministic, not copy-timing luck
+        // pin part i strictly before part i+1 so batch order (and
+        // therefore what crosses the state boundary) is deterministic,
+        // not copy-timing luck
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       }
@@ -301,6 +293,21 @@ object QueriesStreaming {
     }
     stage.toAbsolutePath.toString
   }
+
+  /** The incremental-ingestion fixture: batch file b0 = the base
+    * documents, b1 = planted exact copies (doc_id+100000 for
+    * doc_id%7==0 — the dd_exact dup slice). Two ordered micro-batches,
+    * so the dedup state genuinely crosses a batch boundary. */
+  private def stagedDocBatches(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stageBatchFiles(
+      "stream_docs_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + docStreamVer, {
+        val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+        Seq(
+          "b0" -> docs,
+          "b1" -> docs.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      })
 
   /** Incremental corpus-ingestion dedup under REAL streaming execution
     * — the pattern a production pipeline runs when new crawl drops land
@@ -359,6 +366,112 @@ object QueriesStreaming {
     Some("""SELECT doc_id, length(text) AS tlen FROM documents
       |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin))
 
+  /** Events split into two files at a TIME boundary chosen so at least
+    * one click→purchase attribution pair STRADDLES it: the boundary is
+    * the median purchase timestamp among qualifying strict pairs, so
+    * that purchase lands in batch 1 while its click (strictly earlier)
+    * lands in batch 0 — the pair can only be emitted from the join
+    * state store. A time split also means every batch-1 event is at or
+    * after the batch-0 watermark, so nothing arrives late. Kept in the
+    * raw parquet schema (ns longs; comparisons happen on µs-truncated
+    * values, matching what the join itself sees); the reader applies
+    * the same ns→µs rebuild as Tables.tbl. The scalar aggs here are
+    * fixture staging (once per cache key), not the measured operator. */
+  private val eventHalvesVer: String = {
+    val gen = 2 // bump on any change to the split formula
+    val sig = s"g$gen;split=median-straddle-buy;files=2"
+    (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
+  }
+  private def stagedEventHalves(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stageBatchFiles(
+      "stream_ev2_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + eventHalvesVer, {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val us =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("us", expr("ts div 1000"))
+          else raw.withColumn("us", unix_micros(col("ts")))
+        val c = us.where(col("event_type") === "click")
+          .select(col("user_id").as("u"), col("us").as("cus"))
+        val p = us.where(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("us").as("pus"))
+        val pairs = c.join(p, col("u") === col("pu") &&
+          col("pus") > col("cus") && col("pus") <= col("cus") + 3600L * 1000000L)
+        val Array(row) = pairs
+          .agg(percentile_approx(col("pus"), lit(0.5), lit(100000))).collect()
+        val boundaryUs = row.getLong(0)
+        val straddle = pairs
+          .where(col("cus") < boundaryUs && col("pus") >= boundaryUs).count()
+        require(straddle >= 1,
+          s"event split must leave >=1 attribution pair straddling the boundary, got $straddle")
+        val bnd =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            col("ts") < boundaryUs * 1000L
+          else unix_micros(col("ts")) < boundaryUs
+        Seq("e0" -> raw.where(bnd), "e1" -> raw.where(!bnd))
+      })
+
+  /** Stream-STREAM interval join under real incremental execution — the
+    * attribution shape: each purchase matched to every click by the
+    * same user in the preceding hour. Both sides come off a file-source
+    * readStream (two time-split micro-batches, [[stagedEventHalves]]),
+    * carry 0-second watermarks, and join on user equality plus an
+    * event-time range — exactly the condition Spark needs to derive
+    * state-eviction bounds, so click state older than (watermark − 1h)
+    * is dropped as the stream advances: bounded state at 100 TB, not
+    * grow-forever. Boundary-straddling pairs (batch-0 click, batch-1
+    * purchase ≤ 1h later) exist in the fixture and can ONLY be emitted
+    * from the join state store, so a state bug fails the hash; the
+    * in-query require pins that ≥2 data micro-batches actually ran.
+    * The finite input means every qualifying pair is emitted, so the
+    * oracle is the plain batch self-join. */
+  val stStreamJoin: Entry = Entry("st_stream_join_exec",
+    (s, d) => {
+      val stage = stagedEventHalves(s, d)
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$stage/e0.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+      val stream =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val clicks = stream.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("click_ts", "0 seconds")
+      val buys = stream.where(col("event_type") === "purchase")
+        .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"), col("value").as("buy_value"))
+        .withWatermark("buy_ts", "0 seconds")
+      val name = s"st_stream_join_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val q = clicks.join(buys,
+          col("user_id") === col("buy_user") &&
+            col("buy_ts") >= col("click_ts") &&
+            col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("click_id"), col("buy_id"), col("buy_value"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"expected >=2 data micro-batches (cross-batch join state), saw $fed")
+      } finally {
+        q.stop()
+        deleteRecursively(new java.io.File(s"target/tmp/ckpt_$name"))
+      }
+      s.table(name).orderBy("click_id", "buy_id")
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
+      | p.value AS buy_value
+      |FROM events c JOIN events p
+      | ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |ORDER BY click_id, buy_id""".stripMargin))
+
   val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom,
-    stStreamExec, stStreamSessionExec, stStreamDedup)
+    stStreamExec, stStreamSessionExec, stStreamDedup, stStreamJoin)
 }
