@@ -68,6 +68,44 @@ object QueriesAggWindow {
       |WHERE o_orderstatus = 'F'
       |ORDER BY k""".stripMargin))
 
+  /** O-upsert: MERGE a change-set into a base table by key (SCD-1) —
+    * updated rows override, unmatched new rows append, untouched rows
+    * pass through. Expressed as the anti-join + union merge: base rows
+    * whose key is NOT in the change-set, unioned with the change-set.
+    * The change-set is deterministic (10% of customers re-balanced,
+    * plus genuinely-new keys at +1000000). At scale the anti join
+    * broadcasts when the change-set is small (the common case — a
+    * day's changes vs the full table), making the merge map-only; a
+    * big change-set degrades to one key-partitioned shuffle. */
+  val oUpsert: Entry = Entry("o_upsert",
+    (s, d) => {
+      val base = cust(s, d).select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      val changes = cust(s, d).where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") + 100, 2).as("acctbal"))
+        .unionByName(cust(s, d).where(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("acctbal")))
+      base.join(changes.select("c_custkey"), Seq("c_custkey"), "left_anti")
+        .unionByName(changes)
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("acctbal"))
+        .orderBy("custkey")
+    },
+    Some("""WITH changes AS (
+      | SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS acctbal
+      | FROM customer WHERE c_custkey % 10 = 0
+      | UNION ALL
+      | SELECT c_custkey + 1000000, c_name, round(c_acctbal, 2)
+      | FROM customer WHERE c_custkey % 97 = 0)
+      |SELECT c_custkey AS custkey, c_name AS name, round(c_acctbal, 2) AS acctbal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM changes u WHERE u.c_custkey = c.c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, c_name, acctbal FROM changes
+      |ORDER BY custkey""".stripMargin))
+
   /** O-intersect: part brands present in both cheap and expensive parts. */
   val oIntersect: Entry = Entry("o_intersect",
     (s, d) => {
@@ -314,7 +352,7 @@ object QueriesAggWindow {
       |ORDER BY o_orderkey""".stripMargin))
 
   val all: Seq[Entry] = Seq(
-    gCube, gRollup, oExcept, oIntersect, oDistinct, gApproxDistinct,
+    gCube, gRollup, oExcept, oIntersect, oUpsert, oDistinct, gApproxDistinct,
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution)
