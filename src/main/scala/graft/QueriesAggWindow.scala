@@ -68,6 +68,25 @@ object QueriesAggWindow {
       |WHERE o_orderstatus = 'F'
       |ORDER BY k""".stripMargin))
 
+  /** G-unpivot: wide→long reshaping (melt) — each measure column
+    * becomes a (metric, value) row. A pure per-row Expand (the same
+    * physical node grouping sets use): output = rows × measures with
+    * no shuffle, so it scales as a map-only stage. Measures are cast
+    * to a common double type, the unpivot contract. */
+  val gUnpivot: Entry = Entry("g_unpivot",
+    (s, d) => tbl(s, d, "part")
+      .select(col("p_partkey"),
+        round(col("p_retailprice"), 2).as("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "metric", "value")
+      .orderBy("p_partkey", "metric"),
+    Some("""SELECT p_partkey, 'p_retailprice' AS metric,
+      | round(p_retailprice, 2) AS value FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+      |ORDER BY p_partkey, metric""".stripMargin))
+
   /** O-upsert: MERGE a change-set into a base table by key (SCD-1) —
     * updated rows override, unmatched new rows append, untouched rows
     * pass through. Expressed as the anti-join + union merge: base rows
@@ -352,7 +371,7 @@ object QueriesAggWindow {
       |ORDER BY o_orderkey""".stripMargin))
 
   val all: Seq[Entry] = Seq(
-    gCube, gRollup, oExcept, oIntersect, oUpsert, oDistinct, gApproxDistinct,
+    gCube, gRollup, gUnpivot, oExcept, oIntersect, oUpsert, oDistinct, gApproxDistinct,
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution)

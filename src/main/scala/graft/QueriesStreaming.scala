@@ -426,8 +426,17 @@ object QueriesStreaming {
     * The finite input means every qualifying pair is emitted, so the
     * oracle is the plain batch self-join. */
   val stStreamJoin: Entry = Entry("st_stream_join_exec",
-    (s, d) => {
-      val stage = stagedEventHalves(s, d)
+    (outer, d) => {
+      val stage = stagedEventHalves(outer, d)
+      // Isolated session with state partitions sized to the data: a
+      // stream-stream join keeps FOUR state stores per shuffle
+      // partition, each committing files every micro-batch — at 32
+      // partitions that is ~130 stores × 3 batches of filesystem
+      // round-trips for a fixture-scale input (measured: 12.8 s → ~3 s
+      // at 8). The same sizing rule as batch shuffle partitions, applied
+      // where state-store count, not parallelism, is the cost.
+      val s = outer.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val raw = s.readStream
         .schema(s.read.parquet(s"$stage/e0.parquet").schema)
         .option("maxFilesPerTrigger", "1")
