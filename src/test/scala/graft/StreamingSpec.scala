@@ -198,4 +198,47 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSet
     got shouldBe Set(("10", "a", 2L, 3.0), ("11", "b", 1L, 4.0))
   }
+
+  test("stream-stream interval join: cross-batch state match emits, late click dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("user_id", "click_ts")
+      .withWatermark("click_ts", "0 seconds")
+    val b = buys.toDF().toDF("buy_user", "buy_ts")
+      .withWatermark("buy_ts", "0 seconds")
+    val joined = c.join(b,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_ts"), col("buy_ts"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a click with no partner yet -> goes to join state
+      clicks.addData((1L, ts("2024-01-01 10:00:00")))
+      buys.addData((2L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // batch 2: the partner purchase arrives later -> the pair can ONLY
+      // be produced from the click state kept across the batch boundary
+      buys.addData((1L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // batch 3: advance both watermarks well past 11:05
+      clicks.addData((9L, ts("2024-01-01 12:00:00")))
+      buys.addData((9L, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      // batch 4: a LATE click (behind the watermark) whose would-be
+      // partner was the batch-1 purchase: the row is late AND that
+      // purchase's state is evicted (buy_ts < watermark), so the
+      // bounded-state contract says no pair may appear
+      clicks.addData((2L, ts("2024-01-01 09:50:00")))
+      q.processAllAvailable()
+
+      val rows = spark.table("ss_join_test")
+        .select(col("user_id"), date_format(col("click_ts"), "HH:mm").as("c"),
+          date_format(col("buy_ts"), "HH:mm").as("b"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      rows shouldBe Set((1L, "10:00", "10:30"), (9L, "12:00", "12:30"))
+    } finally q.stop()
+  }
 }
