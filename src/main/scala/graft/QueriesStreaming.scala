@@ -106,6 +106,22 @@ object QueriesStreaming {
 
   private val execSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Isolated session with streaming state partitions sized to the
+    * data — the shuffle-partition sizing rule applied where STATE-STORE
+    * COUNT, not parallelism, is the cost: every stateful streaming
+    * operator commits one or more state stores per shuffle partition
+    * per micro-batch (a stream-stream join keeps four), and at the
+    * session-wide 32 the filesystem round-trips dominate fixture-scale
+    * runs (measured on st_stream_join_exec: 12.8 s at 32 → ~3 s
+    * sized). At 100 TB the same knob goes UP with key cardinality; the
+    * point is that it is sized deliberately, never defaulted. */
+  private def sizedStreamSession(outer: org.apache.spark.sql.SparkSession,
+      partitions: Int): org.apache.spark.sql.SparkSession = {
+    val s = outer.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -158,7 +174,8 @@ object QueriesStreaming {
     * semantics). The memory-sink table name is unique per invocation
     * so repeated bench/verify runs don't collide. */
   val stStreamExec: Entry = Entry("st_stream_exec",
-    (s, d) => {
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 8)
       val stream = stagedEventsStream(s, d)
       // name unique per JVM AND per run: the memory sink cannot recover
       // from an existing checkpoint, so a stale dir from a previous
@@ -200,7 +217,8 @@ object QueriesStreaming {
     * milliseconds (`setTimeoutTimestamp` is ms-pinned), so the oracle
     * works in `epoch_ms` — both sides floor the same micros. */
   val stStreamSessionExec: Entry = Entry("st_stream_session_exec",
-    (s, d) => {
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 8)
       import s.implicits._
       val events = stagedEventsStream(s, d)
         .select(col("user_id").cast("long").as("userId"), col("ts").as("eventTime"))
@@ -332,8 +350,9 @@ object QueriesStreaming {
     * batch. Known corpus = doc_id%3==0 (overlaps the %7 dup slice at
     * %21, exercising both drop paths on the same stream). */
   val stStreamDedup: Entry = Entry("st_stream_dedup",
-    (s, d) => {
-      val stage = stagedDocBatches(s, d)
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 8)
+      val stage = stagedDocBatches(outer, d)
       val known = tbl(s, d, "documents").where(col("doc_id") % 3 === 0)
         .select(xxhash64(col("text")).as("k_digest"),
           length(col("text")).cast("long").as("k_tlen"))
@@ -428,15 +447,7 @@ object QueriesStreaming {
   val stStreamJoin: Entry = Entry("st_stream_join_exec",
     (outer, d) => {
       val stage = stagedEventHalves(outer, d)
-      // Isolated session with state partitions sized to the data: a
-      // stream-stream join keeps FOUR state stores per shuffle
-      // partition, each committing files every micro-batch — at 32
-      // partitions that is ~130 stores × 3 batches of filesystem
-      // round-trips for a fixture-scale input (measured: 12.8 s → ~3 s
-      // at 8). The same sizing rule as batch shuffle partitions, applied
-      // where state-store count, not parallelism, is the cost.
-      val s = outer.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val s = sizedStreamSession(outer, 4)
       val raw = s.readStream
         .schema(s.read.parquet(s"$stage/e0.parquet").schema)
         .option("maxFilesPerTrigger", "1")
