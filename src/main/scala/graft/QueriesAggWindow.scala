@@ -68,6 +68,29 @@ object QueriesAggWindow {
       |WHERE o_orderstatus = 'F'
       |ORDER BY k""".stripMargin))
 
+  /** O-zorder: multi-column data layout — rows sorted by a 2-D Z-order
+    * (Morton) key over quantized (custkey, orderkey), the clustering
+    * primitive lakehouse formats use so min/max file statistics prune
+    * scans on EITHER column. `zorder2` is the fourth native codegen
+    * expression (plans/ZOrder.scala); the sort is a range-partitioned
+    * exchange, so the layout write parallelizes at any scale. The
+    * oracle replays the bit interleave declaratively. */
+  val oZorder: Entry = Entry("o_zorder_layout",
+    (s, d) => tbl(s, d, "orders")
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(256)).cast("long").as("x"),
+        pmod(col("o_orderkey"), lit(256)).cast("long").as("y"))
+      .withColumn("zkey", call_function("zorder2", col("x"), col("y")))
+      .orderBy("zkey", "o_orderkey"),
+    Some("""SELECT o_orderkey, x, y,
+      | CAST(list_sum(list_transform(range(0, 16), i ->
+      |   (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))
+      |   AS BIGINT) AS zkey
+      |FROM (SELECT o_orderkey,
+      |  CAST(o_custkey % 256 AS BIGINT) AS x,
+      |  CAST(o_orderkey % 256 AS BIGINT) AS y FROM orders)
+      |ORDER BY zkey, o_orderkey""".stripMargin))
+
   /** G-unpivot: wide→long reshaping (melt) — each measure column
     * becomes a (metric, value) row. A pure per-row Expand (the same
     * physical node grouping sets use): output = rows × measures with
@@ -371,7 +394,7 @@ object QueriesAggWindow {
       |ORDER BY o_orderkey""".stripMargin))
 
   val all: Seq[Entry] = Seq(
-    gCube, gRollup, gUnpivot, oExcept, oIntersect, oUpsert, oDistinct, gApproxDistinct,
+    gCube, gRollup, gUnpivot, oExcept, oIntersect, oUpsert, oZorder, oDistinct, gApproxDistinct,
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution)

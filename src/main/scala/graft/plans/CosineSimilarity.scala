@@ -118,5 +118,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "minmax_norm expects exactly 1 argument")
         MinMaxNormalize(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "zorder2 expects exactly 2 arguments")
+        ZOrder2(children.head, children(1))
+      }))
   }
 }
