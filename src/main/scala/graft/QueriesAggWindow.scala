@@ -68,6 +68,50 @@ object QueriesAggWindow {
       |WHERE o_orderstatus = 'F'
       |ORDER BY k""".stripMargin))
 
+  /** G-corr: correlation / population covariance / regression slope per
+    * group — the statistical-aggregate family, built from EXACT decimal
+    * sums (n, Σx, Σy, Σxy, Σx², Σy²) so both engines assemble the same
+    * IEEE doubles and the final formulas are bit-stable (a direct
+    * `corr()` is a parallel float fold — order-sensitive, not
+    * oracle-able). The moments are one partial-aggregatable pass; the
+    * formulas are driver-free scalar math. Decimal(18,2/4) is exact for
+    * these columns at any SF whose sums stay under 2^53 — the same
+    * contract every dsum in the gate already relies on. */
+  val gCorrRegr: Entry = Entry("g_corr_regr",
+    (s, d) => {
+      val l = tbl(s, d, "lineitem")
+      val agg = l.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_extendedprice")).as("sy"),
+        dsumProd(col("l_quantity"), col("l_extendedprice")).as("sxy"),
+        dsumProd(col("l_quantity"), col("l_quantity")).as("sxx"),
+        dsumProd(col("l_extendedprice"), col("l_extendedprice")).as("syy"))
+      agg.select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qp"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("n")), 6).as("covar_pop_qp"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope_qp"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""WITH m AS (SELECT l_returnflag,
+      |  CAST(count(*) AS DOUBLE) AS n,
+      |  ${sqlDsum("l_quantity")} AS sx,
+      |  ${sqlDsum("l_extendedprice")} AS sy,
+      |  ${sqlDsumProd("l_quantity", "l_extendedprice")} AS sxy,
+      |  ${sqlDsumProd("l_quantity", "l_quantity")} AS sxx,
+      |  ${sqlDsumProd("l_extendedprice", "l_extendedprice")} AS syy
+      | FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      | round((n * sxy - sx * sy) /
+      |   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
+      | round((n * sxy - sx * sy) / (n * n), 6) AS covar_pop_qp,
+      | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_qp
+      |FROM m ORDER BY l_returnflag""".stripMargin))
+
   /** O-zorder: multi-column data layout — rows sorted by a 2-D Z-order
     * (Morton) key over quantized (custkey, orderkey), the clustering
     * primitive lakehouse formats use so min/max file statistics prune
@@ -394,7 +438,7 @@ object QueriesAggWindow {
       |ORDER BY o_orderkey""".stripMargin))
 
   val all: Seq[Entry] = Seq(
-    gCube, gRollup, gUnpivot, oExcept, oIntersect, oUpsert, oZorder, oDistinct, gApproxDistinct,
+    gCube, gRollup, gUnpivot, gCorrRegr, oExcept, oIntersect, oUpsert, oZorder, oDistinct, gApproxDistinct,
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution)

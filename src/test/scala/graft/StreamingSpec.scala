@@ -241,4 +241,39 @@ class StreamingSpec extends SparkSpec {
       rows shouldBe Set((1L, "10:00", "10:30"), (9L, "12:00", "12:30"))
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark: dups dropped while state held, key re-emits after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    // 1-hour delay: a key's state lives until the watermark (max event
+    // time − 1h) passes its event time, so dups inside the hour dedup
+    // and older state is reclaimed — with a 0s delay the state would
+    // expire the instant the watermark touches it and nothing dedups
+    // across batches
+    val out = mem.toDF().toDF("k", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val q = out.writeStream.format("memory").queryName("ddww_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: first arrival emits and plants state
+      mem.addData(("a", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // batch 2: a dup inside the state window is DROPPED; "z" advances
+      // the watermark to 11:00, past "a"'s event time -> state evicted
+      mem.addData(("a", ts("2024-01-01 10:05:00")), ("z", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // batch 3: same key AFTER eviction re-emits — the bounded-state
+      // trade the operator makes (state ∝ keys inside the watermark
+      // horizon, not all keys ever seen) — exactly the retention story
+      // st_stream_dedup's Scaladoc claims for the 100 TB path
+      mem.addData(("a", ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+
+      val rows = spark.table("ddww_test")
+        .select(col("k"), date_format(col("ts"), "HH:mm").as("t"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      rows shouldBe Set(("a", "10:00"), ("z", "12:00"), ("a", "12:30"))
+    } finally q.stop()
+  }
 }
