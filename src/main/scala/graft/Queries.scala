@@ -169,6 +169,38 @@ object Queries {
       |FROM orders JOIN dim USING (o_orderpriority)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** F-date-spine: generate a contiguous calendar from the data's own
+    * min/max order date (sequence + explode — no driver collect; the
+    * bounds are a 1-row aggregate crossed in), left join daily order
+    * counts onto it, and zero-fill the gaps — the densification every
+    * time-series report needs before window math, and the generator
+    * (`explode(sequence(...))`) Spark pattern for it. March 1995 only,
+    * to keep the gate row count honest; a year-scale spine is the same
+    * plan. The spine side is tiny (a month) and broadcast; the count
+    * side aggregates before the join so the spine join sees one row
+    * per day. */
+  val fDateSpine: Entry = Entry("f_date_spine",
+    (s, d) => {
+      // o_orderdate is stored as a (midnight) timestamp — normalize to
+      // DATE so the spine, the join key, and the output column agree
+      val o = ord(s, d).select(col("o_orderdate").cast("date").as("day"))
+        .where(col("day").between("1995-03-01", "1995-03-31"))
+      val bounds = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val daily = o.groupBy("day").agg(count(lit(1)).as("n_orders"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("day")
+    },
+    Some("""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM b),
+      |daily AS (SELECT day, count(*) AS n_orders FROM o GROUP BY 1)
+      |SELECT spine.day, CAST(coalesce(daily.n_orders, 0) AS BIGINT) AS n_orders
+      |FROM spine LEFT JOIN daily USING (day)
+      |ORDER BY day""".stripMargin))
+
   /** J-full-outer: snapshot reconciliation — per-customer 1994 spend vs
     * 1995 spend, FULL OUTER on the customer key with coalesced output
     * (the diff-two-snapshots shape: churned / new / both). Both inputs
@@ -406,7 +438,7 @@ object Queries {
     q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
     j1Multiway, j2Semi, j3Anti, jSkewSalted, jFullOuter, jAsof, jRangeBucketed,
     o1TopK, w3RankLag, gDistinct,
-    fDates, fMath, fJson, fStrings) ++
+    fDates, fDateSpine, fMath, fJson, fStrings) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++
     QueriesAggWindow.all ++ QueriesPipeline.all ++ QueriesStreaming.all ++
     QueriesMl.all ++ QueriesSql.all
