@@ -437,9 +437,96 @@ object QueriesAggWindow {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin))
 
+  /** Ordered-funnel conversion over the events stream: which stage of
+    * view → click → purchase each user reached, a stage counting only
+    * AFTER the previous one (see [[graft.operators.Funnel]] — running-
+    * max flags over ONE per-user window; the two windows and the final
+    * per-user aggregate share a single exchange). The oracle replays
+    * the same running flags; FunnelSpec pins the ordering semantics
+    * (purchase-before-view ≠ conversion) on constructed streams.
+    * The 48h analysis window (filter pushed into the scan) is what
+    * makes the funnel discriminate — over the full synthetic history
+    * every user converts (verified: stages {0,1,2,3} all occupied at
+    * sf0.001 AND sf0.01 under this cut). */
+  val wFunnel: Entry = Entry("w_funnel_stages",
+    (s, d) => graft.operators.Funnel.stages(
+        tbl(s, d, "events")
+          .filter(col("ts") < to_timestamp(lit("2024-01-03 00:00:00")))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+      .select(col("user_id"), col("reached_view"), col("reached_click"),
+        col("reached_purchase"), col("stage"))
+      .orderBy("user_id"),
+    Some("""WITH ev AS (SELECT * FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
+      |e1 AS (SELECT user_id, ts, event_id, event_type,
+      |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_view
+      | FROM ev),
+      |e2 AS (SELECT *,
+      |  max(CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_click
+      | FROM e1)
+      |SELECT user_id,
+      | CAST(max(seen_view) AS INT) AS reached_view,
+      | CAST(max(seen_click) AS INT) AS reached_click,
+      | CAST(max(CASE WHEN event_type = 'purchase' AND seen_click = 1
+      |               THEN 1 ELSE 0 END) AS INT) AS reached_purchase,
+      | CAST(max(seen_view) + max(seen_click)
+      |   + max(CASE WHEN event_type = 'purchase' AND seen_click = 1
+      |              THEN 1 ELSE 0 END) AS INT) AS stage
+      |FROM e2 GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** SCD-2 history build — turn a change log (each order = a new state
+    * version per customer) into validity intervals: valid_from = the
+    * change timestamp, valid_to = the NEXT change (lead), NULL = the
+    * open current version. THE slowly-changing-dimension construction
+    * every warehouse load runs; one lead() over the (custkey; date,
+    * orderkey) window — a single shuffle on the dimension key, and at
+    * 100 TB the partition is per-customer-history-sized (bounded),
+    * never global. */
+  val wScd2: Entry = Entry("w_scd2_history",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderdate").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull.cast("int"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderstatus,
+      | o_orderdate AS valid_from,
+      | lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      | CAST(CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate, o_orderkey) IS NULL THEN 1 ELSE 0 END AS INT)
+      |   AS is_current
+      |FROM orders ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin))
+
+  /** Equi-width histogram (the profiling/binning primitive): bucket =
+    * floor(price / 5000) clamped to a last overflow bucket — identical
+    * IEEE division in both engines, so even exact-boundary prices land
+    * in the same bucket. Partial+final agg on a handful of keys; the
+    * exchange carries one row per bucket per partition. */
+  val gHistogram: Entry = Entry("g_histogram",
+    (s, d) => li(s, d)
+      .select(least(floor(col("l_extendedprice") / 5000.0), lit(23.0))
+        .cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", (col("bucket") * 5000.0))
+      .select(col("bucket"), col("bucket_lo"), col("n"))
+      .orderBy("bucket"),
+    Some("""SELECT CAST(least(floor(l_extendedprice / 5000.0), 23.0) AS INT) AS bucket,
+      | CAST(least(floor(l_extendedprice / 5000.0), 23.0) AS INT) * 5000.0 AS bucket_lo,
+      | count(*) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY bucket""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     gCube, gRollup, gUnpivot, gCorrRegr, oExcept, oIntersect, oUpsert, oZorder, oDistinct, gApproxDistinct,
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
-    gPercentile, wRangeFrame, wDistribution)
+    gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram)
 }

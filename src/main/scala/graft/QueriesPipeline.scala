@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Components, Dedup, MultiModal, Similarity}
+import graft.operators.{Components, Decontaminate, Dedup, MultiModal, Similarity}
 import Queries.Entry
 import Tables.tbl
 
@@ -876,9 +876,86 @@ object QueriesPipeline {
       | round(CAST(bin6 AS DOUBLE) / n, 6) AS hist_bin6_norm
       |FROM m ORDER BY doc_id""".stripMargin))
 
+  /** Eval-set decontamination (the GPT-3 appendix-C / Llama rule: drop
+    * training docs sharing a long word n-gram with a benchmark). The
+    * benchmark here is planted and provable: an 8-word excerpt (words
+    * 4-11) of every doc_id %13 == 0 document — those docs MUST flag
+    * (they contain their own excerpt), everything else only on a real
+    * 8-gram collision, and the oracle recomputes the same truth from
+    * scratch. Plan shape ([[Decontaminate]]): eval grams broadcast,
+    * corpus grams generated map-side inside the scan stage, matched
+    * ids are the only exchange. */
+  val plDecontaminate: Entry = Entry("pl_decontaminate",
+    (s, d) => {
+      val evalGrams = docs(s, d)
+        .where(col("doc_id") % 13 === 0)
+        .select(split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 11)
+        .select(array_join(slice(col("w"), 4, 8), " ").as("gram"))
+        .distinct()
+      Decontaminate.flagContaminated(
+          docs(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", evalGrams, n = 8)
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ev AS (SELECT DISTINCT array_to_string(w[4:11], ' ') AS gram
+      |  FROM w WHERE doc_id % 13 = 0 AND len(w) >= 11),
+      |g AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(w) - 6, 1)),
+      |    i -> array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))) AS gram
+      |  FROM w),
+      |hit AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gram))
+      |SELECT d.doc_id,
+      | CAST(CASE WHEN hit.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS contaminated
+      |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
+
+  /** Character-bigram LM quality score — the CCNet-style "how familiar
+    * is this document to a model of the corpus" filter. Pass 1 trains
+    * the LM: corpus-wide bigram counts (vocab is alphabet²-bounded →
+    * BROADCASTS at any corpus size). Pass 2 scores: each doc's mean
+    * corpus-frequency of its bigrams. The score is the log-free
+    * spelling (integer count sums + ONE exactly-rounded IEEE division)
+    * so the oracle is bit-exact — ln() would put libm parity inside
+    * the gate (the a13_affine lesson, same call as tx_tfidf); the
+    * perplexity spelling is a one-expression swap in production.
+    * Bigram extraction is one tight JVM pass per row (HOF lambdas
+    * evaluate interpreted — the [[repUdf]] measurement). */
+  val txBigramLm: Entry = {
+    val bigramsUdf = udf((text: String) => {
+      val n = math.max(text.length - 1, 0)
+      val out = new Array[String](n)
+      var i = 0
+      while (i < n) { out(i) = text.substring(i, i + 2); i += 1 }
+      out
+    })
+    Entry("tx_bigram_lm",
+      (s, d) => {
+        val bg = docs(s, d)
+          .select(col("doc_id"), explode(bigramsUdf(col("text"))).as("bg"))
+        val lm = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        bg.join(broadcast(lm), "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("sum_cnt"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sum_cnt").cast("double") / col("n_bigrams"), 6).as("familiarity"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bg AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, greatest(length(text), 1)),
+        |    i -> substr(text, CAST(i AS INT), 2))) AS bg
+        | FROM documents),
+        |lm AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS familiarity
+        |FROM bg JOIN lm USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  }
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
-    txRedactPii, plCleanCorpus, plCanonical, plPack,
+    txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plDecontaminate,
     simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup, mmDecode)
 }

@@ -74,7 +74,11 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // driver contract: (sfDir, outDir). An optional third arg — a regex
+    // over query names — is local-iteration tooling only (dump a few
+    // entries + oracle_sql.json for tools/verify_local.py).
+    val Array(sfDir, outDir, rest @ _*) = args: @unchecked
+    val nameFilter = rest.headOption.map(_.r)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     quietDeliberateWindowWarn() // BEFORE the session: NativeCodeLoader logs at startup
     val spark = SparkSession.builder()
@@ -101,7 +105,10 @@ object Verify {
     // harness setup: the SAR fixture some oracle SQL reads by absolute
     // path must exist before ANY phase (Spark or DuckDB) runs
     SarFixture.ensure()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        nameFilter.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
