@@ -83,4 +83,29 @@ class FunnelDeconSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted
     grams shouldBe Array("a b c", "b c d")
   }
+
+  // ------------------------------------------------- 100 TB plan shapes
+  test("funnel plan: both windows and the aggregate share ONE exchange") {
+    val df = Seq((1L, ts(0), 1L, "view"), (2L, ts(1), 2L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val plan = Funnel.stages(df).queryExecution.executedPlan.toString
+    withClue(plan) {
+      // one hash exchange on user_id feeds window 1 → window 2 → agg;
+      // a second exchange would mean the running flags re-shuffled
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    }
+  }
+
+  test("decontaminate plan: eval grams broadcast; corpus grams never shuffle") {
+    val docs = (0L until 50L).map(i => (i, s"w$i a b c d e f g h")).toDF("id", "text")
+    val eval = Seq(Tuple1("a b c")).toDF("gram")
+    val plan = Decontaminate.flagContaminated(docs, "id", "text", eval, n = 3)
+      .queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include("BroadcastExchange") // the eval side
+      // the only hash exchanges are id-keyed (distinct + final attach),
+      // never on the exploded gram stream
+      plan should not include "hashpartitioning(gram"
+    }
+  }
 }
