@@ -67,7 +67,12 @@ object Bench {
       graft.Model.pipeline(Seq("f_a", "f_b")).fit(toy)
     } catch { case _: Throwable => () }
 
+    // local profiling aid (the driver never sets it): run only the named
+    // queries, e.g. SPARK_GRAFT_ONLY=st_stream_exec,dd_components
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val pass1 = names.map(n => n -> runOnce(n)).toMap
     val pass2 = names.map(n => n -> runOnce(n)).toMap
     // per-query min of the two passes; a pass that errored (-1) defers

@@ -524,9 +524,42 @@ object QueriesAggWindow {
       | count(*) AS n
       |FROM lineitem GROUP BY 1, 2 ORDER BY bucket""".stripMargin))
 
+  /** Weekly cohort retention — THE product-analytics matrix: users
+    * grouped by first-seen week (cohort), counted in every later week
+    * they were active; week_no = whole weeks since the cohort week
+    * (both engines truncate weeks to ISO Monday, so the day gap is
+    * always a multiple of 7 and the integer division is exact).
+    * Plan shape at 100 TB: ONE shuffle on user_id computes, per user,
+    * the cohort (min) AND the distinct active-week set in the same
+    * partial-aggregating exchange (collect_set is bounded by the
+    * retention horizon — weeks, not events); the explode is map-side;
+    * the second exchange aggregates |cohorts|×|weeks| cells. After the
+    * per-user collapse each user contributes at most one row per week,
+    * so the cell count is a plain count, not a count-distinct Expand. */
+  val wRetention: Entry = Entry("w_retention_cohort",
+    (s, d) => {
+      val e = tbl(s, d, "events").select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      val perUser = e.groupBy("user_id")
+        .agg(min(col("wk")).as("cohort"), collect_set(col("wk")).as("wks"))
+      perUser.select(col("cohort"), explode(col("wks")).as("wk"))
+        .groupBy(col("cohort"), expr("datediff(wk, cohort) div 7").as("week_no"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "week_no")
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, wk FROM e)
+      |SELECT f.cohort, date_diff('day', f.cohort, a.wk) // 7 AS week_no,
+      | count(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort, week_no""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     gCube, gRollup, gUnpivot, gCorrRegr, oExcept, oIntersect, oUpsert, oZorder, oDistinct, gApproxDistinct,
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
-    gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram)
+    gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
+    wRetention)
 }

@@ -953,9 +953,47 @@ object QueriesPipeline {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
+  /** Domain-mixture rebalancing — the sampling-weight computation every
+    * pretraining data recipe runs before training: per-language corpus
+    * sizes → an upsampling repeat factor per language (here: match the
+    * largest language, capped at 4 epochs — the "don't repeat data more
+    * than ~4×" rule of thumb), then a deterministic physical upsample
+    * via explode(sequence) so downstream sees one row per (doc, copy).
+    * Plan shape at 100 TB: the weight table is |languages| rows —
+    * computed with one partial-aggregating shuffle, then BROADCAST;
+    * the upsample itself is map-side row generation inside the scan
+    * stage (no shuffle, no skew: copies of a doc stay in its input
+    * partition). The cap bounds the blowup factor, so output size is
+    * ≤ 4× input by construction. */
+  val plMixWeights: Entry = Entry("pl_mix_weights",
+    (s, d) => {
+      val sizes = docs(s, d).groupBy("lang")
+        .agg(sum(col("n_chars")).as("chars"))
+      val mx = sizes.agg(max(col("chars")).as("mx"))
+      val weights = sizes.crossJoin(broadcast(mx))
+        .select(col("lang"),
+          least(lit(4L),
+            ceil(col("mx").cast("double") / col("chars")).cast("long")).as("rep"))
+      docs(s, d).select(col("doc_id"), col("lang"))
+        .join(broadcast(weights), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("rep"),
+          explode(sequence(lit(0L), col("rep") - 1)).as("copy_id"))
+        .orderBy("doc_id", "copy_id")
+    },
+    Some("""WITH t AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY lang),
+      |m AS (SELECT max(chars) AS mx FROM t),
+      |w AS (SELECT lang,
+      |  least(4, CAST(ceil(CAST(mx AS DOUBLE) / chars) AS BIGINT)) AS rep
+      | FROM t, m)
+      |SELECT d.doc_id, d.lang, w.rep, unnest(range(w.rep)) AS copy_id
+      |FROM documents d JOIN w USING (lang)
+      |ORDER BY doc_id, copy_id""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
-    txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plDecontaminate,
-    simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup, mmDecode)
+    txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plMixWeights,
+    plDecontaminate, simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup,
+    mmDecode)
 }

@@ -112,9 +112,10 @@ object QueriesStreaming {
     * operator commits one or more state stores per shuffle partition
     * per micro-batch (a stream-stream join keeps four), and at the
     * session-wide 32 the filesystem round-trips dominate fixture-scale
-    * runs (measured on st_stream_join_exec: 12.8 s at 32 → ~3 s
-    * sized). At 100 TB the same knob goes UP with key cardinality; the
-    * point is that it is sized deliberately, never defaulted. */
+    * runs (measured on st_stream_join_exec: 12.8 s at 32 → ~3 s at 4
+    * → ~2 s at 2, the floor for fixture-cardinality state). At 100 TB
+    * the same knob goes UP with key cardinality; the point is that it
+    * is sized deliberately, never defaulted. */
   private def sizedStreamSession(outer: org.apache.spark.sql.SparkSession,
       partitions: Int): org.apache.spark.sql.SparkSession = {
     val s = outer.newSession()
@@ -175,7 +176,7 @@ object QueriesStreaming {
     * so repeated bench/verify runs don't collide. */
   val stStreamExec: Entry = Entry("st_stream_exec",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 8)
+      val s = sizedStreamSession(outer, 2)
       val stream = stagedEventsStream(s, d)
       // name unique per JVM AND per run: the memory sink cannot recover
       // from an existing checkpoint, so a stale dir from a previous
@@ -218,7 +219,7 @@ object QueriesStreaming {
     * works in `epoch_ms` — both sides floor the same micros. */
   val stStreamSessionExec: Entry = Entry("st_stream_session_exec",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 8)
+      val s = sizedStreamSession(outer, 2)
       import s.implicits._
       val events = stagedEventsStream(s, d)
         .select(col("user_id").cast("long").as("userId"), col("ts").as("eventTime"))
@@ -351,7 +352,7 @@ object QueriesStreaming {
     * %21, exercising both drop paths on the same stream). */
   val stStreamDedup: Entry = Entry("st_stream_dedup",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 8)
+      val s = sizedStreamSession(outer, 2)
       val stage = stagedDocBatches(outer, d)
       val known = tbl(s, d, "documents").where(col("doc_id") % 3 === 0)
         .select(xxhash64(col("text")).as("k_digest"),
@@ -447,7 +448,7 @@ object QueriesStreaming {
   val stStreamJoin: Entry = Entry("st_stream_join_exec",
     (outer, d) => {
       val stage = stagedEventHalves(outer, d)
-      val s = sizedStreamSession(outer, 4)
+      val s = sizedStreamSession(outer, 2)
       val raw = s.readStream
         .schema(s.read.parquet(s"$stage/e0.parquet").schema)
         .option("maxFilesPerTrigger", "1")

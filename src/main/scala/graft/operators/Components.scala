@@ -45,7 +45,9 @@ object Components {
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ oriented
       .where(col("u") =!= col("v"))
-      .distinct()
+    // no distinct here: smallStar's groupBy-min is duplicate-insensitive
+    // and its own final distinct dedups the round's output — dropping
+    // the intermediate exchange saves one full shuffle per round
   }
 
   /** One small-star round: every node attaches its smaller-or-equal
