@@ -556,10 +556,64 @@ object QueriesAggWindow {
       |FROM a JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort, week_no""".stripMargin))
 
+  /** Two-sample Kolmogorov–Smirnov statistic — the distribution-drift
+    * check a data pipeline runs between two slices (here: click vs
+    * purchase order values): D = max |F_click(x) − F_purchase(x)| over
+    * the pooled sample, exact (no sketch). Built scale-shaped: NO
+    * global row window — rows get a fixed-width value bucket, the
+    * cumulative counts split into a RANGE-frame window WITHIN each
+    * bucket (peers at equal value count together, standard
+    * ≤-with-ties KS) plus per-bucket prefix offsets computed on the
+    * |buckets|-row totals table and broadcast back — the same
+    * two-pass carry as the scalable forward fill. Every per-row term
+    * is exact-integer counts → two IEEE divisions, so both engines
+    * compute bit-identical D. */
+  val gKsDrift: Entry = Entry("g_ks_drift",
+    (s, d) => {
+      val x = tbl(s, d, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("value"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("ia"))
+        .withColumn("bkt", floor(col("value") / 10.0).cast("long"))
+      val wIn = Window.partitionBy("bkt").orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = x
+        .withColumn("ca_in", sum(col("ia")).over(wIn))
+        .withColumn("cb_in", sum(lit(1L) - col("ia")).over(wIn))
+      // bucket prefix offsets: a window over the tiny totals table only
+      // (56 rows at this data's value range), never over the fact rows
+      val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offs = x.groupBy("bkt")
+        .agg(sum(col("ia")).as("ta"), sum(lit(1L) - col("ia")).as("tb"))
+        .select(col("bkt"),
+          coalesce(sum(col("ta")).over(wB), lit(0L)).as("off_a"),
+          coalesce(sum(col("tb")).over(wB), lit(0L)).as("off_b"))
+      val n = x.agg(sum(col("ia")).as("n_a"), sum(lit(1L) - col("ia")).as("n_b"))
+      cum.join(broadcast(offs), "bkt")
+        .crossJoin(broadcast(n))
+        .groupBy("n_a", "n_b")
+        .agg(round(max(abs(
+            (col("ca_in") + col("off_a")).cast("double") / col("n_a") -
+            (col("cb_in") + col("off_b")).cast("double") / col("n_b"))), 6)
+          .as("ks_stat"))
+        .select(col("ks_stat"), col("n_a"), col("n_b"))
+    },
+    Some("""WITH x AS (SELECT value,
+      |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      | FROM events WHERE event_type IN ('click', 'purchase')),
+      |n AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+      |             CAST(sum(1 - ia) AS BIGINT) AS n_b FROM x),
+      |c AS (SELECT sum(ia) OVER w AS ca, sum(1 - ia) OVER w AS cb
+      | FROM x WINDOW w AS (ORDER BY value
+      |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT round(max(abs(CAST(ca AS DOUBLE) / n_a
+      |  - CAST(cb AS DOUBLE) / n_b)), 6) AS ks_stat, n_a, n_b
+      |FROM c, n GROUP BY n_a, n_b""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     gCube, gRollup, gUnpivot, gCorrRegr, oExcept, oIntersect, oUpsert, oZorder, oDistinct, gApproxDistinct,
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
-    wRetention)
+    wRetention, gKsDrift)
 }
