@@ -990,10 +990,49 @@ object QueriesPipeline {
       |FROM documents d JOIN w USING (lang)
       |ORDER BY doc_id, copy_id""".stripMargin))
 
+  /** Deterministic per-epoch shuffle + shard assignment — how a
+    * training run re-orders a 100 TB corpus every epoch WITHOUT a
+    * coordinator or a materialized permutation table. Each (epoch,
+    * doc) gets a pseudo-random sort key from a full-period LCG
+    * (Hull–Dobell: a−1 ≡ 0 mod 4, c odd, m = 2^31 ⇒ the map is a
+    * BIJECTION on [0, 2^31), so keys are collision-free for doc_id
+    * < 2^31 and every epoch is a genuine permutation, epoch-offset
+    * 1000003 decorrelates epochs). shard = key mod 64 is the data-
+    * loader assignment — uniform by the LCG's equidistribution, so
+    * the 64 readers get balanced byte counts with NO planning pass.
+    * Plan shape at 100 TB: key/shard are map-side projections inside
+    * the scan stage; the ORDER BY is one range-partitioned sort (the
+    * exchange samples key boundaries, no single-task funnel); no
+    * join, no agg, nothing collects. All arithmetic is exact BIGINT
+    * (max product a·(m−1) ≈ 2.4e18 < 2^63) so Spark and DuckDB agree
+    * bit-for-bit. */
+  val plEpochShard: Entry = Entry("pl_epoch_shard",
+    (s, d) => {
+      val m = 2147483648L // 2^31
+      val mixed = pmod(col("doc_id") + col("epoch") * 1000003L, lit(m))
+      val key = pmod(mixed * 1103515245L + 12345L, lit(m))
+      docs(s, d).select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0L), lit(1L))).as("epoch"))
+        .withColumn("skey", key)
+        .withColumn("shard", pmod(col("skey"), lit(64L)))
+        .select(col("epoch"), col("shard"), col("skey"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("epoch", "skey", "doc_id")
+    },
+    Some("""WITH e AS (SELECT doc_id, n_chars,
+      |  unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch
+      |  FROM documents),
+      |k AS (SELECT epoch, doc_id, n_chars,
+      |  ((doc_id + epoch * 1000003) % 2147483648) * 1103515245 % 2147483648
+      |    AS mixed_raw FROM e)
+      |SELECT epoch, (mixed_raw + 12345) % 2147483648 % 64 AS shard,
+      |  (mixed_raw + 12345) % 2147483648 AS skey, doc_id, n_chars
+      |FROM k ORDER BY epoch, skey, doc_id""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plMixWeights,
-    plDecontaminate, simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup,
-    mmDecode)
+    plDecontaminate, plEpochShard, simTopk, simAnnLsh, simAnnIvf, simKmeans,
+    simNearDup, mmDecode)
 }
