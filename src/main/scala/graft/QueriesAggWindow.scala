@@ -610,10 +610,65 @@ object QueriesAggWindow {
       |  - CAST(cb AS DOUBLE) / n_b)), 6) AS ks_stat, n_a, n_b
       |FROM c, n GROUP BY n_a, n_b""".stripMargin))
 
+  /** Pearson chi-squared drift on a CATEGORICAL distribution — the
+    * companion to [[gKsDrift]] (continuous): does the event-type mix
+    * differ between two time slices (odd vs even day-of-month)? The
+    * 2×k contingency test, per-cell term (o·N − r·c)² / (r·c·N) — the
+    * algebraic (o−e)²/e with the rational e = r·c/N cleared, so every
+    * input to the IEEE ops is an exact integer count and both engines
+    * produce bit-identical terms. The cross-bucket sum goes through
+    * round(·,9)→DECIMAL so it is order-independent (double addition is
+    * not associative; decimal addition is). Scale shape: one partial-
+    * aggregating shuffle to the k·2-row contingency table; the margin
+    * totals are windows/aggs over that TINY table, broadcast back;
+    * fact rows are touched once, map-side. */
+  val gChi2Drift: Entry = Entry("g_chi2_drift",
+    (s, d) => {
+      val cells = tbl(s, d, "events")
+        .select(col("event_type"), (dayofmonth(col("ts")) % 2).as("period"))
+        .groupBy("period", "event_type").agg(count(lit(1L)).as("o"))
+      val rows = cells.groupBy("period").agg(sum(col("o")).as("r"))
+      val cols_ = cells.groupBy("event_type").agg(sum(col("o")).as("c"))
+      val n = cells.agg(sum(col("o")).as("n"))
+      val dof = cells.agg(
+        ((countDistinct(col("period")) - 1) *
+         (countDistinct(col("event_type")) - 1)).as("dof"))
+      // diff is exact BIGINT (o·N ≤ ~1e15 at sf100); the square happens
+      // in DOUBLE (one correctly-rounded multiply — Math.pow is only
+      // 1-ulp-accurate, a*a is exact IEEE in both engines), and the
+      // denominator multiplies three ≤2^53-exact doubles so it never
+      // overflows at any scale
+      val diff = (col("o") * col("n") - col("r") * col("c")).cast("double")
+      val term = diff * diff /
+        (col("r").cast("double") * col("c").cast("double") * col("n").cast("double"))
+      cells.join(broadcast(rows), "period")
+        .join(broadcast(cols_), "event_type")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(dof))
+        .groupBy("n", "dof")
+        .agg(round(sum(round(term, 9).cast("decimal(38,12)")).cast("double"), 6)
+          .as("chi2"))
+        .select(col("chi2"), col("dof"), col("n"))
+    },
+    Some("""WITH cells AS (SELECT day(ts) % 2 AS period, event_type,
+      |  CAST(count(*) AS BIGINT) AS o
+      | FROM events GROUP BY 1, 2),
+      |r AS (SELECT period, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |c AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |dof AS (SELECT CAST((count(DISTINCT period) - 1) *
+      |   (count(DISTINCT event_type) - 1) AS BIGINT) AS dof FROM cells)
+      |SELECT round(CAST(sum(CAST(round(
+      |    CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+      |    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE)),
+      |   9) AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2, dof, n
+      |FROM cells JOIN r USING (period) JOIN c USING (event_type), n, dof
+      |GROUP BY dof, n""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     gCube, gRollup, gUnpivot, gCorrRegr, oExcept, oIntersect, oUpsert, oZorder, oDistinct, gApproxDistinct,
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
-    wRetention, gKsDrift)
+    wRetention, gKsDrift, gChi2Drift)
 }

@@ -1029,10 +1029,51 @@ object QueriesPipeline {
       |  (mixed_raw + 12345) % 2147483648 AS skey, doc_id, n_chars
       |FROM k ORDER BY epoch, skey, doc_id""".stripMargin))
 
+  /** Per-domain document cap (the RefinedWeb/C4 curation rule: keep at
+    * most K docs per source domain so no domain dominates the corpus),
+    * selected DETERMINISTICALLY — each domain keeps its K smallest LCG
+    * keys, so reruns and incremental rebuilds agree with no RNG state.
+    * Scale shape: a single row_number window over (source) puts a
+    * whole domain in one task — a crawl's biggest domain can be
+    * billions of rows — so the cap runs in TWO stages: stage 1
+    * partitions by (source, salt-of-16) and keeps ≤K per salt (bounds
+    * any task to its salt slice), stage 2 re-ranks the ≤16K survivors
+    * per domain. Per-salt top-K is a superset of global top-K, so the
+    * composition is EXACTLY the single-window result (proved in
+    * DomainCapSpec), while the second window never sees more than 16K
+    * rows per domain. The LCG key is the same full-period bijection as
+    * pl_epoch_shard (exact BIGINT, engine-agnostic). */
+  val plDomainCap: Entry = Entry("pl_domain_cap",
+    (s, d) => {
+      val m = 2147483648L
+      val cap = 15
+      val key = pmod(pmod(col("doc_id"), lit(m)) * 1103515245L + 12345L, lit(m))
+      val keyed = docs(s, d).select(col("doc_id"), col("source"))
+        .withColumn("skey", key)
+        .withColumn("salt", pmod(col("doc_id"), lit(16L)))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "salt").orderBy("skey", "doc_id")
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("skey", "doc_id")
+      keyed
+        .withColumn("rn1", row_number().over(w1)).where(col("rn1") <= cap)
+        .withColumn("rn", row_number().over(w2)).where(col("rn") <= cap)
+        .select(col("source"), col("rn"), col("doc_id"), col("skey"))
+        .orderBy("source", "rn")
+    },
+    Some("""WITH k AS (SELECT doc_id, source,
+      |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS skey
+      | FROM documents),
+      |r AS (SELECT source, doc_id, skey,
+      |  row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rn
+      | FROM k)
+      |SELECT source, CAST(rn AS INT) AS rn, doc_id, skey
+      |FROM r WHERE rn <= 15 ORDER BY source, rn""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plMixWeights,
-    plDecontaminate, plEpochShard, simTopk, simAnnLsh, simAnnIvf, simKmeans,
-    simNearDup, mmDecode)
+    plDecontaminate, plEpochShard, plDomainCap, simTopk, simAnnLsh, simAnnIvf,
+    simKmeans, simNearDup, mmDecode)
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computable cases for g_chi2_drift (2×k contingency identity)
+  * and pl_domain_cap (two-stage salted top-K ≡ single-window truth). */
+class DriftCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2021-01-01T12:00Z (odd day) / 2021-01-02T12:00Z (even day) in nanos
+  private val day1 = 1609502400L * 1000000000L
+  private val day2 = 1609588800L * 1000000000L
+
+  private def stageEvents(name: String, rows: Seq[(Long, String)]): String = {
+    val dir = s"target/tmp/spec_$name"
+    rows.zipWithIndex.map { case ((ts, t), i) =>
+      (i.toLong, ts, i.toLong % 5, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("chi2: 2x2 table [[3,1],[1,3]] gives the closed-form N(ad-bc)^2/(r1 r2 c1 c2) = 2") {
+    val d = stageEvents("chi1",
+      Seq.fill(3)((day1, "A")) ++ Seq((day1, "B")) ++
+        Seq((day2, "A")) ++ Seq.fill(3)((day2, "B")))
+    val (chi2, dof, n) = QueriesAggWindow.gChi2Drift.fn(spark, d)
+      .as[(Double, Long, Long)].collect()(0)
+    chi2 shouldBe 2.0
+    dof shouldBe 1L
+    n shouldBe 8L
+  }
+
+  test("chi2: identical per-period distributions give exactly 0") {
+    val d = stageEvents("chi2z",
+      Seq((day1, "A"), (day1, "B"), (day2, "A"), (day2, "B")))
+    QueriesAggWindow.gChi2Drift.fn(spark, d)
+      .as[(Double, Long, Long)].collect()(0)._1 shouldBe 0.0
+  }
+
+  private def lcg(id: Long): Long =
+    ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+
+  private def stageDocs(name: String, ids: Seq[(Long, String)]): String = {
+    val dir = s"target/tmp/spec_$name"
+    ids.map { case (id, src) => (id, s"t$id", "en", src, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("domain cap: two-stage salted top-K equals the single-window truth on a skewed domain") {
+    val ids = (0L until 100L).map((_, "big")) ++ Seq(500L, 501L, 502L).map((_, "small"))
+    val d = stageDocs("cap1", ids)
+    val got = QueriesPipeline.plDomainCap.fn(spark, d)
+      .select("source", "rn", "doc_id")
+      .as[(String, Int, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // brute-force truth: K smallest (lcg, id) per domain, ranked
+    val want = ids.groupBy(_._2).toSeq.flatMap { case (src, docs) =>
+      docs.map(_._1).sortBy(id => (lcg(id), id)).take(15)
+        .zipWithIndex.map { case (id, i) => (src, i + 1, id) }
+    }.sortBy(r => (r._1, r._2))
+    got shouldBe want
+    got.count(_._1 == "big") shouldBe 15
+    got.count(_._1 == "small") shouldBe 3
+  }
+
+  test("domain cap plan: stage-1 window is salted, stage-2 sees capped rows only") {
+    val d = stageDocs("cap2", (0L until 40L).map((_, "x")))
+    val plan = QueriesPipeline.plDomainCap.fn(spark, d)
+      .queryExecution.executedPlan.toString
+    withClue(plan) {
+      "\\bWindow\\b".r.findAllIn(plan).size shouldBe 2
+      plan should include("salt")
+    }
+  }
+}
