@@ -276,4 +276,44 @@ class StreamingSpec extends SparkSpec {
       rows shouldBe Set(("a", "10:00"), ("z", "12:00"), ("a", "12:30"))
     } finally q.stop()
   }
+
+  test("checkpoint recovery: restart resumes source offsets and aggregation state") {
+    // The fault-tolerance contract a 100 TB ingest leans on: kill a
+    // streaming aggregation mid-stream, restart from the SAME
+    // checkpoint, and (a) the file source must NOT reprocess committed
+    // files, (b) the state store must carry the first run's partial
+    // counts so the final answer equals the batch truth over all input.
+    import org.apache.spark.sql.types._
+    val root = s"target/tmp/spec_ckpt_${System.nanoTime()}"
+    val srcDir = s"$root/src"; val ckpt = s"$root/ckpt"
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    def writeFile(n: String, rows: Seq[(String, Long)]): Unit =
+      rows.toDF("k", "v").coalesce(1).write.mode("append").parquet(srcDir)
+
+    writeFile("f1", Seq(("a", 1L), ("a", 2L), ("b", 10L)))
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .groupBy("k").agg(sum(col("v")).as("s"))
+      .writeStream.format("memory").queryName("ckpt_test")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete()).start()
+
+    val q1 = start()
+    q1.processAllAvailable()
+    val run1Input = q1.recentProgress.map(_.numInputRows).sum
+    q1.stop()
+    run1Input shouldBe 3L
+
+    writeFile("f2", Seq(("a", 100L), ("c", 7L)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // (a) offsets resumed: run 2 read ONLY the new file's rows
+      q2.recentProgress.map(_.numInputRows).sum shouldBe 2L
+      // (b) state recovered: totals include run 1's rows it never re-read
+      val got = spark.table("ckpt_test").as[(String, Long)].collect().toSet
+      got shouldBe Set(("a", 103L), ("b", 10L), ("c", 7L))
+    } finally q2.stop()
+  }
 }
