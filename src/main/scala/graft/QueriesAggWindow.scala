@@ -570,27 +570,50 @@ object QueriesAggWindow {
     * compute bit-identical D. */
   val gKsDrift: Entry = Entry("g_ks_drift",
     (s, d) => {
+      // ONE fact scan + ONE fact exchange: both consumers (the in-bucket
+      // cumulative window and the per-bucket totals agg) branch AFTER an
+      // explicit repartition on bkt, so their shared scan+exchange
+      // prefix canonicalizes identically and ReuseExchange dedups it —
+      // the r6 first cut re-scanned events for the totals and again for
+      // the grand totals (3 fact scans; at 100 TB, 3x the IO)
       val x = tbl(s, d, "events")
         .where(col("event_type").isin("click", "purchase"))
         .select(col("value"),
           when(col("event_type") === "click", 1L).otherwise(0L).as("ia"))
         .withColumn("bkt", floor(col("value") / 10.0).cast("long"))
+        // explicit: the inner join on bkt infers isnotnull(bkt) and
+        // pushes it into ONE branch's scan but not through the other's
+        // windows — the asymmetric filters de-canonicalize the shared
+        // exchange and block ReuseExchange. Stating it here puts the
+        // identical filter in both branches. (Null-bkt rows — null
+        // value — can't survive the inner join either way.)
+        .where(col("bkt").isNotNull)
+        .repartition(col("bkt"))
       val wIn = Window.partitionBy("bkt").orderBy("value")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = x
         .withColumn("ca_in", sum(col("ia")).over(wIn))
         .withColumn("cb_in", sum(lit(1L) - col("ia")).over(wIn))
-      // bucket prefix offsets: a window over the tiny totals table only
-      // (56 rows at this data's value range), never over the fact rows
+      // per-bucket totals DERIVED FROM the windowed frame (the
+      // forwardFillScalable carry pattern, Ingest.scala): the in-bucket
+      // cumulative at the bucket's top value IS the bucket total, so
+      // max(ca_in) avoids a second aggregation branch over x — both
+      // consumers share cum's scan+exchange prefix and ReuseExchange
+      // dedups it (aggregating x directly gave the totals branch a
+      // narrower pruned projection, a non-matching exchange, and a
+      // second full fact scan — verified on the physical plan). Prefix
+      // offsets AND grand totals are windows over this TINY table (56
+      // rows at this data's value range), never over fact rows.
+      val tot = cum.groupBy("bkt")
+        .agg(max(col("ca_in")).as("ta"), max(col("cb_in")).as("tb"))
       val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-      val offs = x.groupBy("bkt")
-        .agg(sum(col("ia")).as("ta"), sum(lit(1L) - col("ia")).as("tb"))
-        .select(col("bkt"),
-          coalesce(sum(col("ta")).over(wB), lit(0L)).as("off_a"),
-          coalesce(sum(col("tb")).over(wB), lit(0L)).as("off_b"))
-      val n = x.agg(sum(col("ia")).as("n_a"), sum(lit(1L) - col("ia")).as("n_b"))
+      val wAll = Window.partitionBy()
+      val offs = tot.select(col("bkt"),
+        coalesce(sum(col("ta")).over(wB), lit(0L)).as("off_a"),
+        coalesce(sum(col("tb")).over(wB), lit(0L)).as("off_b"),
+        sum(col("ta")).over(wAll).as("n_a"),
+        sum(col("tb")).over(wAll).as("n_b"))
       cum.join(broadcast(offs), "bkt")
-        .crossJoin(broadcast(n))
         .groupBy("n_a", "n_b")
         .agg(round(max(abs(
             (col("ca_in") + col("off_a")).cast("double") / col("n_a") -
@@ -624,15 +647,16 @@ object QueriesAggWindow {
     * fact rows are touched once, map-side. */
   val gChi2Drift: Entry = Entry("g_chi2_drift",
     (s, d) => {
+      // ONE fact scan: the k·2-row contingency table is aggregated once
+      // and every margin (row/column/grand totals) is a window over that
+      // TINY table — the r6 first cut derived each margin from a
+      // separate branch that re-aggregated the fact rows (5 fact scans)
       val cells = tbl(s, d, "events")
         .select(col("event_type"), (dayofmonth(col("ts")) % 2).as("period"))
         .groupBy("period", "event_type").agg(count(lit(1L)).as("o"))
-      val rows = cells.groupBy("period").agg(sum(col("o")).as("r"))
-      val cols_ = cells.groupBy("event_type").agg(sum(col("o")).as("c"))
-      val n = cells.agg(sum(col("o")).as("n"))
-      val dof = cells.agg(
-        ((countDistinct(col("period")) - 1) *
-         (countDistinct(col("event_type")) - 1)).as("dof"))
+        .withColumn("r", sum(col("o")).over(Window.partitionBy("period")))
+        .withColumn("c", sum(col("o")).over(Window.partitionBy("event_type")))
+        .withColumn("n", sum(col("o")).over(Window.partitionBy()))
       // diff is exact BIGINT (o·N ≤ ~1e15 at sf100); the square happens
       // in DOUBLE (one correctly-rounded multiply — Math.pow is only
       // 1-ulp-accurate, a*a is exact IEEE in both engines), and the
@@ -641,13 +665,12 @@ object QueriesAggWindow {
       val diff = (col("o") * col("n") - col("r") * col("c")).cast("double")
       val term = diff * diff /
         (col("r").cast("double") * col("c").cast("double") * col("n").cast("double"))
-      cells.join(broadcast(rows), "period")
-        .join(broadcast(cols_), "event_type")
-        .crossJoin(broadcast(n))
-        .crossJoin(broadcast(dof))
-        .groupBy("n", "dof")
+      cells
+        .groupBy("n")
         .agg(round(sum(round(term, 9).cast("decimal(38,12)")).cast("double"), 6)
-          .as("chi2"))
+            .as("chi2"),
+          ((countDistinct(col("period")) - 1) *
+           (countDistinct(col("event_type")) - 1)).as("dof"))
         .select(col("chi2"), col("dof"), col("n"))
     },
     Some("""WITH cells AS (SELECT day(ts) % 2 AS period, event_type,

@@ -65,4 +65,20 @@ class KsDriftSpec extends SparkSpec {
       plan should include("hashpartitioning(bkt")
     }
   }
+
+  test("KS plan: ONE fact scan — totals branch reuses the cum exchange") {
+    // asserted on the static plan (AQE's initial plan never displays
+    // reuse; its runtime stage cache applies the same canonicalization)
+    val d = stage("ks6", Seq(("click", 1.0), ("purchase", 2.0)))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = QueriesAggWindow.gKsDrift.fn(spark, d)
+        .queryExecution.executedPlan.toString
+      withClue(plan) {
+        "Scan parquet".r.findAllIn(plan).size shouldBe 1
+        "ReusedExchange".r.findAllIn(plan).size shouldBe 1
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
