@@ -87,7 +87,14 @@ object Ingest {
     val filled = bucketed.withColumn("__filled",
       last(col(valueCol), ignoreNulls = true).over(wIn))
 
-    // last non-null of each bucket = the filled value on its last row
+    // last non-null of each bucket = the filled value on its last row.
+    // Plan note: this branch re-reads (orderCol, valueCol) in a second
+    // COLUMN-PRUNED scan rather than reusing the fill branch's
+    // exchange — the two branches need different column sets, so
+    // forcing a shared exchange would widen the fact shuffle to the
+    // union of both (measured: a full-row max_by struct made this
+    // branch scan all 6 event columns). Two narrow scans beat one wide
+    // shuffle here; the carry table they feed is O(buckets) either way.
     val lasts = filled.groupBy(col("__b"))
       .agg(max_by(col("__filled"), col(orderCol)).as("__last"))
     val wCarry = Window.orderBy(col("__b"))
