@@ -1070,10 +1070,62 @@ object QueriesPipeline {
       |SELECT source, CAST(rn AS INT) AS rn, doc_id, skey
       |FROM r WHERE rn <= 15 ORDER BY source, rn""".stripMargin))
 
+  /** SEMANTIC eval-set decontamination — the embedding-level sibling of
+    * [[plDecontaminate]]'s n-gram rule: flag training vectors whose
+    * cosine against ANY benchmark vector clears a threshold (catches
+    * paraphrased contamination the lexical 8-gram rule misses). The
+    * benchmark here is the vec_id % 50 == 0 slice (held OUT of the
+    * train corpus); contamination is planted as near-copies (eval
+    * vector + j·0.003 per component) so the flagged truth is exact and
+    * both engines can prove it. Scale shape: the benchmark suite is
+    * small by nature → broadcast; cosine (native codegen `cosine_sim`)
+    * is map-side over the corpus scan; the only exchange carries
+    * (vec_id, rounded-cos) pairs for the per-vector max — payloads
+    * never shuffle. Determinism: per-pair cosine folds the arrays in
+    * index order in BOTH engines, is rounded to 6 dp BEFORE max and
+    * threshold, so the compare operates on identical doubles. */
+  val plDeconSemantic: Entry = Entry("pl_decon_semantic",
+    (s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        graft.functions.ArrayOps.asDouble(col("embedding")).as("v"))
+      val eval_ = base.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+      val planted = eval_.select(
+          explode(sequence(lit(1L), lit(3L))).as("j"), col("eval_id"), col("ev"))
+        .select((lit(300000L) + col("eval_id") * 10 + col("j")).as("vec_id"),
+          transform(col("ev"), x => x + col("j") * lit(0.003)).as("v"))
+      val corpus = base.where(col("vec_id") % 50 =!= 0).unionByName(planted)
+      corpus.crossJoin(broadcast(eval_))
+        .select(col("vec_id"),
+          round(call_function("cosine_sim", col("v"), col("ev")), 6).as("cos"))
+        .groupBy("vec_id")
+        .agg(max(col("cos")).as("max_cos"),
+          sum(when(col("cos") >= 0.99, 1L).otherwise(0L)).as("n_hits"))
+        .where(col("max_cos") >= 0.99)
+        .orderBy("vec_id")
+    },
+    Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |ev AS (SELECT vec_id AS eval_id, v AS ev FROM base WHERE vec_id % 50 = 0),
+      |planted AS (SELECT 300000 + e.eval_id * 10 + t.j AS vec_id,
+      |  list_transform(e.ev, x -> x + t.j * 0.003) AS v
+      | FROM ev e, range(1, 4) t(j)),
+      |corpus AS (SELECT vec_id, v FROM base WHERE vec_id % 50 <> 0
+      |  UNION ALL SELECT vec_id, v FROM planted),
+      |pairs AS (SELECT c.vec_id,
+      |  round(list_sum(list_transform(list_zip(c.v, e.ev), s -> s[1] * s[2])) /
+      |    (sqrt(list_sum(list_transform(c.v, x -> x * x))) *
+      |     sqrt(list_sum(list_transform(e.ev, x -> x * x)))), 6) AS cos
+      | FROM corpus c, ev e)
+      |SELECT vec_id, max(cos) AS max_cos,
+      |  CAST(sum(CASE WHEN cos >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |FROM pairs GROUP BY vec_id HAVING max(cos) >= 0.99
+      |ORDER BY vec_id""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plMixWeights,
-    plDecontaminate, plEpochShard, plDomainCap, simTopk, simAnnLsh, simAnnIvf,
-    simKmeans, simNearDup, mmDecode)
+    plDecontaminate, plDeconSemantic, plEpochShard, plDomainCap, simTopk,
+    simAnnLsh, simAnnIvf, simKmeans, simNearDup, mmDecode)
 }
