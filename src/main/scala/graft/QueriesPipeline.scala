@@ -1008,12 +1008,10 @@ object QueriesPipeline {
     * bit-for-bit. */
   val plEpochShard: Entry = Entry("pl_epoch_shard",
     (s, d) => {
-      val m = 2147483648L // 2^31
-      val mixed = pmod(col("doc_id") + col("epoch") * 1000003L, lit(m))
-      val key = pmod(mixed * 1103515245L + 12345L, lit(m))
       docs(s, d).select(col("doc_id"), col("n_chars"),
           explode(sequence(lit(0L), lit(1L))).as("epoch"))
-        .withColumn("skey", key)
+        .withColumn("skey",
+          graft.functions.Lcg.key(col("doc_id") + col("epoch") * 1000003L))
         .withColumn("shard", pmod(col("skey"), lit(64L)))
         .select(col("epoch"), col("shard"), col("skey"),
           col("doc_id"), col("n_chars"))
@@ -1045,11 +1043,9 @@ object QueriesPipeline {
     * pl_epoch_shard (exact BIGINT, engine-agnostic). */
   val plDomainCap: Entry = Entry("pl_domain_cap",
     (s, d) => {
-      val m = 2147483648L
       val cap = 15
-      val key = pmod(pmod(col("doc_id"), lit(m)) * 1103515245L + 12345L, lit(m))
       val keyed = docs(s, d).select(col("doc_id"), col("source"))
-        .withColumn("skey", key)
+        .withColumn("skey", graft.functions.Lcg.key(col("doc_id")))
         .withColumn("salt", pmod(col("doc_id"), lit(16L)))
       val w1 = org.apache.spark.sql.expressions.Window
         .partitionBy("source", "salt").orderBy("skey", "doc_id")

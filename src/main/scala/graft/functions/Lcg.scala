@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The shared deterministic-permutation key used by `pl_epoch_shard`
+  * (per-epoch training shuffle) and `pl_domain_cap` (per-domain
+  * keep-K selection): a Hull–Dobell full-period LCG mod m = 2^31.
+  * With c odd and a−1 divisible by every prime factor of m (and by 4,
+  * since 4 | m), x → (a·x + c) mod m is a BIJECTION on [0, m) — so
+  * distinct inputs below 2^31 get collision-free pseudo-random keys,
+  * with no RNG state, no coordinator, and no materialized permutation
+  * table (LcgProps proves bijectivity and the Scala/SQL parity).
+  *
+  * All arithmetic stays exact in BIGINT — max product a·(m−1) ≈
+  * 2.37e18 < 2^63 — and both Spark and DuckDB compute it
+  * bit-identically; the oracle SQL spells the same
+  * `((x % m) * a + c) % m` (constants must match this object).
+  */
+object Lcg {
+  val M: Long = 2147483648L // 2^31
+  val A: Long = 1103515245L // a-1 = 4 * 275878811 — Hull–Dobell ok
+  val C: Long = 12345L      // odd
+
+  /** Column form: the permutation key of a non-negative BIGINT input
+    * (inputs ≥ 2^31 wrap onto [0, 2^31) first — documented at both
+    * call sites). */
+  def key(x: Column): Column = pmod(pmod(x, lit(M)) * A + C, lit(M))
+
+  /** Scala twin for specs/brute-force oracles — keep in lockstep. */
+  def key(x: Long): Long = ((x % M) * A + C) % M
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.Lcg
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Properties of the shared permutation key behind pl_epoch_shard /
+  * pl_domain_cap: Hull–Dobell bijectivity (injectivity over arbitrary
+  * sub-domains of [0, 2^31)), range containment, overflow safety at
+  * the domain edge, and the invertibility witness (a has an odd
+  * modular inverse mod 2^31, so the map provably permutes). */
+object LcgProps extends Properties("lcg") {
+
+  private val domGen: Gen[Long] = Gen.choose(0L, Lcg.M - 1)
+
+  property("key lands in [0, 2^31)") = Prop.forAll(domGen) { x =>
+    val k = Lcg.key(x); k >= 0L && k < Lcg.M
+  }
+
+  property("injective: distinct inputs below 2^31 never collide") =
+    Prop.forAll(domGen, domGen) { (x, y) =>
+      (x == y) == (Lcg.key(x) == Lcg.key(y))
+    }
+
+  property("exact inverse recovers the input (constructive bijection)") = {
+    // a^-1 mod 2^31 exists because a is odd; computed once by
+    // extended-Euclid over the spec's own constants
+    val aInv = BigInt(Lcg.A).modInverse(BigInt(Lcg.M)).toLong
+    Prop.forAll(domGen) { x =>
+      val k = Lcg.key(x)
+      val back = (BigInt(aInv) * BigInt((k - Lcg.C + Lcg.M) % Lcg.M))
+        .mod(BigInt(Lcg.M)).toLong
+      back == x
+    }
+  }
+
+  property("inputs >= 2^31 wrap onto the same orbit (no overflow)") =
+    Prop.forAll(domGen) { x =>
+      Lcg.key(x + Lcg.M) == Lcg.key(x) && Lcg.key(Long.MaxValue) >= 0L
+    }
+}
