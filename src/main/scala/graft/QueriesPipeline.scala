@@ -1118,10 +1118,91 @@ object QueriesPipeline {
       |FROM pairs GROUP BY vec_id HAVING max(cos) >= 0.99
       |ORDER BY vec_id""".stripMargin))
 
+  /** The WHOLE curation DAG as ONE lazy Catalyst plan — exact dedup →
+    * quality filter → per-domain cap → mix-weight upsample → epoch
+    * shard — proving the pipeline operators compose with no
+    * materialization barrier between stages (every stage above is also
+    * gated standalone; this entry gates the composition). Plan shape:
+    * dedup's agg exchange carries (digest, length, id, 3 small cols) —
+    * never text; the cap is the two-stage salted top-K; the mix
+    * weights come from windows OVER THE CAPPED ROWS (bounded at
+    * K·|domains|), so the whole DAG is LINEAR — no branch re-derives
+    * the upstream pipeline (at crawl-scale domain counts the global
+    * max-window would instead be the two-row-aggregate + broadcast of
+    * [[plMixWeights]]; here the linear spelling keeps the composed
+    * plan one-pass); the upsample is map-side explode; the final
+    * epoch-shard key is a map-side projection feeding one
+    * range-partitioned sort. */
+  val plEndToEnd: Entry = Entry("pl_end_to_end",
+    (s, d) => {
+      import graft.functions.Lcg
+      val base = docs(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val corpus = base.unionByName(
+        base.where(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val deduped = corpus
+        .select(col("doc_id"), xxhash64(col("text")).as("dg"),
+          length(col("text")).as("tl"), col("lang"), col("source"), col("n_chars"))
+        .groupBy("dg", "tl")
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+          min(col("source")).as("source"), min(col("n_chars")).as("n_chars"))
+        .where(col("n_chars") >= 100)
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "salt").orderBy("ckey", "doc_id")
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("ckey", "doc_id")
+      val capped = deduped
+        .withColumn("ckey", Lcg.key(col("doc_id")))
+        .withColumn("salt", pmod(col("doc_id"), lit(16L)))
+        .withColumn("rn1", row_number().over(w1)).where(col("rn1") <= 15)
+        .withColumn("rn", row_number().over(w2)).where(col("rn") <= 15)
+      val weighted = capped
+        .withColumn("chars", sum(col("n_chars")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        .withColumn("mx", max(col("chars")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("rep", least(lit(4L),
+          ceil(col("mx").cast("double") / col("chars")).cast("long")))
+      weighted
+        .select(col("doc_id"), col("lang"), col("source"), col("rn"),
+          col("rep"), explode(sequence(lit(0L), col("rep") - 1)).as("copy_id"))
+        .withColumn("skey", Lcg.key(col("doc_id") + col("copy_id") * 1000003L))
+        .withColumn("shard", pmod(col("skey"), lit(64L)))
+        .orderBy("shard", "skey", "doc_id", "copy_id")
+    },
+    Some("""WITH corpus AS (
+      | SELECT doc_id, text, lang, source, n_chars FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000, text, lang, source, n_chars
+      |   FROM documents WHERE doc_id % 7 = 0),
+      |dedup AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+      |  min(source) AS source, min(n_chars) AS n_chars
+      | FROM corpus GROUP BY text HAVING min(n_chars) >= 100),
+      |ranked AS (SELECT doc_id, lang, source, n_chars,
+      |  row_number() OVER (PARTITION BY source ORDER BY
+      |    ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648,
+      |    doc_id) AS rn
+      | FROM dedup),
+      |capped AS (SELECT * FROM ranked WHERE rn <= 15),
+      |chars AS (SELECT *, sum(n_chars) OVER (PARTITION BY lang) AS chars
+      | FROM capped),
+      |wts AS (SELECT *, least(4, CAST(ceil(
+      |    CAST(max(chars) OVER () AS DOUBLE) / chars) AS BIGINT)) AS rep
+      | FROM chars),
+      |ex AS (SELECT doc_id, lang, source, CAST(rn AS INT) AS rn, rep,
+      |  unnest(range(rep)) AS copy_id FROM wts)
+      |SELECT doc_id, lang, source, rn, rep, copy_id,
+      |  (((doc_id + copy_id * 1000003) % 2147483648) * 1103515245 + 12345)
+      |    % 2147483648 AS skey,
+      |  ((((doc_id + copy_id * 1000003) % 2147483648) * 1103515245 + 12345)
+      |    % 2147483648) % 64 AS shard
+      |FROM ex ORDER BY shard, skey, doc_id, copy_id""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plMixWeights,
-    plDecontaminate, plDeconSemantic, plEpochShard, plDomainCap, simTopk,
-    simAnnLsh, simAnnIvf, simKmeans, simNearDup, mmDecode)
+    plDecontaminate, plDeconSemantic, plEpochShard, plDomainCap, plEndToEnd,
+    simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup, mmDecode)
 }
