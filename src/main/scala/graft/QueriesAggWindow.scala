@@ -586,7 +586,10 @@ object QueriesAggWindow {
         // windows — the asymmetric filters de-canonicalize the shared
         // exchange and block ReuseExchange. Stating it here puts the
         // identical filter in both branches. (Null-bkt rows — null
-        // value — can't survive the inner join either way.)
+        // value — can't survive the inner join either way.) The oracle
+        // states the same `value IS NOT NULL` in its x CTE so both
+        // engines exclude null samples from n_a/n_b by construction
+        // (r6 parity held only because events.value is never null).
         .where(col("bkt").isNotNull)
         .repartition(col("bkt"))
       val wIn = Window.partitionBy("bkt").orderBy("value")
@@ -623,7 +626,8 @@ object QueriesAggWindow {
     },
     Some("""WITH x AS (SELECT value,
       |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
-      | FROM events WHERE event_type IN ('click', 'purchase')),
+      | FROM events WHERE event_type IN ('click', 'purchase')
+      |   AND value IS NOT NULL),
       |n AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
       |             CAST(sum(1 - ia) AS BIGINT) AS n_b FROM x),
       |c AS (SELECT sum(ia) OVER w AS ca, sum(1 - ia) OVER w AS cb
@@ -650,10 +654,23 @@ object QueriesAggWindow {
       // ONE fact scan: the k·2-row contingency table is aggregated once
       // and every margin (row/column/grand totals) is a window over that
       // TINY table — the r6 first cut derived each margin from a
-      // separate branch that re-aggregated the fact rows (5 fact scans)
-      val cells = tbl(s, d, "events")
+      // separate branch that re-aggregated the fact rows (5 fact scans).
+      // The table is DENSIFIED by construction (r6 advisor fix): the
+      // period domain is statically {0, 1} (day % 2), so a per-type
+      // conditional aggregation yields BOTH period cells for every
+      // observed event_type — a category present in only one period
+      // contributes its o=0 cell, whose nonzero expected-count term
+      // (o−e)²/e = r·c/N is exactly the signal that a vanished
+      // category carries (dropping it understated chi² precisely when
+      // drift is strongest). No cross join, no extra scan: zero cells
+      // appear from the stack, not from a dimension join.
+      val byType = tbl(s, d, "events")
         .select(col("event_type"), (dayofmonth(col("ts")) % 2).as("period"))
-        .groupBy("period", "event_type").agg(count(lit(1L)).as("o"))
+        .groupBy("event_type").agg(
+          sum(when(col("period") === 0, 1L).otherwise(0L)).as("o0"),
+          sum(when(col("period") === 1, 1L).otherwise(0L)).as("o1"))
+      val cells = byType
+        .select(col("event_type"), expr("stack(2, 0, o0, 1, o1) AS (period, o)"))
         .withColumn("r", sum(col("o")).over(Window.partitionBy("period")))
         .withColumn("c", sum(col("o")).over(Window.partitionBy("event_type")))
         .withColumn("n", sum(col("o")).over(Window.partitionBy()))
@@ -661,10 +678,13 @@ object QueriesAggWindow {
       // in DOUBLE (one correctly-rounded multiply — Math.pow is only
       // 1-ulp-accurate, a*a is exact IEEE in both engines), and the
       // denominator multiplies three ≤2^53-exact doubles so it never
-      // overflows at any scale
+      // overflows at any scale. An all-empty period (r=0) would make
+      // e=0 for its whole row — those cells are excluded per the
+      // Pearson convention (both engines state the same guard).
       val diff = (col("o") * col("n") - col("r") * col("c")).cast("double")
-      val term = diff * diff /
-        (col("r").cast("double") * col("c").cast("double") * col("n").cast("double"))
+      val term = when(col("r") === 0 || col("c") === 0, lit(0.0))
+        .otherwise(diff * diff /
+          (col("r").cast("double") * col("c").cast("double") * col("n").cast("double")))
       cells
         .groupBy("n")
         .agg(round(sum(round(term, 9).cast("decimal(38,12)")).cast("double"), 6)
@@ -673,17 +693,21 @@ object QueriesAggWindow {
            (countDistinct(col("event_type")) - 1)).as("dof"))
         .select(col("chi2"), col("dof"), col("n"))
     },
-    Some("""WITH cells AS (SELECT day(ts) % 2 AS period, event_type,
-      |  CAST(count(*) AS BIGINT) AS o
-      | FROM events GROUP BY 1, 2),
+    Some("""WITH c0 AS (SELECT event_type,
+      |  CAST(sum(CASE WHEN day(ts) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o0,
+      |  CAST(sum(CASE WHEN day(ts) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o1
+      | FROM events GROUP BY 1),
+      |cells AS (SELECT event_type, 0 AS period, o0 AS o FROM c0
+      | UNION ALL SELECT event_type, 1 AS period, o1 FROM c0),
       |r AS (SELECT period, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
       |c AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
       |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
       |dof AS (SELECT CAST((count(DISTINCT period) - 1) *
       |   (count(DISTINCT event_type) - 1) AS BIGINT) AS dof FROM cells)
       |SELECT round(CAST(sum(CAST(round(
+      |    CASE WHEN r = 0 OR c = 0 THEN 0.0 ELSE
       |    CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
-      |    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE)),
+      |    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) END,
       |   9) AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2, dof, n
       |FROM cells JOIN r USING (period) JOIN c USING (event_type), n, dof
       |GROUP BY dof, n""".stripMargin))

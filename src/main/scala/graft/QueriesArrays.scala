@@ -155,6 +155,11 @@ object QueriesArrays {
   private def flipSql(l: String): String =
     s"list_transform(range(0, ${W * W}), i -> $l[(i // $W) * $W + ($W - (i % $W))])"
 
+  /** SQL building the vertically flipped (row-reversed) list of an
+    * 8x8 image — 1-based: output element i reads source row W-1-i//W. */
+  private def flipVSql(l: String): String =
+    s"list_transform(range(0, ${W * W}), i -> $l[($W - 1 - (i // $W)) * $W + (i % $W) + 1])"
+
   /** A12: ten-crop (4 corners + center) × {orig, flipped} of the 8×8
     * image, 4×4 crops; output (vec_id, crop_id, crop sum). */
   val a12TenCrop: Entry = {
@@ -227,6 +232,38 @@ object QueriesArrays {
         |FROM f ORDER BY vec_id""".stripMargin))
   }
 
+  /** A13: the VERTICAL-flip decision (main.py:150 vertical_flip=True —
+    * the reference draws H and V flips independently; this gates the V
+    * branch alone on augmentFull's stream-5 LCG draw). Same
+    * position-weighted-checksum distinguisher as a13_augment_flip: a
+    * plain sum cannot see a row permutation. */
+  val a13AugmentV: Entry = {
+    val sparkFn: Queries.Q = (s, d) => {
+      val e = emb(s, d).withColumn("aug",
+        ImageGeometry.augmentFlipVUdf(col("b1"), lit(W), col("vec_id"), lit(0)))
+      // mirror of ImageGeometry.lcg on stream 5 (epoch 0): masked,
+      // overflow-free — identical value under checked int64 arithmetic
+      val seed = col("vec_id").bitwiseAND(lit(0xffffL)) * 131071L + 5L
+      val h = (seed.bitwiseAND(lit(0xffffffL)) * 1103515245L + 12345L)
+        .bitwiseAND(lit(0x7fffffffL))
+      e.select(col("vec_id"),
+          when(h < 0x40000000L, 1).otherwise(0).as("flipped"),
+          round(arraySum(zip_with(col("aug"),
+            sequence(lit(1), size(col("aug"))).cast("array<double>"),
+            (x, i) => x * i)), 6).as("wsum"))
+        .orderBy("vec_id")
+    }
+    Entry("a13_augment_flipv", sparkFn,
+      Some(s"""WITH e AS (SELECT vec_id, $B1 AS b1,
+        |   ((((vec_id & 65535) * 131071 + 5) & 16777215) * 1103515245 + 12345) & 2147483647 AS l5
+        |   FROM embeddings),
+        | f AS (SELECT vec_id, CASE WHEN l5 < 1073741824 THEN 1 ELSE 0 END AS flipped,
+        |   CASE WHEN l5 < 1073741824 THEN ${flipVSql("b1")} ELSE b1 END AS aug FROM e)
+        |SELECT vec_id, flipped,
+        | round(list_sum(list_transform(range(1, ${W * W + 1}), i -> aug[i] * CAST(i AS DOUBLE))), 6) AS wsum
+        |FROM f ORDER BY vec_id""".stripMargin))
+  }
+
   /** G10: TTA mean — per-image mean over the ten crop means
     * (10-crop.py:327-337's accumulate/÷10, as explode → groupBy avg).
     * The 10 exploded rows of one image stay contiguous in one
@@ -280,15 +317,19 @@ object QueriesArrays {
       Some(s"""WITH e AS (SELECT vec_id, $B1 AS b1 FROM embeddings),
         |d AS (SELECT vec_id, b1,
         |  ${lcgSql(0)} AS l0, ${lcgSql(1)} AS l1, ${lcgSql(2)} AS l2,
-        |  ${lcgSql(3)} AS l3, ${lcgSql(4)} AS l4
+        |  ${lcgSql(3)} AS l3, ${lcgSql(4)} AS l4, ${lcgSql(5)} AS l5
         | FROM e),
-        |par AS (SELECT vec_id,
-        |  CASE WHEN l0 < 1073741824 THEN ${flipSql("b1")} ELSE b1 END AS aug,
+        |parh AS (SELECT vec_id, l5,
+        |  CASE WHEN l0 < 1073741824 THEN ${flipSql("b1")} ELSE b1 END AS augh,
         |  (CAST(l1 AS DOUBLE) / 2147483648.0 * 2 - 1) * $rad30 AS theta,
         |  0.75 + CAST(l2 AS DOUBLE) / 2147483648.0 * 0.5 AS zoom,
         |  (CAST(l3 AS DOUBLE) / 2147483648.0 * 2 - 1) * 0.2 AS shx,
         |  (CAST(l4 AS DOUBLE) / 2147483648.0 * 2 - 1) * 0.2 AS shy
         | FROM d),
+        |par AS (SELECT vec_id,
+        |  CASE WHEN l5 < 1073741824 THEN ${flipVSql("augh")} ELSE augh END AS aug,
+        |  theta, zoom, shx, shy
+        | FROM parh),
         |pr AS (SELECT vec_id, aug, cos(-theta) AS ct, sin(-theta) AS st,
         |  1.0 / zoom AS iz, shx, shy FROM par),
         |sxy AS (SELECT vec_id, aug, list_transform(range(0, ${W * W}), i -> struct_pack(
@@ -430,6 +471,7 @@ object QueriesArrays {
       s"((((vec_id & 65535) * 131071 + $stream) & 16777215) * 1103515245 + 12345) & 2147483647"
     val rad30 = math.toRadians(30).toString
     val flip = s"list_transform(range(0, ${S * S}), i -> b[(i // $S) * $S + ($S - (i % $S))])"
+    val flipV = s"list_transform(range(0, ${S * S}), i -> augh[($S - 1 - (i // $S)) * $S + (i % $S) + 1])"
     Entry("a_native_affine",
       (s, d) => {
         SarFixture.ensure()
@@ -446,15 +488,19 @@ object QueriesArrays {
         |             inc_angle: 'VARCHAR', is_iceberg: 'INTEGER'})),
         |d AS (SELECT vec_id, b,
         |  ${lcgSql(0)} AS l0, ${lcgSql(1)} AS l1, ${lcgSql(2)} AS l2,
-        |  ${lcgSql(3)} AS l3, ${lcgSql(4)} AS l4
+        |  ${lcgSql(3)} AS l3, ${lcgSql(4)} AS l4, ${lcgSql(5)} AS l5
         | FROM e),
-        |par AS (SELECT vec_id,
-        |  CASE WHEN l0 < 1073741824 THEN $flip ELSE b END AS aug,
+        |parh AS (SELECT vec_id, l5,
+        |  CASE WHEN l0 < 1073741824 THEN $flip ELSE b END AS augh,
         |  (CAST(l1 AS DOUBLE) / 2147483648.0 * 2 - 1) * $rad30 AS theta,
         |  0.75 + CAST(l2 AS DOUBLE) / 2147483648.0 * 0.5 AS zoom,
         |  (CAST(l3 AS DOUBLE) / 2147483648.0 * 2 - 1) * 0.2 AS shx,
         |  (CAST(l4 AS DOUBLE) / 2147483648.0 * 2 - 1) * 0.2 AS shy
         | FROM d),
+        |par AS (SELECT vec_id,
+        |  CASE WHEN l5 < 1073741824 THEN $flipV ELSE augh END AS aug,
+        |  theta, zoom, shx, shy
+        | FROM parh),
         |pr AS (SELECT vec_id, aug, cos(-theta) AS ct, sin(-theta) AS st,
         |  1.0 / zoom AS iz, shx, shy FROM par),
         |sxy AS (SELECT vec_id, aug, list_transform(range(0, ${S * S}), i -> struct_pack(
@@ -479,6 +525,6 @@ object QueriesArrays {
 
   val all: Seq[Entry] = Seq(
     a2BandAlgebra, a7Normalize, a9IsoMask, a10SizeFeature,
-    gRowStats, g8Median, a12TenCrop, a8Resize, a13Augment, g10TtaMean,
-    a13Affine, aNative75, aNativeTenCrop, aNativeAffine)
+    gRowStats, g8Median, a12TenCrop, a8Resize, a13Augment, a13AugmentV,
+    g10TtaMean, a13Affine, aNative75, aNativeTenCrop, aNativeAffine)
 }

@@ -995,9 +995,12 @@ object QueriesPipeline {
     * coordinator or a materialized permutation table. Each (epoch,
     * doc) gets a pseudo-random sort key from a full-period LCG
     * (Hull–Dobell: a−1 ≡ 0 mod 4, c odd, m = 2^31 ⇒ the map is a
-    * BIJECTION on [0, 2^31), so keys are collision-free for doc_id
-    * < 2^31 and every epoch is a genuine permutation, epoch-offset
-    * 1000003 decorrelates epochs). shard = key mod 64 is the data-
+    * BIJECTION on [0, 2^31), so keys are collision-free for ids
+    * distinct mod 2^31 and every epoch a genuine permutation there;
+    * beyond 2.1B docs keys collide but the (skey, doc_id) sort below
+    * remains a total deterministic order — see the scope note on
+    * [[graft.functions.Lcg]] — epoch-offset 1000003 decorrelates
+    * epochs). shard = key mod 64 is the data-
     * loader assignment — uniform by the LCG's equidistribution, so
     * the 64 readers get balanced byte counts with NO planning pass.
     * Plan shape at 100 TB: key/shard are map-side projections inside
@@ -1040,7 +1043,9 @@ object QueriesPipeline {
     * composition is EXACTLY the single-window result (proved in
     * DomainCapSpec), while the second window never sees more than 16K
     * rows per domain. The LCG key is the same full-period bijection as
-    * pl_epoch_shard (exact BIGINT, engine-agnostic). */
+    * pl_epoch_shard (exact BIGINT, engine-agnostic; bijective for ids
+    * distinct mod 2^31 — the (skey, doc_id) window order stays total
+    * under collisions, see [[graft.functions.Lcg]]). */
   val plDomainCap: Entry = Entry("pl_domain_cap",
     (s, d) => {
       val cap = 15
@@ -1141,6 +1146,13 @@ object QueriesPipeline {
       val corpus = base.unionByName(
         base.where(col("doc_id") % 7 === 0)
           .withColumn("doc_id", col("doc_id") + 100000))
+      // digest-keyed dedup, the dd_exact principle: shuffle rows carry
+      // (int64 digest, int32 length), never the document text. SHARED
+      // ASSUMPTION with dd_exact (whose doc states it): a false merge
+      // needs a 64-bit xxhash64 collision AT equal lengths — vanishing;
+      // the oracle's group-by-text is the stronger spelling that would
+      // catch one. Grouping by text here would make the exchange carry
+      // the corpus — the exact cost this stage exists to avoid.
       val deduped = corpus
         .select(col("doc_id"), xxhash64(col("text")).as("dg"),
           length(col("text")).as("tl"), col("lang"), col("source"), col("n_chars"))

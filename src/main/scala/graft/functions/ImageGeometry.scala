@@ -73,6 +73,20 @@ object ImageGeometry {
     out
   }
 
+  /** A11: vertical flip (np.flipud) — reverses row blocks. The
+    * reference's generator enables vertical_flip alongside horizontal
+    * (main.py:150); both are independent 50% draws. */
+  def flipV(a: Array[Double], w: Int): Array[Double] = {
+    val h = a.length / w
+    val out = new Array[Double](a.length)
+    var r = 0
+    while (r < h) {
+      System.arraycopy(a, (h - 1 - r) * w, out, r * w, w)
+      r += 1
+    }
+    out
+  }
+
   /** A12: rectangular crop at (x0, y0) of size w×h from a W-wide image. */
   def crop(a: Array[Double], imgW: Int, x0: Int, y0: Int, w: Int, h: Int): Array[Double] = {
     val out = new Array[Double](w * h)
@@ -157,16 +171,22 @@ object ImageGeometry {
     out
   }
 
-  /** The reference's full random augmentation (flip + rotate + zoom +
-    * shift), deterministically parameterized: each parameter draws from
-    * an independent masked-LCG stream on (id, epoch). Ranges follow
-    * main-2-0116.py:151-155 (rot ≤30°, shift ≤0.2, zoom ∈ [0.75, 1.25]
-    * — the Keras zoom_range=0.5 convention of [1−z/2, 1+z/2]). */
+  /** The reference's full random augmentation (H-flip + V-flip +
+    * rotate + zoom + shift), deterministically parameterized: each
+    * parameter draws from an independent masked-LCG stream on
+    * (id, epoch). Ranges follow main-2-0116.py:151-155 (rot ≤30°,
+    * shift ≤0.2, zoom ∈ [0.75, 1.25] — the Keras zoom_range=0.5
+    * convention of [1−z/2, 1+z/2]); both flips are independent 50%
+    * draws per main.py:149-150 (horizontal_flip AND vertical_flip).
+    * The V-flip draw uses stream 5 so streams 1-4 (the affine
+    * parameters, and the sample-coordinate margin guarantees proved
+    * over them in AffineSpec) are unchanged by its addition. */
   def augmentFull(a: Array[Double], w: Int, id: Long, epoch: Int): Array[Double] = {
     val h = a.length / w
     def draw(stream: Int): Double = // uniform in [0,1)
       lcg((id & 0xffffL) * 131071L + epoch * 31L + stream).toDouble / 0x80000000L.toDouble
-    val flipped = if (draw(0) < 0.5) flipH(a, w) else a
+    val flippedH = if (draw(0) < 0.5) flipH(a, w) else a
+    val flipped = if (draw(5) < 0.5) flipV(flippedH, w) else flippedH
     val theta = (draw(1) * 2 - 1) * math.toRadians(30)
     val zoom = 0.75 + draw(2) * 0.5
     val sx = (draw(3) * 2 - 1) * 0.2
@@ -174,10 +194,16 @@ object ImageGeometry {
     affine(flipped, w, h, theta, zoom, sx, sy)
   }
 
+  /** A13: the V-flip decision alone (stream 5 of augmentFull), for the
+    * dedicated vertical-flip gate entry. */
+  def augmentFlipV(a: Array[Double], w: Int, id: Long, epoch: Int): Array[Double] =
+    if (lcg((id & 0xffffL) * 131071L + epoch * 31L + 5) < 0x40000000L) flipV(a, w) else a
+
   // --- Column wrappers ---
   val bilinearResizeUdf =
     udf((a: Array[Double], h0: Int, w0: Int, h1: Int, w1: Int) => bilinearResize(a, h0, w0, h1, w1))
   val flipHUdf = udf((a: Array[Double], w: Int) => flipH(a, w))
+  val flipVUdf = udf((a: Array[Double], w: Int) => flipV(a, w))
   val cropUdf =
     udf((a: Array[Double], imgW: Int, x0: Int, y0: Int, w: Int, h: Int) => crop(a, imgW, x0, y0, w, h))
   val tenCropUdf =
@@ -187,6 +213,8 @@ object ImageGeometry {
   val affineUdf =
     udf((a: Array[Double], w: Int, h: Int, theta: Double, zoom: Double, sx: Double, sy: Double) =>
       affine(a, w, h, theta, zoom, sx, sy))
+  val augmentFlipVUdf =
+    udf((a: Array[Double], w: Int, id: Long, epoch: Int) => augmentFlipV(a, w, id, epoch))
   val augmentFullUdf =
     udf((a: Array[Double], w: Int, id: Long, epoch: Int) => augmentFull(a, w, id, epoch))
 

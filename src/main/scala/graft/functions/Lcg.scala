@@ -12,6 +12,19 @@ import org.apache.spark.sql.functions._
   * with no RNG state, no coordinator, and no materialized permutation
   * table (LcgProps proves bijectivity and the Scala/SQL parity).
   *
+  * SCOPE OF THE BIJECTION CLAIM (r6 advisor): collision-freedom holds
+  * for ids DISTINCT MOD 2^31 — inputs ≥ 2^31 wrap, so id and
+  * id + 2^31 share a key. A >2.1B-doc corpus (or sparse 64-bit ids)
+  * therefore gets key COLLISIONS, never wrong results: every consumer
+  * orders by the composite (key, id), which stays a total
+  * deterministic order under collisions — colliding ids sort adjacent
+  * (slightly less mixed) instead of nondeterministically. The shard
+  * assignment (key mod 64) stays uniform either way. Upgrade path if
+  * true 64-bit bijectivity is ever required: a multiply-xorshift
+  * mixer (splitmix64-style) — needs wrapping 64-bit multiply, which
+  * Spark's non-ANSI mode has but checked-arithmetic oracles do not,
+  * hence the oracle-expressible 2^31 variant here.
+  *
   * All arithmetic stays exact in BIGINT — max product a·(m−1) ≈
   * 2.37e18 < 2^63 — and both Spark and DuckDB compute it
   * bit-identically; the oracle SQL spells the same

@@ -21,6 +21,19 @@ object GeometryProps extends Properties("geometry") {
     flipH(a, w).sorted.sameElements(a.sorted)
   }
 
+  property("flipV is an involution") = Prop.forAll(imgGen) { case (a, w, _) =>
+    flipV(flipV(a, w), w).sameElements(a)
+  }
+
+  property("flipV preserves multiset of pixels") = Prop.forAll(imgGen) { case (a, w, _) =>
+    flipV(a, w).sorted.sameElements(a.sorted)
+  }
+
+  property("flipV∘flipH == flipH∘flipV (180° rotation)") =
+    Prop.forAll(imgGen) { case (a, w, _) =>
+      flipV(flipH(a, w), w).sameElements(flipH(flipV(a, w), w))
+    }
+
   property("tenCrop yields 10 crops of exactly w*h pixels") =
     Prop.forAll(Gen.choose(2, 8), Gen.choose(2, 8)) { (cw, ch) =>
       val w = 10; val h = 10

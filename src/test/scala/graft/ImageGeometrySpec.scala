@@ -25,6 +25,22 @@ class ImageGeometrySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("A11 flipV on 3x3 [1..9]: rows reversed top-to-bottom") {
+    flipV(img3, 3).toSeq shouldBe Seq(7.0, 8.0, 9.0, 4.0, 5.0, 6.0, 1.0, 2.0, 3.0)
+  }
+
+  test("A13 augmentFlipV is deterministic and flips on the stream-5 draw") {
+    val a = img3
+    augmentFlipV(a, 3, 42L, 1) shouldBe augmentFlipV(a, 3, 42L, 1)
+    // every output is either the original or its exact vertical flip,
+    // decided by the stream-5 LCG bit — verify against the direct draw
+    for (id <- 0L to 20L) {
+      val expectFlip = lcg((id & 0xffffL) * 131071L + 5L) < 0x40000000L
+      val out = augmentFlipV(a, 3, id, 0).toSeq
+      out shouldBe (if (expectFlip) flipV(a, 3).toSeq else a.toSeq)
+    }
+  }
+
   test("A12 crop: 2x2 corners + center of 4x4") {
     crop(img4, 4, 0, 0, 2, 2).toSeq shouldBe Seq(0.0, 1.0, 4.0, 5.0) // TL
     crop(img4, 4, 2, 0, 2, 2).toSeq shouldBe Seq(2.0, 3.0, 6.0, 7.0) // TR
