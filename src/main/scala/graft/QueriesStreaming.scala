@@ -493,6 +493,183 @@ object QueriesStreaming {
       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
       |ORDER BY click_id, buy_id""".stripMargin))
 
+  /** CHECKPOINT RECOVERY under the oracle — the fault-tolerance
+    * contract a production ingestion pipeline actually relies on: stop
+    * a stateful query mid-stream, restart FROM THE SAME CHECKPOINT,
+    * and require that (a) source offsets resumed — the restarted query
+    * reads only the newly arrived file, never reprocessing batch 0 —
+    * and (b) the dedup state store survived the restart — batch-1
+    * exact copies of batch-0 docs are dropped by state rebuilt from
+    * the checkpoint, not re-emitted.
+    *
+    * Mechanics: a per-run source dir receives b0 (base docs), a
+    * file-sink query (parquet — the recoverable sink; the memory sink
+    * of the other exec entries refuses checkpoint reuse) drains it and
+    * stops; b1 (planted exact copies, the dd_exact dup slice) then
+    * lands and a SECOND start() with the same checkpointLocation +
+    * sink path drains that. Both failure modes are hash-visible:
+    * offsets lost → b0 re-emitted → doubled rows; state lost → the
+    * planted copies survive → extra rows. The in-query requires pin
+    * the run shape (each leg fed ≥1 data batch; leg 2 read EXACTLY the
+    * b1 file) so the recovery path cannot silently collapse into one
+    * continuous run. Scale shape: the checkpoint is the only
+    * coordination — offsets + state both partition-local at 1000
+    * executors; the staged parts are cached fixtures (S5), the
+    * per-run dir holds one ~100 KB copy per leg.
+    *
+    * Determinism: base texts are distinct (dd_exact: 500 docs → 500
+    * groups), so leg 1 emits every base doc and leg 2 emits nothing —
+    * the oracle is the plain base-docs projection. Previous runs' dirs
+    * are swept at entry (the returned frame stays lazily readable
+    * until the NEXT invocation, matching how Verify/Bench consume it). */
+  val stStreamRecovery: Entry = Entry("st_stream_recovery",
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 2)
+      val partsDir = stagedDocBatches(outer, d)
+      val runId = s"${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val root = java.nio.file.Paths.get("target/tmp")
+      // sweep prior runs' dirs (their frames were consumed by the time a
+      // new invocation starts); keep this run's
+      Option(root.toFile.listFiles()).foreach(_.filter(f =>
+        f.getName.startsWith("recovery_") && f.getName != s"recovery_$runId")
+        .foreach(deleteRecursively))
+      val base = root.resolve(s"recovery_$runId")
+      val srcDir = base.resolve("in")
+      val outDir = base.resolve("out")
+      val ckpt = base.resolve("ckpt")
+      java.nio.file.Files.createDirectories(srcDir)
+      def arrive(nm: String): Unit =
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(partsDir, s"$nm.parquet"),
+          srcDir.resolve(s"$nm.parquet")): Unit
+      val schema = s.read.parquet(s"$partsDir/b0.parquet").schema
+      val b1Rows = s.read.parquet(s"$partsDir/b1.parquet").count()
+      def startQuery() = s.readStream
+        .schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .select(col("doc_id"), xxhash64(col("text")).as("digest"),
+          length(col("text")).cast("long").as("tlen"))
+        .dropDuplicates("digest", "tlen")
+        .select(col("doc_id"), col("tlen"))
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      arrive("b0")
+      val q1 = startQuery()
+      try {
+        q1.processAllAvailable()
+        val fed1 = q1.recentProgress.count(_.numInputRows > 0)
+        require(fed1 >= 1, s"leg 1 fed no data micro-batch (saw $fed1)")
+      } finally q1.stop()
+      arrive("b1")
+      val q2 = startQuery() // SAME checkpoint + sink: this is the restart
+      try {
+        q2.processAllAvailable()
+        val rows2 = q2.recentProgress.map(_.numInputRows).sum
+        require(rows2 == b1Rows,
+          s"restart must read exactly the $b1Rows new b1 rows (offsets " +
+            s"resumed, b0 not reprocessed) but read $rows2")
+      } finally q2.stop()
+      s.read.parquet(outDir.toString).orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, length(text) AS tlen FROM documents
+      |ORDER BY doc_id""".stripMargin))
+
+  /** Cache-key version for the watermark-dedup fixture below. */
+  private val wmDedupVer: String = {
+    val gen = 2 // bump on any change to the fixture time layout
+    val sig = s"g$gen;t0=10:00;drv=20:00;re=19:30;delay=1h;files=4"
+    (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
+  }
+
+  /** `dropDuplicatesWithinWatermark` under REAL two-micro-batch
+    * execution — the BOUNDED-retention dedup (vs [[stStreamRecovery]]'s
+    * unbounded dropDuplicates): state for a key is evicted once the
+    * watermark passes its event time + delay, which is the only dedup
+    * a 100 TB ingestion stream can afford (global dedup state grows
+    * without bound; watermark-scoped state is O(keys per window)).
+    *
+    * The gate proves BOTH sides of the contract on one run, with the
+    * batch choreography Spark's eviction timing actually requires —
+    * arrival checks are presence-only and expired state is swept at
+    * the END of the batch whose EVICTION watermark (computed from data
+    * through the previous batch) passes the expiry, so a re-arrival
+    * only survives if it lands at least two batches after the
+    * watermark-advancing event:
+    *  - batch 0: every doc key at 10:00 (expiry 11:00; wm still -∞);
+    *  - batch 1: the driver key (-1) at 20:00 — after it, wm = 19:00;
+    *  - batch 2: a driver-key duplicate (presence-dropped); its END
+    *    sweeps all doc keys (expiry 11:00 < eviction wm 19:00);
+    *  - batch 3: RE-ARRIVALS at 19:30 (doc_id % 7 slice) now find no
+    *    state and MUST be emitted — plain dropDuplicates (global
+    *    state) would drop them, so a silent fallback hash-fails —
+    *    while its driver-key duplicate at 20:00 is still inside the
+    *    un-expired window (expiry 21:00 > wm 19:00) → dropped;
+    *    emitting it would also hash-fail.
+    * The in-query require pins ≥4 data micro-batches so the eviction
+    * genuinely happens across batch boundaries (watermark updates
+    * BETWEEN batches; fewer batches would run the whole fixture at
+    * wm=-∞ and collapse the semantics under test).
+    *
+    * Event times are fixed literals (the semantics under test are the
+    * time relationships, not the data); keys come from the documents
+    * table so the oracle derives from the same scan. Output carries
+    * epoch-ms so each key's surviving arrivals are distinguishable. */
+  val stStreamWmDedup: Entry = Entry("st_stream_wm_dedup",
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 2)
+      // string→timestamp casts resolve in the session time zone (UTC,
+      // set by Verify/Bench), matching the oracle's naive TIMESTAMP
+      // literals — a java.sql.Timestamp literal would parse in the
+      // JVM-default zone instead
+      def at(t: String) = lit(s"2030-01-01 $t").cast("timestamp")
+      val stage = stageBatchFiles(
+        "stream_wmdd_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + wmDedupVer, {
+          val ids = tbl(outer, d, "documents").select(col("doc_id"))
+          val driver = ids.limit(1)
+            .select(lit(-1L).as("doc_id"), at("20:00:00").as("ts"))
+          Seq(
+            "b0" -> ids.select(col("doc_id"), at("10:00:00").as("ts")),
+            "b1" -> driver,
+            "b2" -> driver, // presence-dup; its end sweeps the doc keys
+            "b3" -> ids.where(col("doc_id") % 7 === 0)
+              .select(col("doc_id"), at("19:30:00").as("ts"))
+              .unionByName(driver))
+        })
+      val name = s"st_wmdd_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val q = s.readStream
+        .schema(s.read.parquet(s"$stage/b0.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("doc_id")
+        .select(col("doc_id"), (unix_timestamp(col("ts")) * 1000).as("t_ms"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 4,
+          s"expected >=4 data micro-batches (cross-batch eviction), saw $fed")
+      } finally {
+        q.stop()
+        deleteRecursively(new java.io.File(s"target/tmp/ckpt_$name"))
+      }
+      s.table(name).orderBy("doc_id", "t_ms")
+    },
+    Some("""WITH out AS (
+      | SELECT doc_id, epoch_ms(TIMESTAMP '2030-01-01 10:00:00') AS t_ms
+      |   FROM documents
+      | UNION ALL
+      | SELECT doc_id, epoch_ms(TIMESTAMP '2030-01-01 19:30:00') AS t_ms
+      |   FROM documents WHERE doc_id % 7 = 0
+      | UNION ALL
+      | SELECT -1 AS doc_id, epoch_ms(TIMESTAMP '2030-01-01 20:00:00') AS t_ms)
+      |SELECT doc_id, t_ms FROM out ORDER BY doc_id, t_ms""".stripMargin))
+
   val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom,
-    stStreamExec, stStreamSessionExec, stStreamDedup, stStreamJoin)
+    stStreamExec, stStreamSessionExec, stStreamDedup, stStreamJoin,
+    stStreamRecovery, stStreamWmDedup)
 }
