@@ -841,40 +841,80 @@ object QueriesPipeline {
       |ORDER BY id_a, id_b""".stripMargin))
 
   // ------------------------------------------------------------- multimodal
-  /** Multimodal plumbing end-to-end: binary payload + typed metadata →
-    * stub decode (16-bin byte histogram) → normalized features →
-    * frame-sample stride. Codec is stubbed (no media libs in the
-    * container); the schema/partitioning/UDF shape is real — and the
-    * stub's deterministic fake IS oracle-checkable (the corpus is pure
-    * ASCII, so byte histogram = char-code histogram in SQL). */
+  /** Multimodal image columns with a REAL pure-JVM codec (r6 verdict
+    * #6, retiring the histogram stub): synthesize a spec-valid
+    * uncompressed 24-bit BMP per document (dimensions and pixel
+    * content are deterministic doc_id formulas), carry it as a binary
+    * payload + typed metadata struct, then DECODE THE BYTES — magic,
+    * little-endian header fields, 4-byte row stride, bottom-up row
+    * order. The oracle recomputes every decoded field from the
+    * generating formulas (file size includes the stride padding, pixel
+    * sum is the exact mod-256 ramp), so a framing bug in either codec
+    * direction hash-fails. Frame sampling stays the one honest stub
+    * ([[MultiModal.frameSampleStub]] — a video codec needs libraries
+    * this container lacks). Scale: encode+decode are per-row scan-stage
+    * functions; only doc_id and the decoded scalars reach the sort. */
   val mmDecode: Entry = Entry("mm_decode",
     (s, d) => {
-      val media = MultiModal.asMedia(docs(s, d), "text")
-      media.select(col("doc_id"),
-          col("meta.mime").as("mime"),
-          col("meta.n_bytes").as("n_bytes"),
-          col("meta.width").as("width"),
-          col("meta.height").as("height"),
-          MultiModal.decodeStub(col("payload")).as("hist"),
+      val framed = docs(s, d).select(col("doc_id"),
+          (col("doc_id") % 13 + 2).cast("int").as("w"),
+          (col("doc_id") % 9 + 2).cast("int").as("h"))
+        .withColumn("payload",
+          MultiModal.encodeBmpUdf(col("doc_id"), col("w"), col("h")))
+        .withColumn("meta", struct(
+          lit("image/bmp").as("mime"), length(col("payload")).as("n_bytes")))
+      framed.select(col("doc_id"),
+          col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"),
+          MultiModal.decodeBmpUdf(col("payload")).as("dec"),
           length(MultiModal.frameSampleStub(col("payload"), lit(10))).as("n_frames"))
-        .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
-          col("height"), col("n_frames"),
-          element_at(col("hist"), 7).as("hist_bin6"),
-          round(element_at(MultiModal.histNormalized(col("hist"), col("n_bytes")), 7), 6).as("hist_bin6_norm"))
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          col("dec.width").as("width"), col("dec.height").as("height"),
+          col("dec.bpp").as("bpp"), col("dec.pxSum").as("px_sum"),
+          col("n_frames"))
         .orderBy("doc_id")
     },
-    Some("""WITH m AS (SELECT doc_id, length(text) AS n,
-      |  len(list_filter(list_transform(string_split(text, ''), c -> ord(c)),
-      |      v -> v // 16 = 6)) AS bin6
-      | FROM documents)
-      |SELECT doc_id, 'fake/raw' AS mime,
-      | CAST(n AS INT) AS n_bytes,
-      | CAST(n % 64 + 1 AS INT) AS width,
-      | CAST(n % 48 + 1 AS INT) AS height,
-      | CAST((n + 9) // 10 AS INT) AS n_frames,
-      | CAST(bin6 AS INT) AS hist_bin6,
-      | round(CAST(bin6 AS DOUBLE) / n, 6) AS hist_bin6_norm
-      |FROM m ORDER BY doc_id""".stripMargin))
+    Some("""WITH p AS (SELECT doc_id,
+      |  CAST(doc_id % 13 + 2 AS INT) AS w,
+      |  CAST(doc_id % 9 + 2 AS INT) AS h FROM documents),
+      |q AS (SELECT doc_id, w, h,
+      |  54 + ((w * 3 + 3) // 4) * 4 * h AS nb FROM p)
+      |SELECT doc_id, 'image/bmp' AS mime, CAST(nb AS INT) AS n_bytes,
+      | w AS width, h AS height, 24 AS bpp,
+      | CAST(list_sum(list_transform(range(0, w * h),
+      |   i -> (doc_id + i) % 256)) AS BIGINT) AS px_sum,
+      | CAST((nb + 9) // 10 AS INT) AS n_frames
+      |FROM q ORDER BY doc_id""".stripMargin))
+
+  /** Multimodal audio columns — the WAV sibling of [[mmDecode]]: a
+    * spec-valid PCM16 mono file per document (sample rate / count /
+    * signed sample values from doc_id formulas), decoded by a real
+    * RIFF chunk walk (word-aligned chunks, sign-extended int16
+    * samples). The oracle restates rate, counts, byte size and the
+    * exact signed-sample sum from the formulas. */
+  val mmWav: Entry = Entry("mm_wav",
+    (s, d) => {
+      val framed = docs(s, d).select(col("doc_id"),
+          (col("doc_id") % 5 * 1000 + 8000).cast("int").as("rate"),
+          (col("doc_id") % 50 + 10).cast("int").as("n"))
+        .withColumn("payload",
+          MultiModal.encodeWavUdf(col("doc_id"), col("rate"), col("n")))
+      framed.select(col("doc_id"), length(col("payload")).as("n_bytes"),
+          MultiModal.decodeWavUdf(col("payload")).as("dec"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("dec.sampleRate").as("sample_rate"),
+          col("dec.channels").as("channels"), col("dec.bits").as("bits"),
+          col("dec.nSamples").as("n_samples"),
+          col("dec.sampleSum").as("sample_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+      |  CAST(doc_id % 5 * 1000 + 8000 AS INT) AS rate,
+      |  CAST(doc_id % 50 + 10 AS INT) AS n FROM documents)
+      |SELECT doc_id, CAST(44 + 2 * n AS INT) AS n_bytes,
+      | rate AS sample_rate, 1 AS channels, 16 AS bits, n AS n_samples,
+      | CAST(list_sum(list_transform(range(0, n),
+      |   i -> (doc_id * 31 + i * 7) % 2003 - 1001)) AS BIGINT) AS sample_sum
+      |FROM p ORDER BY doc_id""".stripMargin))
 
   /** Eval-set decontamination (the GPT-3 appendix-C / Llama rule: drop
     * training docs sharing a long word n-gram with a benchmark). The
@@ -1216,5 +1256,5 @@ object QueriesPipeline {
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plDomainCap, plEndToEnd,
-    simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup, mmDecode)
+    simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup, mmDecode, mmWav)
 }

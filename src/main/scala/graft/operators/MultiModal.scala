@@ -1,47 +1,188 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as
   * opaque BINARY columns with a typed metadata struct; decode /
   * feature-extract / frame-sample are per-row functions over the bytes.
   *
-  * The actual codecs (JPEG/PNG/audio) are STUBBED — this container has
-  * no image/audio libraries — behind [[decodeStub]]: a deterministic
-  * fake that "decodes" bytes into a 16-bin byte histogram. Everything
-  * around the stub is the real Spark plumbing the brief asks for:
-  * binary column + metadata schema, per-row batch-shaped UDFs, and
-  * partition-parallel execution (no shuffle, no state — at 100 TB these
-  * run inside the scan stage exactly like the ImageGeometry family).
+  * The codecs here are REAL pure-JVM parsers for the two uncompressed
+  * container formats that need no media library: 24-bit BMP
+  * (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded pixel rows)
+  * and PCM16 WAV (RIFF chunk walk). Encode synthesizes a spec-valid
+  * file from deterministic per-doc parameters; decode parses the BYTES
+  * — magic, little-endian header fields, row stride/padding, chunk
+  * alignment — so a framing bug anywhere (offset arithmetic,
+  * endianness, bottom-up row order, word-aligned chunks) changes the
+  * decoded fields and fails the oracle. Compressed codecs (JPEG/PNG,
+  * MP3) would slot in behind the same decode→struct signature but need
+  * libraries this container doesn't have; the one remaining stub is
+  * the video FRAME SAMPLER, clearly marked below.
+  *
+  * Scale shape: every function is a per-row pure function over one
+  * payload — no shuffle, no state; at 100 TB these run inside the scan
+  * stage exactly like the ImageGeometry family. Real pipelines keep
+  * payloads in their own parquet column so predicate pushdown on the
+  * metadata never reads the bytes.
   */
 object MultiModal {
 
-  /** Wrap a text column as a fake media payload: UTF-8 bytes + typed
-    * metadata (the schema a real ingest would carry: media kind, byte
-    * length, fake width/height derived deterministically). */
-  def asMedia(df: DataFrame, textCol: String): DataFrame = {
-    val bytes = col(textCol).cast("binary")
-    df.withColumn("payload", bytes)
-      .withColumn("meta", struct(
-        lit("fake/raw").as("mime"),
-        length(bytes).as("n_bytes"),
-        (length(bytes) % 64 + 1).as("width"),
-        (length(bytes) % 48 + 1).as("height")))
+  // ---- little-endian byte helpers (shared by both codecs) ----
+  private def le16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+  }
+  private def le32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+  }
+  private def rd16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def rd32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  // ------------------------------------------------------------- BMP
+  /** Grayscale test-pattern pixel value at row-major index p: the
+    * deterministic content both the encoder and the SQL oracle can
+    * state — (docId + p) mod 256. */
+  @inline private def px(docId: Long, p: Long): Int = ((docId + p) % 256L).toInt
+
+  /** Synthesize a spec-valid uncompressed 24-bit BMP: 14-byte file
+    * header, 40-byte BITMAPINFOHEADER, pixel rows stored BOTTOM-UP
+    * with each row padded to a 4-byte boundary (the two details naive
+    * writers get wrong). B = G = R = the test pattern. */
+  def encodeBmp(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val dataSize = stride * h
+    val o = new java.io.ByteArrayOutputStream(54 + dataSize)
+    o.write('B'); o.write('M')
+    le32(o, 54 + dataSize); le32(o, 0); le32(o, 54) // size, reserved, data offset
+    le32(o, 40); le32(o, w); le32(o, h)             // info size, width, height(+ = bottom-up)
+    le16(o, 1); le16(o, 24)                         // planes, bpp
+    le32(o, 0); le32(o, dataSize)                   // BI_RGB, image size
+    le32(o, 2835); le32(o, 2835); le32(o, 0); le32(o, 0) // 72 dpi, palette
+    var r = h - 1
+    while (r >= 0) { // file order is bottom row first
+      var c = 0
+      while (c < w) {
+        val v = px(docId, r.toLong * w + c)
+        o.write(v); o.write(v); o.write(v)
+        c += 1
+      }
+      var pad = w * 3
+      while (pad < stride) { o.write(0); pad += 1 }
+      r -= 1
+    }
+    o.toByteArray
   }
 
-  /** STUB decoder: a real implementation would parse the codec here
-    * (???-equivalent); the deterministic fake is a 16-bin histogram of
-    * byte values so tests/oracles can pin the plumbing end-to-end. */
-  val decodeStub = udf((payload: Array[Byte]) => {
-    val hist = new Array[Int](16)
-    var i = 0
-    while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1; i += 1 }
-    hist.toSeq
-  })
+  /** Decoded BMP header fields + the sum of the R channel in TOP-DOWN
+    * row-major order (proves the bottom-up de-interleave, not just the
+    * header offsets — though a sum is row-order-invariant, the stride
+    * arithmetic must be right to hit the R bytes at all). */
+  case class BmpInfo(width: Int, height: Int, bpp: Int, pxSum: Long)
 
-  /** STUB frame sampler: every k-th byte stands in for every k-th video
-    * frame — the slice/stride plumbing is what is being exercised. */
+  def decodeBmp(b: Array[Byte]): BmpInfo = {
+    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
+    val dataOff = rd32(b, 10)
+    require(rd32(b, 14) >= 40, "BITMAPINFOHEADER required")
+    val w = rd32(b, 18)
+    val h = rd32(b, 22)
+    val bpp = rd16(b, 28)
+    require(bpp == 24 && rd32(b, 30) == 0, "only uncompressed 24-bit supported")
+    require(w > 0 && h > 0, "top-down/degenerate BMPs unsupported")
+    val stride = (w * 3 + 3) & ~3
+    require(b.length >= dataOff + stride * h, "truncated pixel array")
+    var sum = 0L
+    var r = 0
+    while (r < h) {
+      val rowOff = dataOff + (h - 1 - r) * stride // undo bottom-up storage
+      var c = 0
+      while (c < w) { sum += (b(rowOff + c * 3 + 2) & 0xff); c += 1 } // +2 = R of BGR
+      r += 1
+    }
+    BmpInfo(w, h, bpp, sum)
+  }
+
+  // ------------------------------------------------------------- WAV
+  /** Test-pattern PCM16 sample i for a doc: (docId·31 + i·7) mod 2003
+    * − 1001 ∈ [−1001, 1001] — signed, so the decoder's int16
+    * sign-extension is exercised, and exactly restatable in SQL. */
+  @inline private def sample(docId: Long, i: Long): Int =
+    ((docId * 31L + i * 7L) % 2003L).toInt - 1001
+
+  /** Synthesize a spec-valid PCM16 mono WAV: RIFF header, fmt chunk
+    * (PCM, 1 channel, 16-bit), data chunk of n little-endian signed
+    * samples. */
+  def encodeWav(docId: Long, sampleRate: Int, n: Int): Array[Byte] = {
+    val dataSize = n * 2
+    val o = new java.io.ByteArrayOutputStream(44 + dataSize)
+    o.write('R'); o.write('I'); o.write('F'); o.write('F')
+    le32(o, 36 + dataSize)
+    o.write('W'); o.write('A'); o.write('V'); o.write('E')
+    o.write('f'); o.write('m'); o.write('t'); o.write(' ')
+    le32(o, 16); le16(o, 1); le16(o, 1) // fmt size, PCM, mono
+    le32(o, sampleRate); le32(o, sampleRate * 2) // byte rate = rate * block align
+    le16(o, 2); le16(o, 16)             // block align, bits
+    o.write('d'); o.write('a'); o.write('t'); o.write('a')
+    le32(o, dataSize)
+    var i = 0
+    while (i < n) { le16(o, sample(docId, i) & 0xffff); i += 1 }
+    o.toByteArray
+  }
+
+  /** Decoded WAV fields + the exact sum of the signed samples. The
+    * decoder WALKS the RIFF chunks (8-byte headers, word-aligned
+    * payloads) instead of assuming the canonical 44-byte layout, so
+    * files with extra chunks (LIST/INFO metadata) decode too. */
+  case class WavInfo(sampleRate: Int, channels: Int, bits: Int,
+      nSamples: Int, sampleSum: Long)
+
+  def decodeWav(b: Array[Byte]): WavInfo = {
+    require(b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E', "not a RIFF/WAVE")
+    var off = 12
+    var rate = 0; var ch = 0; var bits = 0
+    var nSamples = 0; var sum = 0L; var fmtSeen = false; var dataSeen = false
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = rd32(b, off + 4)
+      require(size >= 0 && off + 8 + size <= b.length, s"truncated chunk $id")
+      if (id == "fmt ") {
+        require(rd16(b, off + 8) == 1, "only PCM supported")
+        ch = rd16(b, off + 10)
+        rate = rd32(b, off + 12)
+        bits = rd16(b, off + 22)
+        require(bits == 16, "only 16-bit supported")
+        fmtSeen = true
+      } else if (id == "data") {
+        require(fmtSeen, "data chunk before fmt")
+        dataSeen = true
+        nSamples = size / 2
+        var i = 0
+        while (i < nSamples) {
+          sum += rd16(b, off + 8 + i * 2).toShort // sign-extend int16
+          i += 1
+        }
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    require(fmtSeen, "no fmt chunk")
+    require(dataSeen, "no data chunk") // a truncated tail drops it silently otherwise
+    WavInfo(rate, ch, bits, nSamples, sum)
+  }
+
+  // ---- Column wrappers ----
+  val encodeBmpUdf = udf((docId: Long, w: Int, h: Int) => encodeBmp(docId, w, h))
+  val decodeBmpUdf = udf((b: Array[Byte]) => decodeBmp(b))
+  val encodeWavUdf = udf((docId: Long, rate: Int, n: Int) => encodeWav(docId, rate, n))
+  val decodeWavUdf = udf((b: Array[Byte]) => decodeWav(b))
+
+  /** STUB frame sampler — the one remaining fake: every k-th byte
+    * stands in for every k-th video frame (a real one needs a video
+    * codec this container lacks). The slice/stride plumbing it
+    * exercises is what a frame sampler shares with it. */
   val frameSampleStub = udf((payload: Array[Byte], k: Int) => {
     val n = (payload.length + k - 1) / k
     val out = new Array[Byte](n)
@@ -49,8 +190,4 @@ object MultiModal {
     while (i < n) { out(i) = payload(i * k); i += 1 }
     out
   })
-
-  /** "Feature extraction" over the decoded histogram: normalized bins. */
-  def histNormalized(hist: Column, nBytes: Column): Column =
-    transform(hist, b => b.cast("double") / nBytes)
 }

@@ -103,17 +103,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal stub: histogram counts bytes, frame sample strides") {
-    val df = Seq(("d1", "AAAA")).toDF("doc_id", "text") // 'A' = 0x41 -> bin 4
-    val media = MultiModal.asMedia(df, "text")
-    val r = media.select(MultiModal.decodeStub(col("payload")).as("h"),
-      functions.length(MultiModal.frameSampleStub(col("payload"), lit(2))).as("n"),
-      col("meta.n_bytes"), col("meta.width")).head()
-    r.getSeq[Int](0)(4) shouldBe 4
-    r.getSeq[Int](0).sum shouldBe 4
-    r.getInt(1) shouldBe 2
-    r.getInt(2) shouldBe 4
-    r.getInt(3) shouldBe 4 % 64 + 1
+  test("multimodal codecs round-trip through Spark columns") {
+    val df = Seq(5L, 17L).toDF("doc_id")
+    val r = df
+      .select(col("doc_id"),
+        MultiModal.decodeBmpUdf(
+          MultiModal.encodeBmpUdf(col("doc_id"), lit(5), lit(3))).as("bmp"),
+        MultiModal.decodeWavUdf(
+          MultiModal.encodeWavUdf(col("doc_id"), lit(8000), lit(7))).as("wav"),
+        functions.length(MultiModal.frameSampleStub(
+          MultiModal.encodeBmpUdf(col("doc_id"), lit(5), lit(3)), lit(2))).as("n"))
+      .orderBy("doc_id").collect()
+    for (row <- r) {
+      val id = row.getLong(0)
+      val bmp = row.getStruct(1)
+      bmp.getInt(0) shouldBe 5 // width
+      bmp.getInt(1) shouldBe 3 // height
+      bmp.getInt(2) shouldBe 24 // bpp
+      bmp.getLong(3) shouldBe (0 until 15).map(p => (id + p) % 256).sum
+      val wav = row.getStruct(2)
+      wav.getInt(0) shouldBe 8000
+      wav.getInt(1) shouldBe 1
+      wav.getInt(2) shouldBe 16
+      wav.getInt(3) shouldBe 7
+      wav.getLong(4) shouldBe (0 until 7).map(i => (id * 31 + i * 7) % 2003 - 1001).sum
+      // BMP 5x3: 54-byte header + 3 rows of 16 (15 px bytes + 1 pad)
+      row.getInt(3) shouldBe (54 + 3 * 16 + 1) / 2
+    }
   }
 
   test("bruteTopK: probe ranks itself first with cosine 1") {
