@@ -485,7 +485,15 @@ object QueriesPipeline {
           explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "")
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // `tf > 0` is a tautology (every group counts ≥ 1) but it is
+      // LOAD-BEARING: without it, column pruning strips the count from
+      // the df branch's inner aggregate, the (doc_id, term) exchange
+      // subtrees stop canonicalizing equal, and ReuseExchange plans a
+      // SECOND full corpus scan + token shuffle just to recount terms
+      // (verified on the physical plan; PlanShapeSpec pins the reuse).
+      // Same de-canonicalization trap as g_ks_drift's explicit filter.
+      val dfreq = tf.where(col("tf") > 0)
+        .groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term").asc)

@@ -36,7 +36,7 @@ object Components {
   /** One large-star round over canonically oriented edges (u > v).
     * Every node attaches its strictly-LARGER neighbors to the minimum
     * of its closed neighborhood. */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val bidir = e.select(col("u"), col("v"))
       .unionAll(e.select(col("v").as("u"), col("u").as("v")))
     val mins = bidir.groupBy("u").agg(min(col("v")).as("mv"))
@@ -53,7 +53,7 @@ object Components {
   /** One small-star round: every node attaches its smaller-or-equal
     * neighbors (and itself) to its minimum neighbor. Input and output
     * are canonically oriented (u > v). */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     val mins = e.groupBy("u").agg(min(col("v")).as("m"))
     e.join(mins, "u")
       .select(col("v").as("n"), col("m"))

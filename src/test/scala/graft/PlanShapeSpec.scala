@@ -1,0 +1,148 @@
+package graft
+
+import graft.operators.{AsOf, Components, RangeJoin}
+import org.apache.spark.sql.functions._
+
+/** 100 TB plan-shape assertions for the r6 join/graph/text family —
+  * the FunnelDeconSpec pattern: pin the exchange count/kind of each
+  * operator's physical plan so a future refactor cannot silently
+  * regress the scale story the code documents (e.g. a window that
+  * stops reusing its upstream clustering, or an interval join that
+  * falls back to a nested-loop).
+  *
+  * Counts are asserted on the default small-data plans (broadcastable
+  * dimension sides); where the at-scale shape differs (broadcast →
+  * sort-merge) a second assertion disables broadcasting to pin the
+  * worst-case shape too. */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // count real Exchange NODES ("+- Exchange ..."); a ReusedExchange
+  // node's toString repeats the referenced exchange's description after
+  // a comma, which a bare "Exchange hashpartitioning" regex would also
+  // match, inflating the count
+  private def hashEx(p: String): Int =
+    "- Exchange hashpartitioning".r.findAllIn(p).size
+
+  test("as-of join: ONE shuffle, no join operator, no row explosion") {
+    val probe = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "tag")
+    val build = Seq((1L, 5L, 1.0), (2L, 15L, 2.0)).toDF("k", "t", "v")
+    val p = plan(AsOf.asofJoin(probe, build, "k", "t"))
+    withClue(p) {
+      // union + single key-partitioned window — the whole point of the
+      // composition vs a range join (explode) or correlated re-scan
+      hashEx(p) shouldBe 1
+      p should include("Window")
+      p should not include "Join" // no join operator of ANY kind
+    }
+  }
+
+  test("bucketed range join: equi-join on (key, bucket), never a nested loop") {
+    val points = (0L until 40L).map(i => (i % 4, i * 10L)).toDF("k", "pt")
+    val ivals = (0L until 8L).map(i => (i % 4, i * 50L, i * 50L + 70L))
+      .toDF("k", "lo", "hi")
+    val joined = RangeJoin.bucketedPointInterval(points, ivals, "k", "pt", "lo", "hi", 25L)
+    withClue(plan(joined)) {
+      plan(joined) should not include "NestedLoop"
+      plan(joined) should not include "CartesianProduct"
+    }
+    // at-scale shape: with broadcasting off this MUST be a sort-merge
+    // equi-join on (k, __bucket) — one exchange per side — with the
+    // exact range predicate as a join-level post-filter
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j2 = RangeJoin.bucketedPointInterval(points, ivals, "k", "pt", "lo", "hi", 25L)
+      val p2 = plan(j2)
+      withClue(p2) {
+        p2 should include("SortMergeJoin")
+        p2 should include("__bucket")
+        p2 should not include "NestedLoop"
+        hashEx(p2) shouldBe 2
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("range join: interval replication is bounded by ceil(span/W)") {
+    // one key, one point per bucket; an interval of span s replicates
+    // onto ((hi-1) div W) - (lo div W) + 1 buckets — count the join
+    // rows of an all-matching layout to observe the replication exactly
+    val w = 10L
+    val points = (0L until 10L).map(i => (0L, i * w)).toDF("k", "pt") // 1 per bucket
+    val ivals = Seq((0L, 0L, 100L)).toDF("k", "lo", "hi") // covers all 10 buckets
+    RangeJoin.bucketedPointInterval(points, ivals, "k", "pt", "lo", "hi", w)
+      .count() shouldBe 10L
+    // exclusive hi at a bucket boundary must NOT replicate into it
+    val edge = Seq((0L, 0L, 10L)).toDF("k", "lo", "hi")
+    RangeJoin.bucketedPointInterval(points, edge, "k", "pt", "lo", "hi", w)
+      .count() shouldBe 1L
+  }
+
+  test("tfidf: two fact-bearing shuffles + one vocab-sized; dims broadcast") {
+    val dir = "target/tmp/spec_planshape_tfidf"
+    (0 until 50).map(i => (i.toLong, s"w$i common a b c token${i % 7}"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // static plan with AQE off (the KsDriftSpec pattern: AQE's initial
+    // plan never displays reuse; its runtime stage cache applies the
+    // same canonicalization)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(QueriesPipeline.txTfidf.fn(spark, dir))
+      withClue(p) {
+        // hash exchanges: tokens→tf on (doc_id, term) [fact, scanned
+        // and shuffled ONCE — the df branch REUSES it via the tautology
+        // filter in txTfidf], tf re-keyed to doc_id for the top-k
+        // window [fact], tf→df on term [vocab-sized]; df and n_docs
+        // come BACK as broadcasts; the only range exchange is the
+        // output-contract orderBy. Scans: the token scan (reused) and
+        // the n_docs footer-only count scan (ReadSchema struct<>).
+        hashEx(p) shouldBe 3
+        "ReusedExchange".r.findAllIn(p).size shouldBe 1
+        "Scan parquet".r.findAllIn(p).size shouldBe 2
+        "BroadcastExchange".r.findAllIn(p).size shouldBe 2
+        "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("connected components: one star round executes 3 unique shuffles") {
+    val e = (0L until 20L).map(i => (i + 1, i)).toDF("u", "v")
+    // AQE off so the static plan displays the ReuseExchange collapse
+    // (AQE's runtime stage cache applies the same canonicalization):
+    // smallStar references its input three times (join left, mins
+    // build, mins union branch), so the TEXTUAL plan carries 6 hash
+    // exchanges — but they canonicalize to 3 unique ones (large-star
+    // neighborhood-min, small-star min, the round's closing distinct);
+    // the rest must be ReusedExchange nodes, and (long, long) edge
+    // rows are the only thing ever exchanged
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(Components.smallStar(Components.largeStar(e)))
+      withClue(p) {
+        hashEx(p) shouldBe 3
+        "ReusedExchange".r.findAllIn(p).size should be >= 2
+        p should not include "NestedLoop"
+        p should not include "CartesianProduct"
+      }
+      // at-scale shape: min tables too big to broadcast → sort-merge
+      // joins add per-side exchanges but nothing quadratic, and reuse
+      // still collapses the recomputed branches
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val p2 = plan(Components.smallStar(Components.largeStar(e)))
+        withClue(p2) {
+          p2 should not include "NestedLoop"
+          p2 should not include "CartesianProduct"
+          hashEx(p2) should be <= 6
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+}
