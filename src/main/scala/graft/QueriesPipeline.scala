@@ -1078,6 +1078,42 @@ object QueriesPipeline {
       |  (mixed_raw + 12345) % 2147483648 AS skey, doc_id, n_chars
       |FROM k ORDER BY epoch, skey, doc_id""".stripMargin))
 
+  /** The epoch shuffle at SPARSE 64-BIT id scale — the [[plEpochShard]]
+    * semantics with [[graft.functions.Feistel]]'s 62-bit bijection in
+    * place of the 2^31 LCG, closing Lcg's documented scope limit: a
+    * >2.1B-doc corpus (or one with sparse snowflake-style ids) gets
+    * collision-FREE keys, so the (epoch, skey) sort alone is a total
+    * deterministic order — no tiebreak column, which is the proof the
+    * key is doing its job. The fixture lifts doc_ids into a sparse
+    * 62-bit space (id·2^40 + id) to exercise the full width; the
+    * 4-round Feistel network is restated move-for-move in the oracle
+    * (generated from the same constants, Feistel.keySql — every
+    * intermediate < 2^62 so DuckDB's checked BIGINT arithmetic
+    * computes the JVM's values). Plan shape: identical to
+    * pl_epoch_shard — map-side key projection, ONE range-partitioned
+    * sort, ~12 integer ops per key. */
+  val plEpochShard62: Entry = Entry("pl_epoch_shard62",
+    (s, d) => {
+      import graft.functions.Feistel
+      val lift = 1L << 40
+      docs(s, d).select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0L), lit(1L))).as("epoch"))
+        .withColumn("id62", col("doc_id") * lift + col("doc_id"))
+        .withColumn("skey", Feistel.key(col("id62") + col("epoch") * 2038074743L))
+        .withColumn("shard", pmod(col("skey"), lit(64L)))
+        .select(col("epoch"), col("shard"), col("skey"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("epoch", "skey") // NO doc_id tiebreak: keys cannot tie
+    },
+    Some(s"""WITH e AS (SELECT doc_id, n_chars,
+      |  unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch
+      |  FROM documents),
+      |k AS (SELECT epoch, doc_id, n_chars,
+      |  ${graft.functions.Feistel.keySql(s"(doc_id * ${1L << 40} + doc_id + epoch * 2038074743)")} AS skey
+      | FROM e)
+      |SELECT epoch, skey % 64 AS shard, skey, doc_id, n_chars
+      |FROM k ORDER BY epoch, skey""".stripMargin))
+
   /** Per-domain document cap (the RefinedWeb/C4 curation rule: keep at
     * most K docs per source domain so no domain dominates the corpus),
     * selected DETERMINISTICALLY — each domain keeps its K smallest LCG
@@ -1263,6 +1299,7 @@ object QueriesPipeline {
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plMixWeights,
-    plDecontaminate, plDeconSemantic, plEpochShard, plDomainCap, plEndToEnd,
+    plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
+    plDomainCap, plEndToEnd,
     simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup, mmDecode, mmWav)
 }
