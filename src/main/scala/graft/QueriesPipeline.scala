@@ -893,6 +893,61 @@ object QueriesPipeline {
       | CAST((nb + 9) // 10 AS INT) AS n_frames
       |FROM q ORDER BY doc_id""".stripMargin))
 
+  /** Multimodal RESIZE — the decode → feature-extract composition the
+    * brief's multimodal verb set lists (decode / feature-extract /
+    * resize / frame-sample): the REAL BMP pixel decode feeds
+    * ImageGeometry's bilinear resampler (A8) at variable per-document
+    * source dimensions, downsampling every image to 4×4. The oracle
+    * regenerates the pixel ramp from the synthesis formula and replays
+    * the inverse-map bilinear sample per output pixel with the
+    * IDENTICAL operation order (half-pixel centers, floor → clamp →
+    * 4-term multiply-add — the a13_affine pattern generalized to
+    * per-row w/h columns; no libm, so no drift risk at all). The
+    * position-weighted checksum makes output ORDER part of the hash.
+    * Scale shape: decode+resize are per-row scan-stage functions. */
+  val mmResize: Entry = Entry("mm_resize",
+    (s, d) => {
+      import graft.functions.ImageGeometry
+      val framed = docs(s, d).select(col("doc_id"),
+          (col("doc_id") % 13 + 2).cast("int").as("w"),
+          (col("doc_id") % 9 + 2).cast("int").as("h"))
+        .withColumn("payload",
+          MultiModal.encodeBmpUdf(col("doc_id"), col("w"), col("h")))
+        .withColumn("px", MultiModal.decodeBmpPixelsUdf(col("payload")))
+      framed
+        .withColumn("rz", ImageGeometry.bilinearResizeUdf(
+          col("px"), col("h"), col("w"), lit(4), lit(4)))
+        .select(col("doc_id"), col("w"), col("h"),
+          round(graft.functions.ArrayOps.arraySum(zip_with(col("rz"),
+            sequence(lit(1), lit(16)).cast("array<double>"),
+            (x, i) => x * i)), 6).as("rz_wsum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+      |  CAST(doc_id % 13 + 2 AS INT) AS w,
+      |  CAST(doc_id % 9 + 2 AS INT) AS h FROM documents),
+      |px AS (SELECT doc_id, w, h,
+      |  list_transform(range(0, w * h), i -> CAST((doc_id + i) % 256 AS DOUBLE)) AS a,
+      |  CAST(h AS DOUBLE) / 4 AS sy, CAST(w AS DOUBLE) / 4 AS sx FROM p),
+      |sm AS (SELECT doc_id, w, h, a, list_transform(range(0, 16), i -> struct_pack(
+      |    fy := (CAST(i // 4 AS DOUBLE) + 0.5) * sy - 0.5,
+      |    fx := (CAST(i % 4 AS DOUBLE) + 0.5) * sx - 0.5)) AS sl FROM px),
+      |g AS (SELECT doc_id, w, h, a, list_transform(sl, s -> struct_pack(
+      |    y0 := greatest(0, least(h - 1, CAST(floor(s.fy) AS INT))),
+      |    x0 := greatest(0, least(w - 1, CAST(floor(s.fx) AS INT))),
+      |    y1 := least(h - 1, greatest(0, least(h - 1, CAST(floor(s.fy) AS INT))) + 1),
+      |    x1 := least(w - 1, greatest(0, least(w - 1, CAST(floor(s.fx) AS INT))) + 1),
+      |    dy := greatest(0.0, least(1.0, s.fy - greatest(0, least(h - 1, CAST(floor(s.fy) AS INT))))),
+      |    dx := greatest(0.0, least(1.0, s.fx - greatest(0, least(w - 1, CAST(floor(s.fx) AS INT))))))) AS gl
+      | FROM sm)
+      |SELECT doc_id, w, h, round(list_sum(list_transform(range(0, 16), i ->
+      |  (a[gl[i + 1].y0 * w + gl[i + 1].x0 + 1] * (1 - gl[i + 1].dx) * (1 - gl[i + 1].dy)
+      |   + a[gl[i + 1].y0 * w + gl[i + 1].x1 + 1] * gl[i + 1].dx * (1 - gl[i + 1].dy)
+      |   + a[gl[i + 1].y1 * w + gl[i + 1].x0 + 1] * (1 - gl[i + 1].dx) * gl[i + 1].dy
+      |   + a[gl[i + 1].y1 * w + gl[i + 1].x1 + 1] * gl[i + 1].dx * gl[i + 1].dy)
+      |  * CAST(i + 1 AS DOUBLE))), 6) AS rz_wsum
+      |FROM g ORDER BY doc_id""".stripMargin))
+
   /** Multimodal audio columns — the WAV sibling of [[mmDecode]]: a
     * spec-valid PCM16 mono file per document (sample rate / count /
     * signed sample values from doc_id formulas), decoded by a real
@@ -1301,5 +1356,6 @@ object QueriesPipeline {
     txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
     plDomainCap, plEndToEnd,
-    simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup, mmDecode, mmWav)
+    simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup,
+    mmDecode, mmResize, mmWav)
 }

@@ -173,9 +173,32 @@ object MultiModal {
     WavInfo(rate, ch, bits, nSamples, sum)
   }
 
+  /** Full pixel decode: the R channel as a top-down row-major
+    * Array[Double] — the bridge from the binary media column into the
+    * ImageGeometry family (resize/crop/augment run on exactly this
+    * layout). Same header validation as [[decodeBmp]]. */
+  def decodeBmpPixels(b: Array[Byte]): Array[Double] = {
+    val info = decodeBmp(b) // validates magic/bpp/compression/truncation
+    val dataOff = rd32(b, 10)
+    val stride = (info.width * 3 + 3) & ~3
+    val out = new Array[Double](info.width * info.height)
+    var r = 0
+    while (r < info.height) {
+      val rowOff = dataOff + (info.height - 1 - r) * stride
+      var c = 0
+      while (c < info.width) {
+        out(r * info.width + c) = (b(rowOff + c * 3 + 2) & 0xff).toDouble
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   // ---- Column wrappers ----
   val encodeBmpUdf = udf((docId: Long, w: Int, h: Int) => encodeBmp(docId, w, h))
   val decodeBmpUdf = udf((b: Array[Byte]) => decodeBmp(b))
+  val decodeBmpPixelsUdf = udf((b: Array[Byte]) => decodeBmpPixels(b))
   val encodeWavUdf = udf((docId: Long, rate: Int, n: Int) => encodeWav(docId, rate, n))
   val decodeWavUdf = udf((b: Array[Byte]) => decodeWav(b))
 

@@ -60,4 +60,20 @@ class EpochShardSpec extends SparkSpec {
       "Exchange".r.findAllIn(plan).size shouldBe 1
     }
   }
+
+  test("62-bit variant: same one-exchange plan; sort is total WITHOUT a tiebreak") {
+    val d = stage("eshard5", 3000)
+    val df = QueriesPipeline.plEpochShard62.fn(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include("rangepartitioning")
+      "Exchange".r.findAllIn(plan).size shouldBe 1
+    }
+    // collision-freedom is what lets the entry sort by (epoch, skey)
+    // alone: every key within an epoch must be unique
+    import org.apache.spark.sql.functions._
+    df.groupBy("epoch")
+      .agg(count(lit(1)).as("n"), countDistinct(col("skey")).as("nk"))
+      .where(col("n") =!= col("nk")).count() shouldBe 0L
+  }
 }
