@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   * stage exactly like the ImageGeometry family. Real pipelines keep
   * payloads in their own parquet column so predicate pushdown on the
   * metadata never reads the bytes.
+  *
+  * DOCUMENTED DEVIATION: a PySpark pipeline would run these as Pandas
+  * UDFs over `mapInPandas` (Arrow batches amortize the Python-JVM
+  * hop); in a Scala library the equivalent morphism is a plain Scala
+  * UDF — there is no serialization boundary to amortize, the closure
+  * runs in the executor JVM, and the per-row signature keeps the
+  * codecs unit-testable without Spark. A JVM batch analogue
+  * (mapPartitions over Iterator[Row]) would only add buffer
+  * management with no win for per-row-independent byte parsing.
   */
 object MultiModal {
 
