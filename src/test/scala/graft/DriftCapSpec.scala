@@ -31,6 +31,22 @@ class DriftCapSpec extends SparkSpec {
     n shouldBe 8L
   }
 
+  test("chi2: a category VANISHING in one period contributes its o=0 cell") {
+    // the r6 advisor case: B occurs only on the odd day, so the dense
+    // table carries (even, B) with o=0 and its term (o−e)²/e = r·c/N.
+    // A: 2 odd + 2 even; B: 4 odd + 0 even → margins r=(6,2), c=(4,4),
+    // N=8 → χ² = 1/3 + 1 + 1/3 + 1 = 8/3. The pre-densification code
+    // dropped the (even, B) cell and understated this as 5/3.
+    val d = stageEvents("chi3v",
+      Seq.fill(2)((day1, "A")) ++ Seq.fill(4)((day1, "B")) ++
+        Seq.fill(2)((day2, "A")))
+    val (chi2, dof, n) = QueriesAggWindow.gChi2Drift.fn(spark, d)
+      .as[(Double, Long, Long)].collect()(0)
+    chi2 shouldBe (8.0 / 3.0 +- 1e-6)
+    dof shouldBe 1L
+    n shouldBe 8L
+  }
+
   test("chi2: identical per-period distributions give exactly 0") {
     val d = stageEvents("chi2z",
       Seq((day1, "A"), (day1, "B"), (day2, "A"), (day2, "B")))
