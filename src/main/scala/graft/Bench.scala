@@ -135,11 +135,22 @@ object Bench {
     // Last-resort fallback (r6 defect: at 119 queries even the 1-dp line
     // was ~2400 chars, so the driver's ~2000-char tail capture cut the
     // HEAD — including "metric":"total" — and the round lost its
-    // recorded total): when no per-query spelling fits, print the total
-    // WITHOUT the per-query map. The full 3-dp detail always lands in
-    // target/bench_last.json; a parseable total beats unparseable detail.
-    val totalOnly =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":{},"n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
+    // recorded total): when no full per-query spelling fits, print the
+    // total plus only the SLOWEST queries that fit the budget, with an
+    // explicit "queries_shown" count so the partial map can never be
+    // mistaken (or summed) as the full suite. The full 3-dp detail
+    // always lands in target/bench_last.json; a parseable total beats
+    // unparseable detail.
+    def totalOnly: String = {
+      val slowest = results.sortBy(-_._2._1)
+      def lineK(k: Int): String = {
+        val qs = slowest.take(k)
+          .map { case (n, (t, _)) => s"${q(n)}:${fmt(t, 1)}" }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"queries_shown":$k,"n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
+      }
+      (40 to 0 by -1).map(lineK).find(_.length <= 1900).getOrElse(lineK(0))
+    }
     println(Seq(3, 2, 1).map(line(_, full = false)).find(_.length <= 1900)
       .getOrElse(totalOnly))
     spark.stop()
