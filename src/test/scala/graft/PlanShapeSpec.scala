@@ -110,6 +110,23 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("multimodal codec entries are scan-stage only (no hash exchange)") {
+    val dir = "target/tmp/spec_planshape_mm"
+    (0 until 20).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // encode → decode → (resize) are per-row functions inside the scan
+    // stage; the ONLY exchange either entry may have is the
+    // output-contract orderBy's range partitioner
+    for (entry <- Seq(QueriesPipeline.mmDecode, QueriesPipeline.mmResize,
+        QueriesPipeline.mmWav)) {
+      val p = plan(entry.fn(spark, dir))
+      withClue(s"${entry.name}:\n$p") {
+        hashEx(p) shouldBe 0
+        "- Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+      }
+    }
+  }
+
   test("connected components: one star round executes 3 unique shuffles") {
     val e = (0L until 20L).map(i => (i + 1, i)).toDF("u", "v")
     // AQE off so the static plan displays the ReuseExchange collapse
