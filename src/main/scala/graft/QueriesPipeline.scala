@@ -1025,14 +1025,15 @@ object QueriesPipeline {
     * perplexity spelling is a one-expression swap in production.
     * Bigram extraction is one tight JVM pass per row (HOF lambdas
     * evaluate interpreted — the [[repUdf]] measurement). */
+  private val bigramsUdf = udf((text: String) => {
+    val n = math.max(text.length - 1, 0)
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) { out(i) = text.substring(i, i + 2); i += 1 }
+    out
+  })
+
   val txBigramLm: Entry = {
-    val bigramsUdf = udf((text: String) => {
-      val n = math.max(text.length - 1, 0)
-      val out = new Array[String](n)
-      var i = 0
-      while (i < n) { out(i) = text.substring(i, i + 2); i += 1 }
-      out
-    })
     Entry("tx_bigram_lm",
       (s, d) => {
         val bg = docs(s, d)
@@ -1350,12 +1351,155 @@ object QueriesPipeline {
       |    % 2147483648) % 64 AS shard
       |FROM ex ORDER BY shard, skey, doc_id, copy_id""".stripMargin))
 
+  /** C4-style LINE-level dedup (Raffel et al. 2020 §2.2: a line
+    * occurring more than once in the corpus is kept exactly ONCE,
+    * earliest occurrence wins; documents left with no lines drop out).
+    * The synthetic corpus has no newlines, so the line segmentation
+    * stand-in is deterministic 12-word chunks — the dedup semantics
+    * and the plan shape are the real thing. Two exchanges, both
+    * inherent to the semantics: (1) the dedup groupBy keys on the LINE
+    * ITSELF (≤12 words ≈ 70 B — at line granularity the content is
+    * barely bigger than a digest would be, and the winner's text must
+    * survive for reassembly, so there is no [[ddExact]]-style
+    * digest/payload split to win) resolving the keeper with one
+    * min(struct) partial agg — corpus-frequent boilerplate lines
+    * collapse map-side before the exchange; (2) the reassembly groupBy
+    * brings each doc's surviving lines back together. Nothing joins
+    * back to the corpus: every winning line carries its keeper's
+    * (doc_id, line_no, n_total), so the rebuilt text and kept/total
+    * counts come out of the same two-shuffle pipeline. Planted copies
+    * (doc_id%7) lose every line to their lower-id original and vanish;
+    * at sf0.01 34 base docs also lose SOME lines to genuine cross-doc
+    * collisions, so partial trimming and whole-doc elimination are
+    * both exercised by the oracle. */
+  val plLineDedup: Entry = Entry("pl_line_dedup",
+    (s, d) => {
+      val lines = dupCorpus(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n_total", ceil(size(col("ws")) / lit(12.0)).cast("long"))
+        .select(col("doc_id"), col("n_total"), col("ws"),
+          explode(sequence(lit(0L), col("n_total") - 1)).as("line_no"))
+        .select(col("doc_id"), col("line_no"), col("n_total"),
+          array_join(slice(col("ws"),
+            (col("line_no") * 12 + 1).cast("int"), lit(12)), " ").as("line"))
+      lines
+        .groupBy("line")
+        .agg(min(struct(col("doc_id"), col("line_no"), col("n_total"))).as("win"))
+        .groupBy(col("win.doc_id").as("doc_id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("win.line_no").as("line_no"),
+              col("line").as("line")))),
+            c => c.getField("line")), " ").as("clean_text"),
+          count(lit(1)).as("n_kept"),
+          first(col("win.n_total")).as("n_total"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH all_docs AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+      |l AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+      |  array_to_string(ws[CAST(i * 12 + 1 AS INT):CAST(i * 12 + 12 AS INT)], ' ') AS line,
+      |  CAST(ceil(len(ws) / 12.0) AS BIGINT) AS n_total
+      | FROM w, unnest(range(0, CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS t(i)),
+      |k AS (SELECT line, min(struct_pack(doc_id := doc_id,
+      |    line_no := line_no, n_total := n_total)) AS win
+      | FROM l GROUP BY line)
+      |SELECT win.doc_id AS doc_id,
+      |  string_agg(line, ' ' ORDER BY win.line_no) AS clean_text,
+      |  CAST(count(*) AS BIGINT) AS n_kept, any_value(win.n_total) AS n_total
+      |FROM k GROUP BY win.doc_id ORDER BY doc_id""".stripMargin))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4: score
+    * every document with a corpus LM, split the corpus into head /
+    * middle / tail at the score tertiles, keep head+middle). The score
+    * is [[txBigramLm]]'s familiarity — the log-free spelling that keeps
+    * the oracle bit-exact (the perplexity spelling is a one-expression
+    * swap in production). Plan: the LM is alphabet²-bounded so it
+    * BROADCASTS at any corpus size; the tertile thresholds are ONE
+    * 1-row global agg broadcast back — here the exact-percentile
+    * spelling for oracle parity (both engines interpolate
+    * lower + (upper−lower)·frac at rank p·(n−1)); at 100 TB swap in
+    * approx_percentile (see g_approx_distinct's sketch family) and the
+    * 1-row-broadcast plan shape is unchanged. The per-doc familiarity
+    * exchange appears under both the threshold agg and the final
+    * bucketing scan and canonicalizes equal → ReuseExchange computes
+    * it once. */
+  val plPerplexityFilter: Entry = Entry("pl_perplexity_filter",
+    (s, d) => {
+      val bg = docs(s, d)
+        .select(col("doc_id"), explode(bigramsUdf(col("text"))).as("bg"))
+      val lm = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      val fam = bg.join(broadcast(lm), "bg")
+        .groupBy("doc_id")
+        .agg(round(sum(col("cnt")).cast("double") / count(lit(1)), 6)
+          .as("familiarity"))
+      val th = fam.agg(
+        percentile(col("familiarity"), lit(1.0 / 3)).as("t1"),
+        percentile(col("familiarity"), lit(2.0 / 3)).as("t2"))
+      fam.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("familiarity"),
+          when(col("familiarity") >= col("t2"), lit("head"))
+            .when(col("familiarity") >= col("t1"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"),
+          (col("familiarity") >= col("t1")).cast("int").as("kept"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH bg AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, greatest(length(text), 1)),
+      |    i -> substr(text, CAST(i AS INT), 2))) AS bg
+      | FROM documents),
+      |lm AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1),
+      |f AS (SELECT doc_id, round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS familiarity
+      |  FROM bg JOIN lm USING (bg) GROUP BY doc_id),
+      |t AS (SELECT quantile_cont(familiarity, 1.0/3) AS t1,
+      |             quantile_cont(familiarity, 2.0/3) AS t2 FROM f)
+      |SELECT doc_id, familiarity,
+      |  CASE WHEN familiarity >= t2 THEN 'head'
+      |       WHEN familiarity >= t1 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  CAST(CASE WHEN familiarity >= t1 THEN 1 ELSE 0 END AS INT) AS kept
+      |FROM f, t ORDER BY doc_id""".stripMargin))
+
+  /** Overlapping sliding-window chunking (window 32 words, stride 24 →
+    * 8-word overlap): how a corpus becomes model-context-sized training
+    * or retrieval units without losing cross-boundary context — every
+    * word lands in ≥1 chunk, boundary words in 2, ragged tails kept so
+    * coverage is total. Plan shape at 100 TB: pure map-side row
+    * generation INSIDE the scan stage — explode(sequence) over a
+    * per-row chunk count, then a slice per chunk; no shuffle, no skew
+    * (a doc's chunks stay in its input partition, and the ≤ ceil(n/S)
+    * fan-out is bounded by document length); the only exchange is the
+    * display sort. */
+  val plChunkOverlap: Entry = Entry("pl_chunk_overlap",
+    (s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n_chunks", ceil(size(col("ws")) / lit(24.0)).cast("long"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("ws"), (col("chunk_id") * 24 + 1).cast("int"), lit(32)).as("cw"))
+        .select(col("doc_id"), col("chunk_id"),
+          array_join(col("cw"), " ").as("chunk_text"),
+          size(col("cw")).as("n_words"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |  ws[CAST(i * 24 + 1 AS INT):CAST(i * 24 + 32 AS INT)] AS cw
+      | FROM w, unnest(range(0, CAST(ceil(len(ws) / 24.0) AS BIGINT))) AS t(i))
+      |SELECT doc_id, chunk_id, array_to_string(cw, ' ') AS chunk_text,
+      |  CAST(len(cw) AS INT) AS n_words
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
-    plDomainCap, plEndToEnd,
+    plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,
     simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup,
     mmDecode, mmResize, mmWav)
 }

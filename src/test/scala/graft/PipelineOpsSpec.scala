@@ -166,4 +166,58 @@ class PipelineOpsSpec extends SparkSpec {
     // and every hit comes from the probe's blob — the far cells were pruned
     ivf.map(_._1).forall(_ < 100L) shouldBe true
   }
+
+  test("line dedup: earliest occurrence wins, partial trim, full-doc elimination") {
+    // 12-word "lines" (the entry's segmentation); ids avoid %7==0 so
+    // dupCorpus plants nothing on top of the crafted cases
+    def line(p: String) = (1 to 12).map(i => s"$p$i").mkString(" ")
+    val (la, lb, lz) = (line("a"), line("b"), line("z"))
+    val dir = "target/tmp/spec_linededup_sem"
+    Seq(
+      (1L, s"$la ${line("x")}"),  // keeps both lines
+      (2L, s"$la $lb"),           // la lost to doc 1 — partial trim
+      (3L, s"$la ${line("x")}"),  // exact copy of doc 1 — vanishes
+      (4L, s"$lz $lz")            // within-doc dup — first occurrence kept
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesPipeline.plLineDedup.fn(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, s"$la ${line("x")}", 2L, 2L),
+      (2L, lb, 1L, 2L),
+      (4L, lz, 1L, 2L))
+  }
+
+  test("chunk overlap: stride-24/window-32 covers every word, ragged tail kept") {
+    val dir = "target/tmp/spec_chunk_sem"
+    val w50 = (1 to 50).map(i => s"w$i")
+    Seq((1L, w50.mkString(" ")), (2L, (1 to 10).map(i => s"s$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesPipeline.plChunkOverlap.fn(spark, dir)
+      .as[(Long, Long, String, Int)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 0L, w50.take(32).mkString(" "), 32),
+      (1L, 1L, w50.slice(24, 50).mkString(" "), 26),
+      (1L, 2L, w50.slice(48, 50).mkString(" "), 2),
+      (2L, 0L, (1 to 10).map(i => s"s$i").mkString(" "), 10))
+  }
+
+  test("perplexity filter: closed-form familiarity, tertile buckets, head+middle kept") {
+    // corpus bigram counts: aa=5 (3 from doc 1, 2 from doc 2), ab=1,
+    // bb=3 → fam1=(5+5+5)/3=5.0, fam2=(5+5+1)/3=3.666667, fam3=3.0.
+    // exact tertiles of {3.0, 3.666667, 5.0} (rank p·(n−1)): t1≈3.444,
+    // t2≈4.111 → buckets tail / middle / head, tail cut.
+    val dir = "target/tmp/spec_ppl_sem"
+    Seq((1L, "aaaa"), (2L, "aaab"), (3L, "bbbb")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesPipeline.plPerplexityFilter.fn(spark, dir)
+      .as[(Long, Double, String, Int)].collect().toSeq
+    got.map(_._1) shouldBe Seq(1L, 2L, 3L)
+    approx(got(0)._2, 5.0, 1e-9)
+    approx(got(1)._2, 3.666667, 1e-9)
+    approx(got(2)._2, 3.0, 1e-9)
+    got.map(_._3) shouldBe Seq("head", "middle", "tail")
+    got.map(_._4) shouldBe Seq(1, 1, 0)
+  }
 }

@@ -162,4 +162,57 @@ class PlanShapeSpec extends SparkSpec {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("chunk overlap: scan-stage row generation, no hash exchange") {
+    val dir = "target/tmp/spec_planshape_chunk"
+    (0 until 30).map(i => (i.toLong, (0 to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = plan(QueriesPipeline.plChunkOverlap.fn(spark, dir))
+    withClue(p) {
+      // explode(sequence) + slice are generated inside the scan stage;
+      // the ONLY exchange is the output-contract orderBy
+      hashEx(p) shouldBe 0
+      "- Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+      "Scan parquet".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
+  test("line dedup: exactly two hash shuffles (line winner, doc rebuild)") {
+    val dir = "target/tmp/spec_planshape_linededup"
+    (0 until 30).map(i => (i.toLong, (0 until 30).map(j => s"w${(i * 31 + j) % 40}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = plan(QueriesPipeline.plLineDedup.fn(spark, dir))
+    withClue(p) {
+      // groupBy(line) then groupBy(doc_id) — the two exchanges the
+      // semantics require, nothing joins back to the corpus
+      hashEx(p) shouldBe 2
+      "- Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+      p should not include "Join"
+    }
+  }
+
+  test("perplexity filter: per-doc score exchange computed once (reused)") {
+    val dir = "target/tmp/spec_planshape_ppl"
+    (0 until 40).map(i => (i.toLong, s"doc $i text payload ${"ab" * (i % 5)}"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // AQE off so the static plan displays the reuse (KsDriftSpec pattern)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(QueriesPipeline.plPerplexityFilter.fn(spark, dir))
+      withClue(p) {
+        // unique hash exchanges: LM build on bg (vocab-sized) and the
+        // per-doc familiarity agg; the threshold branch must REUSE the
+        // familiarity exchange, and both the LM and the 1-row threshold
+        // table come back as broadcasts
+        hashEx(p) shouldBe 2
+        "ReusedExchange".r.findAllIn(p).size should be >= 1
+        "BroadcastExchange".r.findAllIn(p).size shouldBe 2
+        p should not include "CartesianProduct"
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
