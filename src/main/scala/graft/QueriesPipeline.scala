@@ -1494,12 +1494,86 @@ object QueriesPipeline {
       |  CAST(len(cw) AS INT) AS n_words
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
 
+  /** Exact-substring duplication audit (Lee et al. 2021, the ExactSubstr
+    * side of "Deduplicating Training Data Makes Language Models Better"):
+    * a 16-word gram OCCURRENCE is duplicate iff an earlier occurrence of
+    * the same gram exists anywhere in the corpus (earlier = (doc_id,
+    * pos) lexicographic — the suffix-array criterion at gram
+    * granularity); per doc, the duplicated-gram fraction drives the
+    * boilerplate cut (frac_dup > 0.5 → drop). Docs shorter than one
+    * gram clip to a single whole-doc gram, so short docs degrade to
+    * exact dedup instead of silently escaping the audit. Plan shape at
+    * 100 TB: grams never ship — the exchange is keyed on xxhash64(gram)
+    * and carries (digest, doc_id, pos) ≈ 24 B rows (a false dup needs a
+    * 64-bit collision, the documented [[ddExact]] trade; the oracle
+    * partitions by gram TEXT and would catch one); first-occurrence
+    * ranking is ONE window over digest (groups are duplicate-chains —
+    * tiny), then the per-doc rollup partial-aggregates to (doc_id,
+    * 2 counters). Planted cases cover every path: %7 exact copies
+    * (frac 1, dropped), %11 self-grafted variants (the doc's own first
+    * 16 words appended → partial within-doc AND cross-doc duplication,
+    * some kept some dropped), untouched docs (frac 0). */
+  val plSubstringDup: Entry = Entry("pl_substring_dup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionByName(base.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" "),
+              array_join(slice(split(col("text"), " "), 1, 16), " ")).as("text")))
+      val grams = corpus
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1L),
+            greatest(size(col("ws")) - 15, lit(1)).cast("long"))).as("pos"),
+          col("ws"))
+        .select(col("doc_id"), col("pos"),
+          xxhash64(array_join(
+            slice(col("ws"), col("pos").cast("int"), lit(16)), " ")).as("dg"))
+      val w = Window.partitionBy("dg").orderBy("doc_id", "pos")
+      grams.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_grams"), 6).as("frac_dup"),
+          (col("n_dup").cast("double") / col("n_grams") <= 0.5)
+            .cast("int").as("kept"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH all_docs AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id,
+      |   text || ' ' || array_to_string(string_split(text, ' ')[1:16], ' ') AS text
+      | FROM documents WHERE doc_id % 11 = 0),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+      |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |  array_to_string(ws[CAST(i AS INT):CAST(i + 15 AS INT)], ' ') AS gram
+      | FROM w, unnest(range(1, greatest(len(ws) - 14, 2))) AS t(i)),
+      |r AS (SELECT doc_id, pos,
+      |  row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g),
+      |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      | FROM r GROUP BY doc_id)
+      |SELECT doc_id, n_grams, n_dup,
+      |  round(CAST(n_dup AS DOUBLE) / n_grams, 6) AS frac_dup,
+      |  CAST(CASE WHEN CAST(n_dup AS DOUBLE) / n_grams <= 0.5
+      |    THEN 1 ELSE 0 END AS INT) AS kept
+      |FROM a ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
     plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,
+    plSubstringDup,
     simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup,
     mmDecode, mmResize, mmWav)
 }

@@ -203,6 +203,29 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 0L, (1 to 10).map(i => s"s$i").mkString(" "), 10))
   }
 
+  test("substring dup: first occurrence wins, short-doc clip, within-doc repeat") {
+    // ids avoid %7==0 and %11==0 so the entry's planted variants stay out
+    val dir = "target/tmp/spec_subdup_sem"
+    val a16 = (1 to 16).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, a16 + " w17"),                      // 2 grams, both unique
+      (2L, a16),                               // = doc 1's first gram → dup
+      (3L, (1 to 10).map(i => s"s$i").mkString(" ")), // short: one whole-doc gram
+      (4L, (1 to 10).map(i => s"s$i").mkString(" ")), // short dup of doc 3
+      (5L, s"$a16 $a16")  // pos 1 dups doc 1's gram (cross-doc), pos 17 dups pos 1 (within-doc)
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesPipeline.plSubstringDup.fn(spark, dir)
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 2L, 0L, 0.0, 1),
+      (2L, 1L, 1L, 1.0, 0),
+      (3L, 1L, 0L, 0.0, 1),
+      (4L, 1L, 1L, 1.0, 0),
+      (5L, 17L, 2L, BigDecimal(2.0 / 17).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, 1))
+  }
+
   test("perplexity filter: closed-form familiarity, tertile buckets, head+middle kept") {
     // corpus bigram counts: aa=5 (3 from doc 1, 2 from doc 2), ab=1,
     // bb=3 → fam1=(5+5+5)/3=5.0, fam2=(5+5+1)/3=3.666667, fam3=3.0.

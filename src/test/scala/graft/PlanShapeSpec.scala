@@ -193,6 +193,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("substring dup: digest-keyed window + per-doc rollup, two hash shuffles") {
+    val dir = "target/tmp/spec_planshape_subdup"
+    (0 until 30).map(i => (i.toLong, (0 until 20).map(j => s"w${(i + j) % 25}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = plan(QueriesPipeline.plSubstringDup.fn(spark, dir))
+    withClue(p) {
+      // grams never ship: the window shuffles (dg, doc_id, pos) rows,
+      // the rollup shuffles (doc_id, counters); no join anywhere
+      hashEx(p) shouldBe 2
+      "- Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+      p should not include "Join"
+    }
+  }
+
   test("perplexity filter: per-doc score exchange computed once (reused)") {
     val dir = "target/tmp/spec_planshape_ppl"
     (0 until 40).map(i => (i.toLong, s"doc $i text payload ${"ab" * (i % 5)}"))
