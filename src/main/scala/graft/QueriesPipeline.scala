@@ -858,10 +858,10 @@ object QueriesPipeline {
     * order. The oracle recomputes every decoded field from the
     * generating formulas (file size includes the stride padding, pixel
     * sum is the exact mod-256 ramp), so a framing bug in either codec
-    * direction hash-fails. Frame sampling stays the one honest stub
-    * ([[MultiModal.frameSampleStub]] — a video codec needs libraries
-    * this container lacks). Scale: encode+decode are per-row scan-stage
-    * functions; only doc_id and the decoded scalars reach the sort. */
+    * direction hash-fails. (Video frame sampling is its own REAL codec
+    * entry now — [[mmVideoFrames]].) Scale: encode+decode are per-row
+    * scan-stage functions; only doc_id and the decoded scalars reach
+    * the sort. */
   val mmDecode: Entry = Entry("mm_decode",
     (s, d) => {
       val framed = docs(s, d).select(col("doc_id"),
@@ -873,12 +873,10 @@ object QueriesPipeline {
           lit("image/bmp").as("mime"), length(col("payload")).as("n_bytes")))
       framed.select(col("doc_id"),
           col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"),
-          MultiModal.decodeBmpUdf(col("payload")).as("dec"),
-          length(MultiModal.frameSampleStub(col("payload"), lit(10))).as("n_frames"))
+          MultiModal.decodeBmpUdf(col("payload")).as("dec"))
         .select(col("doc_id"), col("mime"), col("n_bytes"),
           col("dec.width").as("width"), col("dec.height").as("height"),
-          col("dec.bpp").as("bpp"), col("dec.pxSum").as("px_sum"),
-          col("n_frames"))
+          col("dec.bpp").as("bpp"), col("dec.pxSum").as("px_sum"))
         .orderBy("doc_id")
     },
     Some("""WITH p AS (SELECT doc_id,
@@ -889,9 +887,56 @@ object QueriesPipeline {
       |SELECT doc_id, 'image/bmp' AS mime, CAST(nb AS INT) AS n_bytes,
       | w AS width, h AS height, 24 AS bpp,
       | CAST(list_sum(list_transform(range(0, w * h),
-      |   i -> (doc_id + i) % 256)) AS BIGINT) AS px_sum,
-      | CAST((nb + 9) // 10 AS INT) AS n_frames
+      |   i -> (doc_id + i) % 256)) AS BIGINT) AS px_sum
       |FROM q ORDER BY doc_id""".stripMargin))
+
+  /** Multimodal VIDEO with a real codec — YUV4MPEG2, the raw-video
+    * container mjpegtools/ffmpeg exchange (plain-text parameter line,
+    * `FRAME`-delimited uncompressed planes; `Cmono` = one 8-bit luma
+    * plane per frame) — and a real FRAME SAMPLER: the decoder walks
+    * every frame marker (counting ALL frames) and sums the luma plane
+    * of every 2nd one, the decode→sample verb the brief's multimodal
+    * set lists. One output row per sampled frame. The oracle restates
+    * the parameter-line length, the per-frame byte stride, and every
+    * sampled frame's mod-256 luma ramp from the generating formulas —
+    * a framing bug (marker offset, header arithmetic, stride) shifts a
+    * byte window and hash-fails. Scale: encode/decode/sample are one
+    * per-row scan-stage function; the posexplode fan-out is the
+    * bounded ≤ ceil(nF/2) and only (doc_id, scalars) rows reach the
+    * sort — payload bytes never leave the scan stage. */
+  val mmVideoFrames: Entry = Entry("mm_video_frames",
+    (s, d) => {
+      val framed = docs(s, d).select(col("doc_id"),
+          (col("doc_id") % 5 + 4).cast("int").as("w"),
+          (col("doc_id") % 4 + 3).cast("int").as("h"),
+          (col("doc_id") % 6 + 3).cast("int").as("nf"))
+        .withColumn("payload",
+          MultiModal.encodeY4mUdf(col("doc_id"), col("w"), col("h"), col("nf")))
+      framed.select(col("doc_id"), length(col("payload")).as("n_bytes"),
+          MultiModal.decodeY4mUdf(col("payload"), lit(2)).as("dec"))
+        .select(col("doc_id"), col("n_bytes"), col("dec"),
+          posexplode(col("dec.sampleSums")))
+        .select(col("doc_id"), col("n_bytes"),
+          col("dec.width").as("width"), col("dec.height").as("height"),
+          col("dec.fpsNum").as("fps_num"), col("dec.nFrames").as("n_frames"),
+          (col("pos") * 2).cast("long").as("frame_no"),
+          col("col").as("luma_sum"))
+        .orderBy("doc_id", "frame_no")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+      |  CAST(doc_id % 5 + 4 AS INT) AS w,
+      |  CAST(doc_id % 4 + 3 AS INT) AS h,
+      |  CAST(doc_id % 6 + 3 AS INT) AS nf FROM documents),
+      |q AS (SELECT doc_id, w, h, nf,
+      |  length('YUV4MPEG2 W' || w || ' H' || h || ' F25:1 Ip A1:1 Cmono')
+      |    + 1 + nf * (6 + w * h) AS nb FROM p),
+      |e AS (SELECT doc_id, w, h, nf, nb, CAST(s AS BIGINT) * 2 AS frame_no
+      | FROM q, unnest(range(0, (nf + 1) // 2)) AS t(s))
+      |SELECT doc_id, CAST(nb AS INT) AS n_bytes, w AS width, h AS height,
+      | 25 AS fps_num, nf AS n_frames, frame_no,
+      | CAST(list_sum(list_transform(range(0, w * h),
+      |   p2 -> (doc_id * 11 + frame_no * 17 + p2) % 256)) AS BIGINT) AS luma_sum
+      |FROM e ORDER BY doc_id, frame_no""".stripMargin))
 
   /** Multimodal RESIZE — the decode → feature-extract composition the
     * brief's multimodal verb set lists (decode / feature-extract /
@@ -1575,5 +1620,5 @@ object QueriesPipeline {
     plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,
     plSubstringDup,
     simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup,
-    mmDecode, mmResize, mmWav)
+    mmDecode, mmResize, mmWav, mmVideoFrames)
 }

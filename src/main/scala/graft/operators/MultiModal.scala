@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * — magic, little-endian header fields, row stride/padding, chunk
   * alignment — so a framing bug anywhere (offset arithmetic,
   * endianness, bottom-up row order, word-aligned chunks) changes the
-  * decoded fields and fails the oracle. Compressed codecs (JPEG/PNG,
-  * MP3) would slot in behind the same decode→struct signature but need
-  * libraries this container doesn't have; the one remaining stub is
-  * the video FRAME SAMPLER, clearly marked below.
+  * decoded fields and fails the oracle. Video is covered by a third
+  * real format: YUV4MPEG2 (the mjpegtools/ffmpeg raw-video container —
+  * plain-text parameter header, "FRAME"-delimited uncompressed planes;
+  * `Cmono` = one 8-bit luma plane per frame), whose decoder doubles as
+  * the FRAME SAMPLER (walk every frame's marker, sum every k-th
+  * frame's plane). Compressed codecs (JPEG/PNG, MP3, H.264) would slot
+  * in behind the same decode→struct signatures but need libraries this
+  * container doesn't have.
   *
   * Scale shape: every function is a per-row pure function over one
   * payload — no shuffle, no state; at 100 TB these run inside the scan
@@ -211,15 +215,89 @@ object MultiModal {
   val encodeWavUdf = udf((docId: Long, rate: Int, n: Int) => encodeWav(docId, rate, n))
   val decodeWavUdf = udf((b: Array[Byte]) => decodeWav(b))
 
-  /** STUB frame sampler — the one remaining fake: every k-th byte
-    * stands in for every k-th video frame (a real one needs a video
-    * codec this container lacks). The slice/stride plumbing it
-    * exercises is what a frame sampler shares with it. */
-  val frameSampleStub = udf((payload: Array[Byte], k: Int) => {
-    val n = (payload.length + k - 1) / k
-    val out = new Array[Byte](n)
-    var i = 0
-    while (i < n) { out(i) = payload(i * k); i += 1 }
-    out
-  })
+  // ------------------------------------------------------ YUV4MPEG2
+  /** Test-pattern luma value for (doc, frame, plane index) — stated as
+    * a mod-256 ramp both the encoder and the SQL oracle restate. */
+  @inline private def luma(docId: Long, f: Int, p: Int): Int =
+    ((docId * 11L + f * 17L + p) % 256L).toInt
+
+  /** Synthesize a spec-valid YUV4MPEG2 stream: the plain-text parameter
+    * line (`YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1 Cmono\n`), then per frame
+    * a `FRAME\n` marker followed by the raw w×h luma plane (Cmono = no
+    * chroma planes). */
+  def encodeY4m(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n"
+    val o = new java.io.ByteArrayOutputStream(
+      header.length + nFrames * (6 + w * h))
+    o.write(header.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, header.length)
+    var f = 0
+    while (f < nFrames) {
+      o.write('F'); o.write('R'); o.write('A'); o.write('M'); o.write('E'); o.write('\n')
+      val n = w * h
+      var p = 0
+      while (p < n) { o.write(luma(docId, f, p)); p += 1 }
+      f += 1
+    }
+    o.toByteArray
+  }
+
+  /** Decoded stream parameters + per-SAMPLED-frame luma sums — the real
+    * frame sampler: PARSE the parameter line (tagged tokens, order
+    * not fixed by the spec), then walk the `FRAME` markers — each may
+    * carry its own parameters up to its newline — counting every frame
+    * and summing the plane of every k-th. A framing bug (marker offset,
+    * header-length arithmetic, frame stride) shifts the byte windows
+    * and changes the sums. */
+  case class Y4mInfo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      nFrames: Int, sampleSums: Array[Long])
+
+  def decodeY4mSampled(b: Array[Byte], k: Int): Y4mInfo = {
+    require(k >= 1, "sample stride must be >= 1")
+    var eol = 0
+    while (eol < b.length && b(eol) != '\n') eol += 1
+    require(eol < b.length, "no parameter-line terminator")
+    val toks = new String(b, 0, eol,
+      java.nio.charset.StandardCharsets.US_ASCII).split(" ")
+    require(toks(0) == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+    var w = -1; var h = -1; var fn = 0; var fd = 0
+    var cs = "420jpeg" // the spec's default when no C tag is present
+    for (t <- toks.drop(1); if t.nonEmpty) t.charAt(0) match {
+      case 'W' => w = t.substring(1).toInt
+      case 'H' => h = t.substring(1).toInt
+      case 'F' =>
+        val pr = t.substring(1).split(":")
+        fn = pr(0).toInt; fd = pr(1).toInt
+      case 'C' => cs = t.substring(1)
+      case _ => () // Ip/A/X tags don't affect mono frame geometry
+    }
+    require(w > 0 && h > 0, "missing/invalid W or H parameter")
+    require(cs == "mono", "only Cmono (single 8-bit luma plane) supported")
+    val frameBytes = w * h
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var off = eol + 1
+    var f = 0
+    while (off < b.length) {
+      require(off + 5 <= b.length && b(off) == 'F' && b(off + 1) == 'R' &&
+        b(off + 2) == 'A' && b(off + 3) == 'M' && b(off + 4) == 'E',
+        s"missing FRAME marker at offset $off")
+      var fe = off + 5
+      while (fe < b.length && b(fe) != '\n') fe += 1
+      require(fe < b.length, "unterminated FRAME parameter line")
+      off = fe + 1
+      require(off + frameBytes <= b.length, s"truncated frame $f")
+      if (f % k == 0) {
+        var sum = 0L
+        var p = 0
+        while (p < frameBytes) { sum += (b(off + p) & 0xff); p += 1 }
+        sums += sum
+      }
+      off += frameBytes
+      f += 1
+    }
+    Y4mInfo(w, h, fn, fd, f, sums.toArray)
+  }
+
+  val encodeY4mUdf = udf((docId: Long, w: Int, h: Int, nF: Int) =>
+    encodeY4m(docId, w, h, nF))
+  val decodeY4mUdf = udf((b: Array[Byte], k: Int) => decodeY4mSampled(b, k))
 }

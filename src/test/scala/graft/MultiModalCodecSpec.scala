@@ -96,4 +96,49 @@ class MultiModalCodecSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy decodeWav(notWave)
     an[IllegalArgumentException] should be thrownBy decodeWav(ok.take(40)) // truncated data chunk
   }
+
+  test("y4m: parameter line is spec-exact text; frames FRAME-delimited") {
+    val b = encodeY4m(3L, 4, 2, 2)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    new String(b, 0, 38, ascii) shouldBe "YUV4MPEG2 W4 H2 F25:1 Ip A1:1 Cmono\nFR"
+    // frame 0 plane starts right after the first FRAME\n
+    val f0 = 36 + 6
+    (0 until 8).map(p => b(f0 + p) & 0xff) shouldBe
+      (0 until 8).map(p => (3 * 11 + p) % 256)
+    // frame 1's marker sits exactly one plane later
+    new String(b, f0 + 8, 6, ascii) shouldBe "FRAME\n"
+  }
+
+  test("y4m: sampler counts ALL frames, sums every k-th, tolerates tag reorder and FRAME params") {
+    val info = decodeY4mSampled(encodeY4m(7L, 4, 3, 7), 3)
+    info.nFrames shouldBe 7
+    info.sampleSums.toSeq shouldBe Seq(0, 3, 6).map(f =>
+      (0 until 12).map(p => (7 * 11 + f * 17 + p) % 256).sum.toLong)
+    // the spec fixes no tag order and allows per-frame parameters —
+    // splice a reordered parameter line and an xparam'd FRAME marker
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val plane = (0 until 4).map(_.toByte).toArray
+    val spliced = "YUV4MPEG2 Cmono F30:1 W2 H2\n".getBytes(ascii) ++
+      "FRAME Xweird\n".getBytes(ascii) ++ plane
+    val got = decodeY4mSampled(spliced, 1)
+    got.width shouldBe 2
+    got.fpsNum shouldBe 30
+    got.nFrames shouldBe 1
+    got.sampleSums.toSeq shouldBe Seq(6L)
+  }
+
+  test("y4m: malformed inputs rejected") {
+    val ok = encodeY4m(1L, 4, 3, 2)
+    an[IllegalArgumentException] should be thrownBy
+      decodeY4mSampled(("JUNK W4 H3 Cmono\nFRAME\n" + "x" * 12).getBytes, 1)
+    // wrong colourspace: a real 4:2:0 stream must not silently decode as mono
+    an[IllegalArgumentException] should be thrownBy decodeY4mSampled(
+      ("YUV4MPEG2 W4 H2 C420jpeg\n" + "FRAME\n" + "x" * 12).getBytes, 1)
+    // truncated mid-plane
+    an[IllegalArgumentException] should be thrownBy
+      decodeY4mSampled(ok.dropRight(3), 1)
+    // a frame without its marker
+    val noMarker = ok.take(36) ++ ok.takeRight(12)
+    an[IllegalArgumentException] should be thrownBy decodeY4mSampled(noMarker, 1)
+  }
 }

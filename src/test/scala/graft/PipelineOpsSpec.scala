@@ -111,8 +111,9 @@ class PipelineOpsSpec extends SparkSpec {
           MultiModal.encodeBmpUdf(col("doc_id"), lit(5), lit(3))).as("bmp"),
         MultiModal.decodeWavUdf(
           MultiModal.encodeWavUdf(col("doc_id"), lit(8000), lit(7))).as("wav"),
-        functions.length(MultiModal.frameSampleStub(
-          MultiModal.encodeBmpUdf(col("doc_id"), lit(5), lit(3)), lit(2))).as("n"))
+        MultiModal.decodeY4mUdf(
+          MultiModal.encodeY4mUdf(col("doc_id"), lit(4), lit(3), lit(5)),
+          lit(2)).as("vid"))
       .orderBy("doc_id").collect()
     for (row <- r) {
       val id = row.getLong(0)
@@ -127,8 +128,15 @@ class PipelineOpsSpec extends SparkSpec {
       wav.getInt(2) shouldBe 16
       wav.getInt(3) shouldBe 7
       wav.getLong(4) shouldBe (0 until 7).map(i => (id * 31 + i * 7) % 2003 - 1001).sum
-      // BMP 5x3: 54-byte header + 3 rows of 16 (15 px bytes + 1 pad)
-      row.getInt(3) shouldBe (54 + 3 * 16 + 1) / 2
+      // y4m 4x3, 5 frames, every 2nd sampled -> frames 0, 2, 4
+      val vid = row.getStruct(3)
+      vid.getInt(0) shouldBe 4  // width
+      vid.getInt(1) shouldBe 3  // height
+      vid.getInt(2) shouldBe 25 // fps num
+      vid.getInt(3) shouldBe 1  // fps den
+      vid.getInt(4) shouldBe 5  // ALL frames counted, not just sampled
+      vid.getSeq[Long](5) shouldBe Seq(0, 2, 4).map(f =>
+        (0 until 12).map(p => (id * 11 + f * 17 + p) % 256).sum)
     }
   }
 

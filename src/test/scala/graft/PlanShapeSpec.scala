@@ -118,7 +118,7 @@ class PlanShapeSpec extends SparkSpec {
     // stage; the ONLY exchange either entry may have is the
     // output-contract orderBy's range partitioner
     for (entry <- Seq(QueriesPipeline.mmDecode, QueriesPipeline.mmResize,
-        QueriesPipeline.mmWav)) {
+        QueriesPipeline.mmWav, QueriesPipeline.mmVideoFrames)) {
       val p = plan(entry.fn(spark, dir))
       withClue(s"${entry.name}:\n$p") {
         hashEx(p) shouldBe 0
