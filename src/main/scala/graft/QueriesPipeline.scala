@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Components, Decontaminate, Dedup, MultiModal, Similarity}
+import graft.operators.{Bpe, Components, Decontaminate, Dedup, MultiModal, Similarity}
 import Queries.Entry
 import Tables.tbl
 
@@ -1102,6 +1102,40 @@ object QueriesPipeline {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
+  /** BPE tokenizer training, the pair-statistics iteration (Sennrich
+    * et al. 2016 — see [[graft.operators.Bpe]] for the full merge
+    * loop): adjacent character-pair counts over the DISTINCT-WORD
+    * table weighted by word frequency — the Zipf compression that
+    * makes tokenizer training feasible at corpus scale. Plan: one
+    * token-stream shuffle builds (word, freq) (tx_tokens' shape), the
+    * pair rollup shuffles |vocab| rows and aggregates to an
+    * alphabet²-bounded table, and the top-20 is a
+    * TakeOrderedAndProject — nothing corpus-sized past the first
+    * exchange. Overlap semantics match reference BPE: `aaa`
+    * contributes (a,a) twice. (count desc, pair asc) is a total
+    * order, so the cut is deterministic in both engines. */
+  val txBpePairs: Entry = Entry("tx_bpe_pairs",
+    (s, d) => {
+      val words = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+      val wf = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      Bpe.pairCounts(Bpe.initSymbols(wf))
+        .select(concat(col("a"), col("b")).as("pair"), col("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair").asc)
+        .limit(20)
+    },
+    Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
+      |    x -> x <> '')) AS word FROM documents),
+      |f AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+      |p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+      |  FROM f, unnest(range(1, length(word))) AS t(i)
+      |  WHERE length(word) >= 2),
+      |a AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+      | FROM p GROUP BY 1)
+      |SELECT pair, pair_count FROM a
+      |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin))
+
   /** Domain-mixture rebalancing — the sampling-weight computation every
     * pretraining data recipe runs before training: per-language corpus
     * sizes → an upsampling repeat factor per language (here: match the
@@ -1615,7 +1649,8 @@ object QueriesPipeline {
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
-    txRedactPii, txBigramLm, plCleanCorpus, plCanonical, plPack, plMixWeights,
+    txRedactPii, txBigramLm, txBpePairs, plCleanCorpus, plCanonical, plPack,
+    plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
     plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,
     plSubstringDup,
