@@ -1102,6 +1102,42 @@ object QueriesPipeline {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
+  /** Inverted-index construction — the serving artifact of the text
+    * family (what [[txTfidf]]'s scoring presumes exists): per term,
+    * document frequency plus a CAPPED posting list (first 16 doc ids —
+    * the impact-ordered-prefix discipline real indexes use, because a
+    * stopword's full posting list at corpus scale is the corpus).
+    * Plan: distinct (term, doc) postings, then ONE term-keyed exchange
+    * does everything — the window ranks postings and counts df over
+    * the same clustering, the rn ≤ 16 filter bounds what survives,
+    * and the final groupBy REUSES the window's partitioning (no
+    * second exchange; the sort_array is over ≤ 16 elements). At
+    * 100 TB the unbounded piece is only the distinct — itself a
+    * standard partial-aggregating shuffle on (term, doc). */
+  val txInvertedIndex: Entry = Entry("tx_inverted_index",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val postings = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(col("term") =!= "")
+        .distinct()
+      val w = Window.partitionBy("term")
+      postings
+        .withColumn("rn", row_number().over(w.orderBy("doc_id")))
+        .withColumn("df", count(lit(1)).over(w))
+        .where(col("rn") <= 16)
+        .groupBy("term")
+        .agg(first(col("df")).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+        .orderBy("term")
+    },
+    Some("""WITH tok AS (SELECT DISTINCT doc_id,
+      |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      | FROM documents)
+      |SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |  list_slice(list_sort(list(doc_id)), 1, 16) AS postings
+      |FROM tok GROUP BY term ORDER BY term""".stripMargin))
+
   /** BPE tokenizer training, the pair-statistics iteration (Sennrich
     * et al. 2016 — see [[graft.operators.Bpe]] for the full merge
     * loop): adjacent character-pair counts over the DISTINCT-WORD
@@ -1649,7 +1685,8 @@ object QueriesPipeline {
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
-    txRedactPii, txBigramLm, txBpePairs, plCleanCorpus, plCanonical, plPack,
+    txRedactPii, txBigramLm, txBpePairs, txInvertedIndex,
+    plCleanCorpus, plCanonical, plPack,
     plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
     plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,

@@ -208,6 +208,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("inverted index: rollup reuses the window's term clustering") {
+    val dir = "target/tmp/spec_planshape_invidx"
+    (0 until 30).map(i => (i.toLong, (0 until 10).map(j => s"w${(i + j) % 12}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = plan(QueriesPipeline.txInvertedIndex.fn(spark, dir))
+    withClue(p) {
+      // distinct on (doc_id, term) + the term window; the final
+      // groupBy(term) must ride the window's hashpartitioning(term)
+      // without a third exchange
+      hashEx(p) shouldBe 2
+      "- Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
   test("perplexity filter: per-doc score exchange computed once (reused)") {
     val dir = "target/tmp/spec_planshape_ppl"
     (0 until 40).map(i => (i.toLong, s"doc $i text payload ${"ab" * (i % 5)}"))
