@@ -194,6 +194,31 @@ object QueriesSql {
       | TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val
       |FROM events ORDER BY event_id""".stripMargin))
 
-  val all: Seq[Entry] = Seq(q5Join5, gPivot, sqSubqueries, fStructJson,
+  /** Per-group top-k through the CUSTOM OPERATOR
+    * ([[graft.plans.TopKPerGroup]] — LogicalPlan + Strategy +
+    * bounded-heap SparkPlan via GraftExtensions): top-3 customers per
+    * nation by balance. The built-in window spelling sorts every
+    * partition fully; the custom node keeps the identical single hash
+    * exchange but applies the k-bound DURING the shuffled scan with
+    * per-key heaps — O(n log k), no sort, no spill. The order is made
+    * TOTAL with the c_custkey tiebreak, so the heap result is unique
+    * and the window-spelling oracle must match it row-for-row. */
+  val oTopkPerGroupNative: Entry = Entry("o_topk_pergroup_native",
+    (s, d) => {
+      val topk = graft.plans.TopKPerGroup(
+        tbl(s, d, "customer").select(col("c_nationkey"), col("c_custkey"),
+          col("c_acctbal")),
+        keyCols = Seq("c_nationkey"), ordCol = "c_acctbal",
+        descending = true, tieCol = "c_custkey", k = 3)
+      topk.orderBy("c_nationkey", "c_acctbal", "c_custkey")
+    },
+    Some("""WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,
+      |  row_number() OVER (PARTITION BY c_nationkey
+      |    ORDER BY c_acctbal DESC, c_custkey) AS rn
+      | FROM customer)
+      |SELECT c_nationkey, c_custkey, c_acctbal FROM r WHERE rn <= 3
+      |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin))
+
+  val all: Seq[Entry] = Seq(q5Join5, gPivot, sqSubqueries, fStructJson, oTopkPerGroupNative,
     oUnionSemantics, gConditionalAgg, fIntervalsNulls, oExplodeWords, fMapJson)
 }

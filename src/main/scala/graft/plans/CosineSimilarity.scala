@@ -97,6 +97,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * `call_function("cosine_sim", a, b)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator surface: per-group top-k (LogicalPlan + Strategy
+    // + bounded-heap SparkPlan — see TopKPerGroup.scala)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
