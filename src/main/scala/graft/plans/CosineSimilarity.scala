@@ -98,8 +98,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator surface: per-group top-k (LogicalPlan + Strategy
-    // + bounded-heap SparkPlan — see TopKPerGroup.scala)
+    // + bounded-heap SparkPlan — see TopKPerGroup.scala) plus the
+    // optimizer rule that rewrites the row_number-filter-drop idiom
+    // onto it (TopKRewrite.scala)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => TopKRewrite)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: rewrite the universal per-group top-k idiom
+  *
+  * {{{ df.withColumn("rn", row_number().over(W)).where($"rn" <= k).drop("rn") }}}
+  *
+  * into [[TopKPerGroupNode]] whenever the rank column is DISCARDED by
+  * the projection above the filter — then the Window exists only to
+  * bound groups, and the sort-free bounded-heap exec computes the same
+  * rows without it. Users keep writing the idiomatic spelling; the
+  * engine swaps the execution. (Spark's own InferWindowGroupLimit
+  * recognizes the same shape but still plans two sorts plus the
+  * Window evaluation; this rule removes all three — measured in
+  * TopKRewriteSpec.)
+  *
+  * Deliberately conservative — it fires only when:
+  *  - the Window computes EXACTLY ONE expression, a row_number() (a
+  *    second window expression, or rank/dense_rank — which admit ties
+  *    past k — never matches);
+  *  - the filter is a bare `rn <= lit` / `rn < lit` with k >= 1;
+  *  - the projection above references the rank column NOWHERE (kept
+  *    ranks mean the caller wants positions — the Window must stay).
+  *
+  * Tie semantics are unchanged as a CLASS: under a non-total order
+  * both spellings are partition-order-dependent; under a total order
+  * both are exact — the determinism contract callers already carry.
+  */
+object TopKRewrite extends Rule[LogicalPlan] {
+
+  private def limitOf(cond: Expression, rn: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
+      if a.exprId == rn => Some(k)
+    case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
+      if a.exprId == rn => Some(k - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList, Filter(cond, w: Window))
+        if w.windowExpressions.length == 1 &&
+          w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+      w.windowExpressions.head match {
+        case rnAlias @ Alias(WindowExpression(_: RowNumber, _), _) =>
+          limitOf(cond, rnAlias.exprId) match {
+            case Some(k) if k >= 1 &&
+                !projectList.exists(_.references.exists(_.exprId == rnAlias.exprId)) =>
+              // InferWindowGroupLimit may already have slid its hint
+              // node under the Window — the heap subsumes it
+              val src = w.child match {
+                case wgl: WindowGroupLimit => wgl.child
+                case c => c
+              }
+              Project(projectList,
+                TopKPerGroupNode(k, w.partitionSpec, w.orderSpec, src))
+            case _ => p
+          }
+        case _ => p
+      }
+  }
+}

@@ -81,12 +81,16 @@ class DriftCapSpec extends SparkSpec {
     got.count(_._1 == "small") shouldBe 3
   }
 
-  test("domain cap plan: stage-1 window is salted, stage-2 sees capped rows only") {
+  test("domain cap plan: salted stage-1 runs sort-free, stage-2 window re-ranks") {
     val d = stageDocs("cap2", (0L until 40L).map((_, "x")))
     val plan = QueriesPipeline.plDomainCap.fn(spark, d)
       .queryExecution.executedPlan.toString
     withClue(plan) {
-      "\\bWindow\\b".r.findAllIn(plan).size shouldBe 2
+      // stage 1 discards its rank, so TopKRewrite swaps the salted
+      // window for the bounded-heap operator (no sort); stage 2 keeps
+      // rn in the output, so it stays a real Window
+      plan should include("TopKPerGroup")
+      "\\bWindow\\b".r.findAllIn(plan).size shouldBe 1
       plan should include("salt")
     }
   }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The optimizer rewrite (window row_number → bounded-heap TopK):
+  * fires exactly on the discard-the-rank idiom, never elsewhere, and
+  * produces the same rows with no Sort and no Window in the plan. */
+class TopKRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = {
+    val rows = for (g <- 0 until 5; i <- 0 until 30)
+      yield (g.toLong, (i * 2654435761L + g) % 53L, (g * 1000 + i).toLong)
+    rows.toDF("g", "v", "id").repartition(5)
+  }
+
+  private val w = Window.partitionBy("g")
+    .orderBy(col("v").desc, col("id").asc)
+
+  test("discard-the-rank idiom rewrites: no Window, no Sort, same rows") {
+    val q = fixture.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 4).drop("rn")
+    val opt = q.queryExecution.optimizedPlan.toString
+    val phys = q.queryExecution.executedPlan.toString
+    withClue(opt + "\n" + phys) {
+      opt should include("TopKPerGroup")
+      phys should not include "Window"
+      phys should not include "Sort "
+    }
+    val got = q.orderBy("g", "id").as[(Long, Long, Long)].collect().toSeq
+    val truth = fixture.as[(Long, Long, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(4)
+      }.sortBy(r => (r._1, r._3))
+    got shouldBe truth
+  }
+
+  test("strict < spells k-1") {
+    val q = fixture.withColumn("rn", row_number().over(w))
+      .where(col("rn") < 3).drop("rn")
+    q.queryExecution.optimizedPlan.toString should include("TopKPerGroupNode 2,")
+    q.count() shouldBe 10 // 2 per group x 5 groups
+  }
+
+  test("kept rank column blocks the rewrite — the Window must stay") {
+    val q = fixture.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 4) // rn still in the output
+    val opt = q.queryExecution.optimizedPlan.toString
+    withClue(opt) {
+      opt should not include "TopKPerGroup"
+      opt should include("windowspecdefinition")
+    }
+  }
+
+  test("rank() blocks the rewrite — ties past k would be lost") {
+    val q = fixture.withColumn("rn", rank().over(w))
+      .where(col("rn") <= 4).drop("rn")
+    q.queryExecution.optimizedPlan.toString should not include "TopKPerGroup"
+  }
+
+  test("a second window expression blocks the rewrite") {
+    val q = fixture
+      .withColumn("rn", row_number().over(w))
+      .withColumn("mx", max(col("v")).over(Window.partitionBy("g")))
+      .where(col("rn") <= 4).drop("rn")
+    q.queryExecution.optimizedPlan.toString should not include "TopKPerGroup"
+  }
+
+  test("compound filter blocks the rewrite (conservative by design)") {
+    val q = fixture.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 4 && col("v") > 10).drop("rn")
+    q.queryExecution.optimizedPlan.toString should not include "TopKPerGroup"
+  }
+}
