@@ -315,6 +315,40 @@ object Queries {
       | ON c.user_id = s.user_id AND c.t_us >= s.lo AND c.t_us < s.hi
       |GROUP BY s.event_id, s.user_id ORDER BY s.event_id""".stripMargin))
 
+  /** Bloom-pruned semi join — the manual spelling of runtime row-level
+    * filtering ([[graft.operators.Bloom]]): build a portable bitset
+    * over the urgent-order keys, test every lineitem against it INSIDE
+    * the scan stage (pure builtin expressions, whole-stage codegen, no
+    * exchange), and let the exact semi join that follows remove the
+    * bloom's false positives — so the composed result equals the plain
+    * semi join and the oracle is ordinary EXISTS SQL.
+    *
+    * At THIS scale the exact build side broadcasts anyway and the bloom
+    * is belt-and-braces; the 100 TB case is the point: with billions of
+    * build keys a shuffled semi join exchanges the full probe, while
+    * the fixed-size bloom (16 KiB here; size m ≈ 10·n for ~1% fpr in
+    * production) prunes the probe to selectivity+fpr BEFORE its
+    * exchange. BloomSpec pins no-false-negatives, the fpr bound, and
+    * that the membership predicate stays in the scan stage. */
+  val jBloomPrune: Entry = Entry("j_bloom_prune",
+    (s, d) => {
+      val mBits = 1L << 17
+      val nh = 3
+      val build = ord(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("bk"))
+      val bloom = operators.Bloom.buildBloom(build, "bk", mBits, nh)
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .crossJoin(broadcast(bloom))
+        .where(operators.Bloom.mightContain("l_orderkey", "bloom", mBits, nh))
+        .drop("bloom")
+        .join(build, col("l_orderkey") === col("bk"), "left_semi")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
   /** O-topk + 3-way join: TPC-H Q3-shaped revenue top-10 (tie-broken).
     * The segment-filtered customer side is ~1/5 of a dimension table —
     * explicitly broadcast so at 100 TB the orders⋈lineitem fact side
@@ -437,9 +471,10 @@ object Queries {
   val all: Seq[Entry] = Seq(
     q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
     j1Multiway, j2Semi, j3Anti, jSkewSalted, jFullOuter, jAsof, jRangeBucketed,
+    jBloomPrune,
     o1TopK, w3RankLag, gDistinct,
     fDates, fDateSpine, fMath, fJson, fStrings) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++
     QueriesAggWindow.all ++ QueriesPipeline.all ++ QueriesStreaming.all ++
-    QueriesMl.all ++ QueriesSql.all
+    QueriesMl.all ++ QueriesSql.all ++ QueriesGraph.all
 }

@@ -394,6 +394,51 @@ object QueriesAggWindow {
       | round(quantile_cont(o_totalprice, 0.99), 6) AS p99
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** Winsorized (percentile-clipped) robust aggregation — the outlier
+    * taming every quality-score / reward-model feature pipeline applies
+    * before averaging. Per group: exact interpolated p05/p95 cutoffs
+    * (rounded to money scale in BOTH engines so the clip bounds are
+    * identical doubles by construction — g_percentile already proves
+    * the raw percentiles agree), clip, then exact-DECIMAL sums of the
+    * clipped column plus clip-incidence counts. Plan: the cutoff agg is
+    * one partial+final aggregate over the group key; the tiny per-group
+    * bounds frame is broadcast back onto the fact scan (no second
+    * shuffle of the fact side — join key = group key, build side =
+    * n_groups rows), then one more partial+final agg. At 100 TB both
+    * exchanges carry group-key cardinality rows, never facts; exact
+    * percentiles per group are O(group) memory in the percentile
+    * aggregate — for unbounded groups swap in approx_percentile and
+    * keep the identical downstream clip (the gate keeps the exact
+    * variant because it is oracle-able). */
+  val gWinsorize: Entry = Entry("g_winsorize",
+    (s, d) => {
+      val bounds = li(s, d).groupBy(col("l_returnflag").as("g"))
+        .agg(round(percentile(col("l_extendedprice"), lit(0.05)), 2).as("lo"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("hi"))
+      val clipped = li(s, d).select(col("l_returnflag").as("g"), col("l_extendedprice"))
+        .join(broadcast(bounds), Seq("g"))
+        .withColumn("v", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+      clipped.groupBy("g").agg(
+          dsum(col("v"), 2).as("sum_winsorized"),
+          dsum(col("l_extendedprice"), 2).as("sum_raw"),
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"))
+        .orderBy("g")
+    },
+    Some(s"""WITH b AS (SELECT l_returnflag AS g,
+      |  round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+      | FROM lineitem GROUP BY 1)
+      |SELECT g,
+      | ${sqlDsum("least(greatest(l_extendedprice, lo), hi)")} AS sum_winsorized,
+      | ${sqlDsum("l_extendedprice")} AS sum_raw,
+      | count(*) AS n,
+      | sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS n_clipped_lo,
+      | sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS n_clipped_hi
+      |FROM lineitem JOIN b ON l_returnflag = b.g
+      |GROUP BY g ORDER BY g""".stripMargin))
+
   /** RANGE-frame window: 30-day trailing spend per customer — the
     * value-based frame (vs wRunningSum's ROWS frame) over epoch
     * seconds, exact-decimal summed. */
@@ -717,5 +762,5 @@ object QueriesAggWindow {
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
-    wRetention, gKsDrift, gChi2Drift)
+    wRetention, gKsDrift, gChi2Drift, gWinsorize)
 }

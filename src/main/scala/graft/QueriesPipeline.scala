@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Components, Decontaminate, Dedup, MultiModal, Similarity}
+import graft.operators.{Bpe, Components, Decontaminate, Dedup, HeavyHitters, MultiModal, Similarity}
 import Queries.Entry
 import Tables.tbl
 
@@ -397,6 +397,46 @@ object QueriesPipeline {
       | length(text) AS n_chars,
       | md5(text) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Exact corpus heavy hitters (terms with count·k > N, k = 200) via
+    * the two-pass Misra–Gries plan ([[HeavyHitters]]): pass 1 runs a
+    * k-counter MG sketch per partition inside `mapPartitions`, emitting
+    * ≤ k candidate terms + 1 local-count row per partition (a few KB —
+    * localCheckpointed so its two consumers don't rescan the corpus);
+    * pass 2 recounts ONLY candidate terms (broadcast semi join prunes
+    * the term stream map-side) and filters by the exact global total.
+    * The MG guarantee makes candidates a superset of every true heavy
+    * hitter, so the result is EXACT and the oracle is the naive
+    * GROUP BY/HAVING — but the naive plan shuffles every term
+    * occurrence in the corpus, while this one's exchanges carry
+    * ≤ k·partitions candidate rows and the candidate-only counts.
+    * That asymmetry is the whole 100 TB story: vocabulary-sized
+    * shuffles, corpus-sized scans. */
+  val txHeavyHitters: Entry = Entry("tx_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val k = 200
+      val words = docs(s, d).select(explode(split(col("text"), " ")).as("w"))
+      val pass1 = words.as[String].mapPartitions { it =>
+        val (cands, n) = HeavyHitters.mgPass(it, k)
+        cands.iterator.map(t => (0, t, 0L)) ++ Iterator((1, "", n))
+      }.toDF("tag", "w", "c").localCheckpoint(true)
+      val cands = pass1.where(col("tag") === 0).select(col("w")).distinct()
+      val total = pass1.where(col("tag") === 1)
+        .agg(sum(col("c")).as("n_total"))
+      words.join(broadcast(cands), Seq("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .where(col("cnt") * k > col("n_total"))
+        .select(col("w").as("word"), col("cnt"), col("n_total"))
+        .orderBy("word")
+    },
+    Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |t AS (SELECT count(*) AS n_total FROM w),
+      |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1)
+      |SELECT word, cnt, n_total FROM c, t WHERE cnt * 200 > n_total
+      |ORDER BY word""".stripMargin))
 
   /** Repetition-quality signals in the style of the Gopher rules (Rae
     * et al. 2021, "Scaling Language Models", appendix A1.1): per-doc
@@ -1685,7 +1725,7 @@ object QueriesPipeline {
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
-    txRedactPii, txBigramLm, txBpePairs, txInvertedIndex,
+    txRedactPii, txBigramLm, txBpePairs, txInvertedIndex, txHeavyHitters,
     plCleanCorpus, plCanonical, plPack,
     plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank by power iteration — the link-authority score a
+  * web-crawl curation pipeline uses to weight domains/documents before
+  * sampling (alongside the dup-graph clustering in [[Components]]).
+  *
+  * All arithmetic is scaled BIGINT (rank × 10^12) with truncating
+  * integer division, for two reasons:
+  *  - determinism: double summation is order-sensitive across partition
+  *    schedules, so a float PageRank can't be hash-compared against an
+  *    external oracle; integer sums are associative and exact. Both
+  *    Spark's `div` and DuckDB's `//` truncate identically on
+  *    non-negative operands, so a chained-CTE oracle reproduces every
+  *    iteration bit-for-bit.
+  *  - overflow safety by construction: total rank mass is
+  *    n_nodes × 10^12 and the damping multiply is ×85, so values stay
+  *    < 2^63 for any graph under ~10^5 billion-node... i.e. ~10^5 nodes
+  *    per 10^12 scale unit — at larger n, drop `scale` a decade per
+  *    decade of nodes (rank resolution stays ~12 digits relative).
+  *
+  * 100 TB plan shape: one equi-join (edges ⨝ ranks on src) + one
+  * partially-aggregated groupBy(dst) per iteration — map-side combine
+  * absorbs hub in-degree skew the same way Components' min() does; the
+  * shuffles carry (long, long) pairs only. The edge list (with out-
+  * degrees pre-attached) is checkpointed once and re-read each round —
+  * on a cluster this is the cached/bucketed edge table every production
+  * PageRank keeps pinned. Iterations chain lazily but each round's
+  * frame references the previous exactly once, so the plan grows
+  * linearly in `iters` (no exponential lineage; contrast the star
+  * rounds in [[Components]] which rewrite the edge set itself).
+  */
+object PageRank {
+
+  /** Ranks after `iters` power iterations over the directed edge list
+    * `edges` (columns src: long, dst: long; duplicates removed).
+    * Returns (node, rank) where rank is scaled by `scale` and node
+    * ranges over every vertex appearing in an edge. Dangling nodes
+    * (out-degree 0) lose their mass — callers wanting the classic
+    * redistribute-dangling variant should add reverse edges or a sink;
+    * the gate entry feeds a bidirected graph so none exist. */
+  def pageRank(edges: DataFrame, iters: Int,
+               scale: Long = 1000000000000L,
+               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // Edge list with out-degrees attached, computed once: every
+    // iteration re-reads this frame, so pin it (localCheckpoint in
+    // local mode; a cluster run would persist/bucket the edge table).
+    val ed = e.join(outdeg, "src").localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+
+    val teleport = (scale / dampDen) * (dampDen - dampNum)
+    var rank = nodes.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(rank, ed("src") === rank("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("csum"))
+      rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampNum * coalesce(csum, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("rank"))
+    }
+    rank
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{Bloom, HeavyHitters, PageRank}
+import org.apache.spark.sql.functions._
+
+/** Closed-form / property coverage for the r7 scale-path operators:
+  * fixed-point PageRank (independent driver-side reference loop),
+  * Bloom pruning (no false negatives, fpr bound, scan-stage-only
+  * probe), and the Misra–Gries heavy-hitter guarantee. */
+class GraphBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  // ------------------------------------------------------------ PageRank
+  test("pagerank: symmetric 2-cycle is a fixed point at exactly Scale") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = PageRank.pageRank(edges, 5).as[(Long, Long)].collect().toMap
+    r shouldBe Map(1L -> Scale, 2L -> Scale)
+  }
+
+  /** Driver-side reference: the same scaled-integer recurrence written
+    * as plain Map arithmetic — an independent implementation path (no
+    * DataFrames), so a Spark-side plan bug can't cancel out. */
+  private def referenceRanks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var rank = nodes.map(_ -> Scale).toMap
+    for (_ <- 1 to iters) {
+      val csum = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => rank(s) / outdeg(s) }.sum
+      }
+      rank = nodes.map(n => n -> (150000000000L + 85L * csum.getOrElse(n, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pagerank: bidirected 3-star matches the driver-side reference loop") {
+    val es = Seq((1L, 3L), (2L, 3L), (3L, 1L), (3L, 2L))
+    val got = PageRank.pageRank(es.toDF("src", "dst"), 5).as[(Long, Long)].collect().toMap
+    got shouldBe referenceRanks(es, 5)
+    // hub authority: the star center outranks both leaves
+    got(3L) should be > got(1L)
+    got(1L) shouldBe got(2L) // symmetric leaves tie exactly
+  }
+
+  test("pagerank: asymmetric 5-node graph matches reference after each of 1..6 iters") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (1L, 4L), (5L, 1L), (1L, 5L), (2L, 5L))
+    for (k <- 1 to 6) {
+      val got = PageRank.pageRank(es.toDF("src", "dst"), k).as[(Long, Long)].collect().toMap
+      withClue(s"iters=$k") { got shouldBe referenceRanks(es, k) }
+    }
+  }
+
+  // ------------------------------------------------------------- Bloom
+  private val M = 1L << 17
+  private val NH = 3
+
+  test("bloom: no false negatives — every build key passes the probe") {
+    val keys = (0L until 500L).map(i => i * 7919L).toDF("bk")
+    val bloom = Bloom.buildBloom(keys, "bk", M, NH)
+    val pass = keys.toDF("k").crossJoin(broadcast(bloom))
+      .where(Bloom.mightContain("k", "bloom", M, NH)).count()
+    pass shouldBe 500L
+  }
+
+  test("bloom: false-positive rate stays near the analytic bound") {
+    val build = (0L until 500L).toDF("bk")
+    val bloom = Bloom.buildBloom(build, "bk", M, NH)
+    // 10k non-member probes; analytic fpr at n=500,m=2^17,k=3 is ~2e-6,
+    // so even 20 passes would signal a broken hash/bit layout
+    val fp = (10000L until 20000L).toDF("k").crossJoin(broadcast(bloom))
+      .where(Bloom.mightContain("k", "bloom", M, NH)).count()
+    fp.toInt should be < 20
+  }
+
+  test("bloom probe is scan-stage only: no shuffle before the membership filter") {
+    val build = (0L until 100L).toDF("bk")
+    val bloom = Bloom.buildBloom(build, "bk", M, NH)
+    val probed = (0L until 1000L).toDF("k").crossJoin(broadcast(bloom))
+      .where(Bloom.mightContain("k", "bloom", M, NH))
+    val p = probed.queryExecution.executedPlan.toString
+    withClue(p) {
+      // the bloom build aggregates (its own tiny exchanges) but the
+      // PROBE side must see only a BroadcastExchange — the filter runs
+      // inside the probe's scan stage, which is the whole 100 TB point
+      "- Exchange hashpartitioning".r.findAllIn(p).size should be <= 2 // build-side only
+      p should include("BroadcastNestedLoopJoin") // 1-row broadcast attach
+    }
+  }
+
+  // ------------------------------------------------------- Misra–Gries
+  test("mg pass: retains every term above n/(k+1) on an adversarial stream") {
+    // 300 "hot" among 700 singletons, k=5: hot count 300 > 1000/6
+    val stream = Iterator.tabulate(1000)(i => if (i % 10 < 3) "hot" else s"u$i")
+    val (cands, n) = HeavyHitters.mgPass(stream, 5)
+    n shouldBe 1000L
+    cands should contain("hot")
+    cands.size should be <= 5
+  }
+
+  test("mg candidates are a superset of true heavy hitters (pigeonhole over partitions)") {
+    val k = 20
+    // deterministic zipf-ish stream: term id = lcg % 50 biased by square
+    val data = (0 until 20000).map { i =>
+      val x = (i * 2654435761L) & 0x7fffffff
+      s"t${(x % 50) * (x % 50) / 50}" // quadratic skew → few frequent terms
+    }
+    val trueCounts = data.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val n = data.size.toLong
+    val heavy = trueCounts.collect { case (t, c) if c * k > n => t }.toSet
+    heavy should not be empty
+    // simulate 8 partitions
+    val cands = data.grouped(2500).flatMap(p => HeavyHitters.mgPass(p.iterator, k)._1).toSet
+    heavy.subsetOf(cands) shouldBe true
+  }
+
+  test("tx_heavy_hitters entry equals the naive exact plan at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val got = QueriesPipeline.txHeavyHitters.fn(spark, d)
+      .select("word", "cnt").as[(String, Long)].collect().toSeq
+    val words = Tables.tbl(spark, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val n = words.count()
+    val want = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * 200 > n).orderBy("w")
+      .as[(String, Long)].collect().toSeq
+    got shouldBe want
+    got should not be empty
+  }
+}
