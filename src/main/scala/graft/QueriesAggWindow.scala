@@ -439,6 +439,53 @@ object QueriesAggWindow {
       |FROM lineitem JOIN b ON l_returnflag = b.g
       |GROUP BY g ORDER BY g""".stripMargin))
 
+  /** Exponentially-weighted moving average (truncated, dyadic decay) —
+    * the time-series smoothing feature every forecasting / anomaly
+    * pipeline derives per entity. Definition: over each customer's
+    * order history (date, orderkey order),
+    *   ewma_n = Σ_{k=0..7} x_{n−k} · 2^{−(k+1)}
+    * — decay α = 1/2 truncated at 8 taps (tap 8+ contributes < 0.4%).
+    * The dyadic weights are the whole determinism story: x/2, x/4, …
+    * x/256 are EXACT halvings of the double, and both engines add the
+    * 8 terms in the same textual left-to-right order, so the result is
+    * bit-identical with NO rounding step — a float window feature the
+    * oracle can hash. The gate emits each customer's latest smoothed
+    * spend.
+    *
+    * Plan: both window specs (the 8 lags and the recency row_number)
+    * share one (custkey) partitioning → ONE exchange, two in-partition
+    * sorts. The explicit-lag spelling (vs a frame sum over pow(2, rn))
+    * is also the scale story: it never materializes an unbounded
+    * exponent, so histories of any length stay finite — and 8 fixed
+    * lag columns are one linear pass over each sorted partition. */
+  val wEwma: Entry = Entry("w_ewma_decay",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wd = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val terms = (0 until 8).map(k =>
+        coalesce(lag(col("x"), k).over(w), lit(0.0)) / lit((1L << (k + 1)).toDouble))
+      ord(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("x"))
+        .withColumn("ewma", terms.reduce(_ + _))
+        .withColumn("rnd", row_number().over(wd))
+        .where(col("rnd") === 1)
+        .select(col("o_custkey"), col("ewma"))
+        .orderBy("o_custkey")
+    },
+    Some(s"""WITH t AS (SELECT o_custkey,
+      | row_number() OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rnd,
+      | ${(0 until 8).map(k =>
+            s"coalesce(lag(CAST(o_totalprice AS DOUBLE), $k) OVER w, 0) / ${1L << (k + 1)}")
+           .mkString(" + ")} AS ewma
+      | FROM orders
+      | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT o_custkey, ewma FROM t WHERE rnd = 1
+      |ORDER BY o_custkey""".stripMargin))
+
   /** RANGE-frame window: 30-day trailing spend per customer — the
     * value-based frame (vs wRunningSum's ROWS frame) over epoch
     * seconds, exact-decimal summed. */
@@ -762,5 +809,5 @@ object QueriesAggWindow {
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
-    wRetention, gKsDrift, gChi2Drift, gWinsorize)
+    wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma)
 }

@@ -72,5 +72,106 @@ object QueriesGraph {
       |SELECT node, rank FROM r$Iters
       |ORDER BY rank DESC, node LIMIT 20""".stripMargin))
 
-  val all: Seq[Entry] = Seq(grPageRank)
+  /** One BFS relaxation round as a CTE pair-in-one: new dist = min over
+    * (previous dists ∪ previous dists + 1 pushed along an edge) — the
+    * exact integer recurrence [[graft.operators.Bfs]] runs. */
+  private def bfsIter(i: Int): String =
+    s""",d$i AS (SELECT node, min(dist) AS dist FROM (
+       |  SELECT node, dist FROM d${i - 1}
+       |  UNION ALL
+       |  SELECT e.dst, d.dist + 1 FROM e JOIN d${i - 1} d ON e.src = d.node)
+       | GROUP BY 1)""".stripMargin
+
+  private val Hops = 4
+
+  /** Bounded-hop BFS radius profile: hop distances from the minimum-id
+    * customer through the SPARSE trading graph (only high-volume
+    * lineitems, quantity > 45, form edges — a realistic "strong ties
+    * only" projection that leaves real multi-hop structure), then the
+    * distance histogram over every node with unreached = −1. Exercises
+    * [[graft.operators.Bfs]]'s iterative min-relaxation: per round one
+    * (long, int) equi-join + one partial-agg min, checkpointed linear
+    * lineage; the histogram is a second tiny aggregate. */
+  val grBfsHops: Entry = Entry("gr_bfs_hops",
+    (s, d) => {
+      val pairs = tbl(s, d, "lineitem")
+        .where(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("a"), (col("l_suppkey") + SuppOffset).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val seed = nodes.agg(min(col("node")).as("node"))
+      nodes.join(operators.Bfs.hopDistances(edges, seed, Hops), Seq("node"), "left")
+        .select(coalesce(col("dist"), lit(-1)).cast("long").as("dist"))
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    },
+    Some(s"""WITH e0 AS (SELECT DISTINCT o_custkey AS a,
+      |  l_suppkey + $SuppOffset AS b
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | WHERE l_quantity > 45),
+      |e AS (SELECT a AS src, b AS dst FROM e0
+      |      UNION ALL SELECT b, a FROM e0),
+      |n AS (SELECT DISTINCT src AS node FROM e),
+      |d0 AS (SELECT min(node) AS node, 0 AS dist FROM n)
+      |${(1 to Hops).map(bfsIter).mkString("\n")}
+      |SELECT CAST(coalesce(d.dist, -1) AS BIGINT) AS dist,
+      | count(*) AS n_nodes
+      |FROM n LEFT JOIN d$Hops d ON n.node = d.node
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Market-basket co-occurrence with lift — the association-mining
+    * staple (Agrawal & Srikant 1994's support counting, with lift as
+    * the interestingness measure): top-20 part pairs by co-order count,
+    * each with its marginals and integer-exact lift in ppm
+    *   lift_ppm = n_pair · n_orders · 10^6 div (n_p1 · n_p2)
+    * (> 10^6 ⟺ the pair co-occurs more than independence predicts).
+    *
+    * Plan shape: the basket table (order, part) distinct is ONE
+    * exchange that ReuseExchange serves to all three consumers
+    * (self-join, marginals, order count); the pair self-join shuffles
+    * on orderkey so pair generation is per-order local and bounded by
+    * basket size squared (TPC-H baskets ≤ 7; crawl-scale baskets get a
+    * per-order cap first); the top-20 is TakeOrderedAndProject
+    * (per-partition heaps), and the marginal/total attach probes the
+    * vocabulary-sized part counts with the 20 winners BROADCAST — the
+    * fact table is never rescanned. */
+  val grCopurchase: Entry = Entry("gr_copurchase_lift",
+    (s, d) => {
+      val a = tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val pairs = a.select(col("ok"), col("p").as("p1"))
+        .join(a.select(col("ok"), col("p").as("p2")), Seq("ok"))
+        .where(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_pair"))
+      val top = pairs.orderBy(col("n_pair").desc, col("p1"), col("p2")).limit(20)
+      val m = a.groupBy("p").agg(count(lit(1)).as("n_p"))
+      val nOrd = a.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+      val t1 = m.select(col("p").as("p1"), col("n_p").as("n_p1"))
+        .join(broadcast(top), Seq("p1"))
+      val t2 = m.select(col("p").as("p2"), col("n_p").as("n_p2"))
+        .join(broadcast(t1), Seq("p2"))
+      t2.crossJoin(broadcast(nOrd))
+        .select(col("p1"), col("p2"), col("n_pair"), col("n_p1"), col("n_p2"),
+          col("n_orders"),
+          expr("(n_pair * n_orders * 1000000) div (n_p1 * n_p2)").as("lift_ppm"))
+        .orderBy(col("n_pair").desc, col("p1"), col("p2"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      |  FROM lineitem),
+      |pr AS (SELECT x.p AS p1, y.p AS p2, count(*) AS n_pair
+      |  FROM a x JOIN a y ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2),
+      |top AS (SELECT * FROM pr ORDER BY n_pair DESC, p1, p2 LIMIT 20),
+      |m AS (SELECT p, count(*) AS n_p FROM a GROUP BY 1),
+      |t AS (SELECT count(*) AS n_orders FROM (SELECT DISTINCT ok FROM a))
+      |SELECT p1, p2, n_pair, m1.n_p AS n_p1, m2.n_p AS n_p2, n_orders,
+      | (n_pair * n_orders * 1000000) // (m1.n_p * m2.n_p) AS lift_ppm
+      |FROM top JOIN m m1 ON p1 = m1.p JOIN m m2 ON p2 = m2.p CROSS JOIN t
+      |ORDER BY n_pair DESC, p1, p2""".stripMargin))
+
+  val all: Seq[Entry] = Seq(grPageRank, grBfsHops, grCopurchase)
 }

@@ -90,6 +90,77 @@ class GraphBloomSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------------- BFS
+  test("bfs: hop bound truncates a path graph exactly at maxHops") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val d = operators.Bfs.hopDistances(edges, seeds, 2).as[(Long, Int)].collect().toMap
+    d shouldBe Map(1L -> 0, 2L -> 1, 3L -> 2) // 4, 5 beyond the horizon: absent
+  }
+
+  test("bfs: diamond + detour settles on the MIN distance per node") {
+    // 1→2→4 and 1→3→4 (dist 2) beat the 1→5→6→4 detour (dist 3)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 4L)).toDF("src", "dst")
+    val d = operators.Bfs.hopDistances(edges, Seq(1L).toDF("node"), 4)
+      .as[(Long, Int)].collect().toMap
+    d shouldBe Map(1L -> 0, 2L -> 1, 3L -> 1, 5L -> 1, 4L -> 2, 6L -> 2)
+  }
+
+  test("bfs: matches a driver-side frontier BFS on a cyclic graph, multi-seed") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L),
+      (5L, 6L), (6L, 5L), (7L, 7L), (4L, 7L))
+    val seeds = Seq(1L, 5L)
+    // reference: textbook frontier expansion over an adjacency map
+    val adj = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    var ref = seeds.map(_ -> 0).toMap
+    var frontier = seeds.toSet
+    for (hop <- 1 to 3) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(ref.contains)
+      ref ++= frontier.map(_ -> hop)
+    }
+    val got = operators.Bfs.hopDistances(es.toDF("src", "dst"), seeds.toDF("node"), 3)
+      .as[(Long, Int)].collect().toMap
+    got shouldBe ref
+  }
+
+  // -------------------------------------------- co-purchase / EWMA gates
+  test("gr_copurchase_lift: internal lift arithmetic is consistent at sf0.001") {
+    val rows = QueriesGraph.grCopurchase.fn(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    rows should have size 20
+    rows.foreach { case (p1, p2, nPair, nP1, nP2, nOrders, liftPpm) =>
+      p1 should be < p2
+      nPair should be <= math.min(nP1, nP2)
+      liftPpm shouldBe nPair * nOrders * 1000000L / (nP1 * nP2)
+    }
+    // top-20 is ordered by (n_pair desc, p1, p2)
+    val keys = rows.map { case (p1, p2, nPair, _, _, _, _) => (-nPair, p1, p2) }
+    keys shouldBe keys.sorted
+  }
+
+  test("w_ewma_decay: matches a driver-side fold over each customer's history") {
+    val d = "/root/testdata/sf0.001"
+    val hist = Tables.tbl(spark, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("string"),
+        col("o_orderkey"), col("o_totalprice").cast("double"))
+      .as[(Long, String, Long, Double)].collect()
+      .groupBy(_._1).map { case (c, xs) =>
+        c -> xs.sortBy { case (_, dt, ok, _) => (dt, ok) }.map(_._4)
+      }
+    // reference: last-row truncated dyadic EWMA, same add order
+    val want = hist.map { case (c, xs) =>
+      val taps = xs.takeRight(8).reverse // x_n, x_{n-1}, ...
+      c -> taps.zipWithIndex.map { case (x, k) => x / (1L << (k + 1)) }
+        .reduceLeft(_ + _)
+    }
+    val got = QueriesAggWindow.wEwma.fn(spark, d)
+      .as[(Long, Double)].collect().toMap
+    got.keySet shouldBe want.keySet
+    got.foreach { case (c, v) => v shouldBe want(c) } // bit-exact, no tolerance
+  }
+
   // ------------------------------------------------------- Misra–Gries
   test("mg pass: retains every term above n/(k+1) on an adversarial stream") {
     // 300 "hot" among 700 singletons, k=5: hot count 300 > 1000/6
