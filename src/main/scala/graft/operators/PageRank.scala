@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   * shuffles carry (long, long) pairs only. The edge list (with out-
   * degrees pre-attached) is checkpointed once and re-read each round —
   * on a cluster this is the cached/bucketed edge table every production
-  * PageRank keeps pinned. Iterations chain lazily but each round's
-  * frame references the previous exactly once, so the plan grows
-  * linearly in `iters` (no exponential lineage; contrast the star
-  * rounds in [[Components]] which rewrite the edge set itself).
+  * PageRank keeps pinned. The rank frame (one row per NODE — orders of
+  * magnitude smaller than the edge set) is checkpointed per round, the
+  * [[Components]] discipline: plans stay shallow at any iteration
+  * count (measured: lazy 5-round chaining re-planned+re-codegen'd the
+  * whole 10-join tree at ~1.7 s per run at sf0.1, while materializing
+  * the 16k-row rank costs microseconds), and the known size keeps the
+  * per-round edges ⨝ ranks join reliably BROADCAST on the rank side.
   */
 object PageRank {
 
@@ -66,6 +69,7 @@ object PageRank {
           (lit(teleport) +
             expr(s"($dampNum * coalesce(csum, CAST(0 AS BIGINT))) div $dampDen"))
             .as("rank"))
+        .localCheckpoint(true)
     }
     rank
   }
