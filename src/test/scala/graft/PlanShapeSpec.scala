@@ -245,4 +245,67 @@ class PlanShapeSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  // ------------------------- r7 late family: sketch-pruned / graph / EWMA
+  private def staticPlan(df: => org.apache.spark.sql.DataFrame): String = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try plan(df) finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("g_winsorize: both exchanges carry group-key rows; bounds come back broadcast") {
+    val p = staticPlan(QueriesAggWindow.gWinsorize.fn(spark, sf))
+    withClue(p) {
+      // bounds percentile agg + final clipped agg — nothing else hashes
+      hashEx(p) shouldBe 2
+      "BroadcastExchange".r.findAllIn(p).size shouldBe 1
+      p should include("BroadcastHashJoin")
+      // output-contract orderBy only
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
+  test("w_ewma_decay: both window specs share ONE custkey exchange") {
+    val p = staticPlan(QueriesAggWindow.wEwma.fn(spark, sf))
+    withClue(p) {
+      hashEx(p) shouldBe 1 // lag family + recency row_number, same keys
+      "Window \\[".r.findAllIn(p).size shouldBe 2 // two sorts, one exchange
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
+  test("tx_heavy_hitters recount: candidates broadcast, ONE vocabulary-sized exchange") {
+    // pass 1 (the MG candidate sketch) runs behind a localCheckpoint;
+    // the plan under test is the recount — the corpus term stream must
+    // meet the candidate set as a BROADCAST build side, and the two
+    // hash exchanges both carry candidate-bounded rows: the
+    // ≤ k·partitions candidate dedup and the candidate-pruned recount
+    // groupBy. The full term stream reaches only the latter, post-join.
+    val p = staticPlan(QueriesPipeline.txHeavyHitters.fn(spark, sf))
+    withClue(p) {
+      hashEx(p) shouldBe 2
+      p should include("BroadcastHashJoin")
+      p should not include "CartesianProduct" // 1-row total is BNLJ broadcast
+    }
+  }
+
+  test("j_bloom_prune: bloom build is the only hash exchange; probe never shuffles pre-filter") {
+    val p = staticPlan(Queries.jBloomPrune.fn(spark, sf))
+    withClue(p) {
+      hashEx(p) shouldBe 1 // the bit_or(word) groupBy inside the build
+      p should include("BroadcastNestedLoopJoin") // 1-row bloom attach
+      p should include("BroadcastHashJoin") // exact semi join on the small build
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
+  test("gr_copurchase_lift: top-20 via per-partition heaps, marginals attached by broadcast") {
+    val p = staticPlan(QueriesGraph.grCopurchase.fn(spark, sf))
+    withClue(p) {
+      p should include("TakeOrderedAndProject") // no global sort for the top-k
+      "BroadcastHashJoin".r.findAllIn(p).size should be >= 2 // 20-row winners probe the marginals
+      p should not include "CartesianProduct"
+    }
+  }
 }
