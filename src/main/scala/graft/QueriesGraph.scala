@@ -176,5 +176,77 @@ object QueriesGraph {
       |FROM top JOIN m m1 ON p1 = m1.p JOIN m m2 ON p2 = m2.p CROSS JOIN t
       |ORDER BY n_pair DESC, p1, p2""".stripMargin))
 
-  val all: Seq[Entry] = Seq(grPageRank, grBfsHops, grCopurchase)
+  /** Triangle census of the strong co-purchase graph (part pairs
+    * co-ordered ≥ 2 times, canonical u < v): edge count, total wedge
+    * count Σ d(d−1)/2, triangle count, and the global clustering
+    * coefficient 3·T·10^6 div W in exact ppm.
+    *
+    * The Spark side counts triangles with DEGREE-ORDERED orientation
+    * (Schank & Wagner 2005; Suri & Vassilvitskii 2011's MR variant):
+    * orient every edge from lower to higher (degree, id) rank, generate
+    * wedges only at each edge's LOWER-ranked endpoint, and close them
+    * against the oriented edge set. Generated wedges per node are then
+    * bounded by its ORIENTED out-degree ≤ O(√|E|) on any graph (vs the
+    * raw degree — a celebrity part with degree 10^6 would otherwise
+    * emit 10^11 wedges; oriented it emits ≤ |E|). The oracle counts the
+    * same triangles with the simple id-canonical 3-way self-join —
+    * orientation changes the join sizes, never the count. Wedge total
+    * W comes from the degree table alone (orientation-independent).
+    *
+    * Plan: pair extraction reuses the co-purchase shuffle shape; the
+    * census is two self-equi-joins over the (tiny) strong-edge set plus
+    * one degree aggregate; everything downstream of the pair filter is
+    * candidate-sized. */
+  val grTriangles: Entry = Entry("gr_triangles",
+    (s, d) => {
+      val a = tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val ep = a.select(col("ok"), col("p").as("u"))
+        .join(a.select(col("ok"), col("p").as("v")), Seq("ok"))
+        .where(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("n_pair"))
+        .where(col("n_pair") >= 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint(true) // 3 consumers: degrees + both join sides
+      val deg = ep.select(col("u").as("node")).union(ep.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val nEdges = ep.agg(count(lit(1)).as("n_edges"))
+      val nWedges = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      // orient by (deg, id) rank: src = lower endpoint of every edge
+      val oriented = ep
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+        .select(
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            col("u")).otherwise(col("v")).as("src"),
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            col("v")).otherwise(col("u")).as("dst"))
+      val w1 = oriented.select(col("src"), col("dst").as("b"))
+      val w2 = oriented.select(col("src"), col("dst").as("c"))
+      val tri = w1.join(w2, Seq("src")).where(col("b") < col("c"))
+        // the wedge pair (b, c) is id-ordered, so it closes iff the
+        // CANONICAL edge (u=b, v=c) exists — no orientation lookup
+        .join(ep.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      nEdges.crossJoin(nWedges).crossJoin(tri)
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          expr("(3 * n_triangles * 1000000) div n_wedges").as("clustering_ppm"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      |  FROM lineitem),
+      |ep AS (SELECT x.p AS u, y.p AS v FROM a x JOIN a y
+      |  ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT node, count(*) AS deg FROM (
+      |  SELECT u AS node FROM ep UNION ALL SELECT v FROM ep) GROUP BY 1),
+      |ne AS (SELECT count(*) AS n_edges FROM ep),
+      |nw AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+      |  FROM deg),
+      |tr AS (SELECT count(*) AS n_triangles
+      |  FROM ep e1 JOIN ep e2 ON e2.u = e1.u AND e2.v > e1.v
+      |  JOIN ep e3 ON e3.u = e1.v AND e3.v = e2.v)
+      |SELECT n_edges, n_wedges, n_triangles,
+      | (3 * n_triangles * 1000000) // n_wedges AS clustering_ppm
+      |FROM ne, nw, tr""".stripMargin))
+
+  val all: Seq[Entry] = Seq(grPageRank, grBfsHops, grCopurchase, grTriangles)
 }

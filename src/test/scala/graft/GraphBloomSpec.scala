@@ -126,6 +126,29 @@ class GraphBloomSpec extends SparkSpec {
   }
 
   // -------------------------------------------- co-purchase / EWMA gates
+  test("gr_triangles: degree-ordered count equals the naive canonical join at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val Seq((nE, nW, nT, ppm)) = QueriesGraph.grTriangles.fn(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // independent path: same strong-edge set, but triangles via the
+    // naive id-canonical 3-way join (no orientation) in raw SQL
+    val a = Tables.tbl(spark, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val ep = a.select(col("ok"), col("p").as("u"))
+      .join(a.select(col("ok"), col("p").as("v")), Seq("ok"))
+      .where(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= 2).select("u", "v")
+    ep.createOrReplaceTempView("spec_ep")
+    val naive = spark.sql("""SELECT count(*) FROM spec_ep e1
+      JOIN spec_ep e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN spec_ep e3 ON e3.u = e1.v AND e3.v = e2.v""").head().getLong(0)
+    nT shouldBe naive
+    nT should be > 0L // the fixture graph actually has triangles
+    nE shouldBe ep.count()
+    ppm shouldBe 3 * nT * 1000000L / nW
+  }
+
   test("gr_copurchase_lift: internal lift arithmetic is consistent at sf0.001") {
     val rows = QueriesGraph.grCopurchase.fn(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
