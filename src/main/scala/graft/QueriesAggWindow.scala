@@ -486,6 +486,89 @@ object QueriesAggWindow {
       |SELECT o_custkey, ewma FROM t WHERE rnd = 1
       |ORDER BY o_custkey""".stripMargin))
 
+  /** Batch gap-sessionization — the classic two-window assignment the
+    * streaming session entries (`st_session_*`) mirror in state: a
+    * session breaks when the gap to the previous event exceeds 30 min,
+    * session id = running count of breaks, then per-session stats.
+    * All arithmetic in integer epoch-µs (the j_asof ns→µs contract),
+    * so rows hash-compare exactly.
+    *
+    * Plan: the lag window and the running-sum window share ONE user
+    * exchange, and the per-(user, session) aggregate rides the same
+    * clustering — hashpartitioning(user) satisfies the (user, sess)
+    * grouping — so the whole query is a single shuffle plus the
+    * output-contract orderBy. At 100 TB sessions never funnel: every
+    * stage is per-user local. */
+  val wSessionize: Entry = Entry("w_sessionize",
+    (s, d) => {
+      val gapUs = 1800L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+        .withColumn("new_sess",
+          when(lag(col("t_us"), 1).over(w).isNull ||
+            col("t_us") - lag(col("t_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("new_sess")).over(wsum))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("t_us")).as("t_start"), max(col("t_us")).as("t_end"))
+        .withColumn("duration_us", col("t_end") - col("t_start"))
+        .orderBy("user_id", "sess")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+      |f AS (SELECT user_id, event_id, t_us,
+      |  CASE WHEN lag(t_us) OVER w IS NULL
+      |       OR t_us - lag(t_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      |g AS (SELECT user_id, t_us,
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM f)
+      |SELECT user_id, sess, count(*) AS n_events,
+      | min(t_us) AS t_start, max(t_us) AS t_end,
+      | max(t_us) - min(t_us) AS duration_us
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Incremental aggregate maintenance: merge of partial aggregation
+    * states ≡ full recompute — the algebra behind every incremental
+    * materialized view and streaming rollup. Base (orders before 1997)
+    * and delta (1997+) are aggregated separately into mergeable states
+    * (count, EXACT-DECIMAL sum, min, max — kept decimal until AFTER
+    * the merge so there is exactly one double-rounding, same as the
+    * recompute's), full-outer merged per group, and the oracle
+    * recomputes over the whole table — proving merge-consistency, not
+    * replaying the merge. At 100 TB the delta is a day's partition and
+    * both state frames are group-cardinality-sized; the fact table is
+    * touched once per slice, never re-scanned on merge. */
+  val oIncrementalAgg: Entry = Entry("o_incremental_agg",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      def state(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("o_orderpriority").as("pri")).agg(
+          count(lit(1)).as(s"n_$tag"),
+          sum(col("o_totalprice").cast(dec)).as(s"s_$tag"),
+          min(col("o_totalprice")).as(s"mn_$tag"),
+          max(col("o_totalprice")).as(s"mx_$tag"))
+      val cut = "1997-01-01"
+      val base = state(ord(s, d).filter(col("o_orderdate") < cut), "b")
+      val delta = state(ord(s, d).filter(col("o_orderdate") >= cut), "d")
+      base.join(delta, Seq("pri"), "full_outer")
+        .select(col("pri"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+          (coalesce(col("s_b"), lit(0).cast(dec)) +
+            coalesce(col("s_d"), lit(0).cast(dec))).cast("double").as("sum_total"),
+          least(coalesce(col("mn_b"), col("mn_d")),
+            coalesce(col("mn_d"), col("mn_b"))).as("min_price"),
+          greatest(coalesce(col("mx_b"), col("mx_d")),
+            coalesce(col("mx_d"), col("mx_b"))).as("max_price"))
+        .orderBy("pri")
+    },
+    Some(s"""SELECT o_orderpriority AS pri, count(*) AS n,
+      | ${sqlDsum("o_totalprice")} AS sum_total,
+      | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** RANGE-frame window: 30-day trailing spend per customer — the
     * value-based frame (vs wRunningSum's ROWS frame) over epoch
     * seconds, exact-decimal summed. */
@@ -809,5 +892,6 @@ object QueriesAggWindow {
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
-    wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma)
+    wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma,
+    wSessionize, oIncrementalAgg)
 }

@@ -300,6 +300,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("w_sessionize: lag window, running sum AND session aggregate share one exchange") {
+    val p = staticPlan(QueriesAggWindow.wSessionize.fn(spark, sf))
+    withClue(p) {
+      // hashpartitioning(user_id) serves both window specs and
+      // satisfies the (user_id, sess) grouping — nothing re-shuffles
+      hashEx(p) shouldBe 1
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
+  test("o_incremental_agg: merge joins the two state frames on their agg partitioning") {
+    val p = staticPlan(QueriesAggWindow.oIncrementalAgg.fn(spark, sf))
+    withClue(p) {
+      // one exchange per slice's aggregation; the full-outer merge
+      // reuses that partitioning (SMJ on pri, no third hash exchange)
+      hashEx(p) shouldBe 2
+      p should not include "CartesianProduct"
+    }
+  }
+
   test("gr_copurchase_lift: top-20 via per-partition heaps, marginals attached by broadcast") {
     val p = staticPlan(QueriesGraph.grCopurchase.fn(spark, sf))
     withClue(p) {
