@@ -530,6 +530,43 @@ object QueriesAggWindow {
       | max(t_us) - min(t_us) AS duration_us
       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Mergeable-sketch roll-up: per-quarter distinct customers via HLL,
+    * computed BOTH ways — monthly sketches union-merged up to quarters
+    * (`hll_union_agg`) and directly per quarter (`hll_sketch_agg`) —
+    * plus the exact count. The sketch algebra makes the two estimates
+    * IDENTICAL (registers are max-merged, so merge-then-estimate ≡
+    * estimate-over-union), which is the entry's falsifiable gate:
+    * `quality_ok` requires bit-equal estimates AND ≤5% relative error
+    * vs exact (default lgK=12 ⇒ ~1.6% typical). No DuckDB oracle can
+    * replay the estimator, so this is a rows-only entry — the sketch
+    * counterpart of `o_incremental_agg`'s exact state merge, and the
+    * third corner of the sketch family (Bloom = membership,
+    * Misra–Gries = frequency, HLL = cardinality).
+    *
+    * 100 TB story: the monthly sketch table is (periods × 4 KiB) —
+    * re-aggregating distinct counts to ANY coarser period (quarter,
+    * year, rolling window) reads sketches, never the fact table, the
+    * exact pattern warehouse "distinct count cube" layers use. */
+  val gHllMergeable: Entry = Entry("g_hll_mergeable",
+    (s, d) => {
+      val base = ord(s, d).select(year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"), col("o_custkey"))
+      val monthly = base.groupBy("y", "q", "m")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val merged = monthly.groupBy("y", "q")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val direct = base.groupBy("y", "q")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est_direct"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+      direct.join(merged, Seq("y", "q"))
+        .withColumn("quality_ok",
+          col("est_merged") === col("est_direct") &&
+            abs(col("est_direct") - col("n_exact")) * 20 <= col("n_exact"))
+        .orderBy("y", "q")
+    },
+    None)
+
   /** Incremental aggregate maintenance: merge of partial aggregation
     * states ≡ full recompute — the algebra behind every incremental
     * materialized view and streaming rollup. Base (orders before 1997)
@@ -893,5 +930,5 @@ object QueriesAggWindow {
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
     wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma,
-    wSessionize, oIncrementalAgg)
+    wSessionize, oIncrementalAgg, gHllMergeable)
 }

@@ -184,6 +184,29 @@ class GraphBloomSpec extends SparkSpec {
     got.foreach { case (c, v) => v shouldBe want(c) } // bit-exact, no tolerance
   }
 
+  // ------------------------------------------------------------- HLL
+  test("g_hll_mergeable: merge-then-estimate equals direct estimate, ≤5% of exact") {
+    val rows = QueriesAggWindow.gHllMergeable.fn(spark, "/root/testdata/sf0.001")
+      .as[(Int, Int, Long, Long, Long, Boolean)].collect().toSeq
+    rows should not be empty
+    rows.foreach { case (y, q, estDirect, nExact, estMerged, ok) =>
+      withClue(s"($y Q$q) ") {
+        estMerged shouldBe estDirect // sketch algebra: register max-merge
+        math.abs(estDirect - nExact) * 20 should be <= nExact
+        ok shouldBe true
+      }
+    }
+  }
+
+  test("hll union over partitioned slices is estimate-identical to one pass") {
+    // independent of the fixture: 3 disjoint slices with overlap
+    val xs = (0L until 3000L).map(i => (i % 3, i % 700)).toDF("slice", "v")
+    val direct = xs.agg(hll_sketch_estimate(hll_sketch_agg(col("v")))).head().getLong(0)
+    val merged = xs.groupBy("slice").agg(hll_sketch_agg(col("v")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    merged shouldBe direct
+  }
+
   // ------------------------------------------------------- Misra–Gries
   test("mg pass: retains every term above n/(k+1) on an adversarial stream") {
     // 300 "hot" among 700 singletons, k=5: hot count 300 > 1000/6
