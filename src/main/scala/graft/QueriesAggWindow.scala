@@ -434,8 +434,8 @@ object QueriesAggWindow {
       | ${sqlDsum("least(greatest(l_extendedprice, lo), hi)")} AS sum_winsorized,
       | ${sqlDsum("l_extendedprice")} AS sum_raw,
       | count(*) AS n,
-      | sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS n_clipped_lo,
-      | sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS n_clipped_hi
+      | CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+      | CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi
       |FROM lineitem JOIN b ON l_returnflag = b.g
       |GROUP BY g ORDER BY g""".stripMargin))
 
@@ -732,7 +732,8 @@ object QueriesAggWindow {
       .select(col("bucket"), col("bucket_lo"), col("n"))
       .orderBy("bucket"),
     Some("""SELECT CAST(least(floor(l_extendedprice / 5000.0), 23.0) AS INT) AS bucket,
-      | CAST(least(floor(l_extendedprice / 5000.0), 23.0) AS INT) * 5000.0 AS bucket_lo,
+      | CAST(CAST(least(floor(l_extendedprice / 5000.0), 23.0) AS INT)
+      |   * CAST(5000.0 AS DOUBLE) AS DOUBLE) AS bucket_lo,
       | count(*) AS n
       |FROM lineitem GROUP BY 1, 2 ORDER BY bucket""".stripMargin))
 

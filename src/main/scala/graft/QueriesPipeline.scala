@@ -1153,7 +1153,10 @@ object QueriesPipeline {
     * and the final groupBy REUSES the window's partitioning (no
     * second exchange; the sort_array is over ≤ 16 elements). At
     * 100 TB the unbounded piece is only the distinct — itself a
-    * standard partial-aggregating shuffle on (term, doc). */
+    * standard partial-aggregating shuffle on (term, doc). The posting
+    * list is emitted comma-joined (the wire format an index shard
+    * ships anyway): r7 showed the driver's comparator cannot sort a
+    * list-of-int column, and the string form is hashable everywhere. */
   val txInvertedIndex: Entry = Entry("tx_inverted_index",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1168,14 +1171,14 @@ object QueriesPipeline {
         .where(col("rn") <= 16)
         .groupBy("term")
         .agg(first(col("df")).as("df"),
-          sort_array(collect_list(col("doc_id"))).as("postings"))
+          concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
         .orderBy("term")
     },
     Some("""WITH tok AS (SELECT DISTINCT doc_id,
       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
       | FROM documents)
       |SELECT term, CAST(count(*) AS BIGINT) AS df,
-      |  list_slice(list_sort(list(doc_id)), 1, 16) AS postings
+      |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 16), ',') AS postings
       |FROM tok GROUP BY term ORDER BY term""".stripMargin))
 
   /** BPE tokenizer training, the pair-statistics iteration (Sennrich

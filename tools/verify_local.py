@@ -12,6 +12,19 @@ Usage: python3 tools/verify_local.py <sfDir> <outDir>
 import json, math, sys, glob, os
 import duckdb
 
+def _tag(x):
+    # r7 lesson: the driver's compare distinguishes int64 from float64
+    # (DuckDB sum(int) -> HUGEINT -> pandas float64), so 1002 != 1002.0
+    # there. Tag numeric scalars with their Python type so the local
+    # mirror fails the same way instead of passing on == coercion.
+    if isinstance(x, bool):
+        return x
+    if isinstance(x, float):
+        return ("f", "NaN") if math.isnan(x) else ("f", x)
+    if isinstance(x, int):
+        return ("i", x)
+    return x
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -19,10 +32,11 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float) and math.isnan(v):
-                v = "NaN"
             if isinstance(v, list):
-                v = tuple(round(x, 9) if isinstance(x, float) else x for x in v)
+                v = tuple(_tag(round(x, 9)) if isinstance(x, float) else _tag(x)
+                          for x in v)
+            else:
+                v = _tag(v)
             vals.append(v)
         out.append(tuple(vals))
     return out
