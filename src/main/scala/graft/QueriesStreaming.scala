@@ -526,12 +526,18 @@ object QueriesStreaming {
     (outer, d) => {
       val s = sizedStreamSession(outer, 2)
       val partsDir = stagedDocBatches(outer, d)
-      val runId = s"${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val pid = ProcessHandle.current().pid()
+      val runId = s"${pid}_${execSeq.incrementAndGet()}"
       val root = java.nio.file.Paths.get("target/tmp")
       // sweep prior runs' dirs (their frames were consumed by the time a
-      // new invocation starts); keep this run's
+      // new invocation starts) — but only OUR OWN pid's, plus orphans
+      // older than an hour: a second suite process sharing this repo
+      // dir has live source/checkpoint dirs a name-blind sweep would
+      // delete mid-stream
+      val staleMs = System.currentTimeMillis() - 3600L * 1000
       Option(root.toFile.listFiles()).foreach(_.filter(f =>
-        f.getName.startsWith("recovery_") && f.getName != s"recovery_$runId")
+        f.getName.startsWith("recovery_") && f.getName != s"recovery_$runId" &&
+          (f.getName.startsWith(s"recovery_${pid}_") || f.lastModified() < staleMs))
         .foreach(deleteRecursively))
       val base = root.resolve(s"recovery_$runId")
       val srcDir = base.resolve("in")

@@ -44,13 +44,25 @@ object Bloom {
       .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("bloom"))
   }
 
-  /** Membership predicate over column names (the caller guarantees
-    * `keyName` is BIGINT-typed and `bloomName` holds the map). All
-    * builtins, so it evaluates inside whole-stage codegen. */
+  /** Membership predicate over Columns (the caller guarantees `key` is
+    * BIGINT-typed and `bloom` holds the map). All builtins, so it
+    * evaluates inside whole-stage codegen; the shared `pos` subtree per
+    * probe is identical-by-construction, which codegen's subexpression
+    * elimination collapses to one hash computation. Column parameters
+    * (not name strings spliced into `expr()` SQL) so backtick-needing
+    * names — dots, spaces, keywords — resolve like any other Column. */
+  def mightContain(key: Column, bloom: Column, mBits: Long, nHashes: Int): Column =
+    (0 until nHashes).map { i =>
+      val pos = pmod(xxhash64(key, lit(i)), lit(mBits))
+      // pos div 64 spelled as >> 6 (pos is non-negative by pmod);
+      // shiftleft's bit count must be a Column here, which only the
+      // call_function spelling admits
+      val word = coalesce(element_at(bloom, shiftright(pos, 6)), lit(0L))
+      val bit = call_function("shiftleft", lit(1L), (pos % lit(64L)).cast("int"))
+      word.bitwiseAND(bit) =!= lit(0L)
+    }.reduce(_ && _)
+
+  /** Name-based convenience overload. */
   def mightContain(keyName: String, bloomName: String, mBits: Long, nHashes: Int): Column =
-    expr((0 until nHashes).map { i =>
-      val pos = s"pmod(xxhash64($keyName, $i), ${mBits}L)"
-      s"((coalesce(element_at($bloomName, $pos div 64), 0L) & " +
-        s"shiftleft(CAST(1 AS BIGINT), CAST($pos % 64 AS INT))) <> 0L)"
-    }.mkString(" AND "))
+    mightContain(col(keyName), col(bloomName), mBits, nHashes)
 }

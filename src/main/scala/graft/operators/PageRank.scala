@@ -37,6 +37,24 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Largest power of ten that keeps the damping multiply inside a
+    * BIGINT for a graph of `nNodes` vertices: total rank mass is
+    * ≤ nNodes·scale, so the per-iteration peak is 85·csum ≤
+    * 85·nNodes·scale, which this bound holds under 2^62 (a 2× margin
+    * below Long.MaxValue). Pure integer arithmetic so an external
+    * oracle derives the IDENTICAL value from its own node count —
+    * no float log10 at the boundary. Caps at 10^12 (the 12-digit
+    * relative resolution small graphs enjoy); fails loudly below 10^4
+    * (~5·10^13 nodes — past any real graph) rather than wrap. */
+  def safeScale(nNodes: Long, maxScale: Long = 1000000000000L): Long = {
+    val cap = 4611686018427387904L / (85L * math.max(nNodes, 1L))
+    val fit = Iterator.iterate(10000L)(_ * 10).takeWhile(p =>
+      p <= maxScale && p <= cap).toSeq
+    require(fit.nonEmpty,
+      s"graph too large for scaled-BIGINT PageRank: $nNodes nodes")
+    fit.last
+  }
+
   /** Ranks after `iters` power iterations over the directed edge list
     * `edges` (columns src: long, dst: long; duplicates removed).
     * Returns (node, rank) where rank is scaled by `scale` and node

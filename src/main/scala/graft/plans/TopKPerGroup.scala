@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.GraftPlanBridge
 
 /** Per-group top-k as a first-class operator — the custom-surface
   * ladder's rung (c): a whole `LogicalPlan` node + `SparkStrategy` +
@@ -31,6 +32,23 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * under ties the heap keeps first-arrival, which is partition-order
   * dependent, exactly like the window spelling's nondeterminism under
   * non-total orders.
+  *
+  * Memory contract (the 100 TB story): O(keys·k) retained bytes is a
+  * WIN only while the per-partition key set fits in memory. A
+  * high-cardinality grouping key would otherwise turn the spillable
+  * window-sort plan this operator replaces into an executor OOM, so
+  * the exec tracks the bytes it retains and, past
+  * `spark.graft.topk.fallbackBytes` (default 64 MB per partition),
+  * degrades to the spill-backed path: the retained candidates plus
+  * the rest of the iterator go through Spark's own
+  * `UnsafeExternalRowSorter` (TaskMemoryManager-registered, spills to
+  * disk — the exact sorter SortExec plans) ordered by (grouping,
+  * order), followed by a streaming per-key limit. Discarded rows were
+  * strictly worse than k retained rows of their key, so top-k over
+  * (candidates ∪ rest) equals top-k over the full partition. The
+  * fallback needs an ORDERABLE grouping type (same requirement as
+  * sort-aggregate); for the rare non-orderable grouping the heap path
+  * is kept as-is.
   */
 case class TopKPerGroupNode(k: Int, grouping: Seq[Expression],
     order: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
@@ -69,6 +87,9 @@ case class TopKPerGroupExec(k: Int, grouping: Seq[Expression],
     val kLocal = k
     val groupingLocal = grouping
     val orderLocal = order
+    val capBytes = conf.getConfString(TopKPerGroupExec.FallbackBytesKey,
+      TopKPerGroupExec.FallbackBytesDefault.toString).toLong
+    val fallbackOk = grouping.forall(g => RowOrdering.isOrderable(g.dataType))
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupingLocal, schema)
       val toUnsafe = UnsafeProjection.create(schema.map(a => a: Expression), schema)
@@ -76,35 +97,79 @@ case class TopKPerGroupExec(k: Int, grouping: Seq[Expression],
       // head must be the WORST retained row, so the queue reverses it
       val ord = new LazilyGeneratedOrdering(orderLocal, schema)
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
+      var retained = 0L
+      var overCap = false
+      while (iter.hasNext && !overCap) {
         val row = toUnsafe(iter.next())
         var q = heaps.get(keyProj(row))
         if (q == null) {
           q = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, ord.reverse)
           // both the key and the row views alias the projection buffers:
           // copy on retention, never on rejection
-          heaps.put(keyProj(row).copy(), q)
+          val kc = keyProj(row).copy()
+          retained += kc.getSizeInBytes
+          heaps.put(kc, q)
         }
-        if (q.size < kLocal) q.add(row.copy())
-        else if (ord.compare(row, q.peek()) < 0) {
-          q.poll(); q.add(row.copy()): Unit
+        if (q.size < kLocal) {
+          val rc = row.copy(); retained += rc.getSizeInBytes; q.add(rc): Unit
+        } else if (ord.compare(row, q.peek()) < 0) {
+          retained -= q.poll().getSizeInBytes
+          val rc = row.copy(); retained += rc.getSizeInBytes; q.add(rc): Unit
         }
+        overCap = fallbackOk && retained > capBytes
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
-      val it = heaps.values().iterator()
-      while (it.hasNext) {
-        val q = it.next()
-        val grp = new Array[UnsafeRow](q.size)
-        var i = grp.length - 1
-        while (i >= 0) { grp(i) = q.poll(); i -= 1 } // drain worst-first → store best-first
-        out ++= grp
+      if (overCap) {
+        // Degrade to the spillable plan this node replaced: everything
+        // retained so far is a CANDIDATE SET (rows dropped from a heap
+        // lost to >= k better rows of the same key, so they can never
+        // re-enter a top-k), and candidates ++ rest sorted by
+        // (grouping, order) + a streaming limit-k is the window
+        // spelling's exact computation, with Spark's own memory-managed
+        // sorter doing the heavy lifting.
+        val sorter = GraftPlanBridge.partitionSorter(schema,
+          groupingLocal.map(SortOrder(_, Ascending)) ++ orderLocal)
+        val drained = new scala.collection.mutable.ArrayBuffer[UnsafeRow]
+        val hit = heaps.values().iterator()
+        while (hit.hasNext) {
+          val q = hit.next()
+          while (!q.isEmpty) drained += q.poll()
+        }
+        heaps.clear()
+        val sorted = sorter.sort(drained.iterator ++ iter.map(r => toUnsafe(r)))
+        var prevKey: UnsafeRow = null
+        var n = 0
+        sorted.filter { r =>
+          val key = keyProj(r.asInstanceOf[UnsafeRow])
+          if (prevKey == null || key != prevKey) { prevKey = key.copy(); n = 0 }
+          n += 1
+          n <= kLocal
+        }
+      } else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+        val it = heaps.values().iterator()
+        while (it.hasNext) {
+          val q = it.next()
+          val grp = new Array[UnsafeRow](q.size)
+          var i = grp.length - 1
+          while (i >= 0) { grp(i) = q.poll(); i -= 1 } // drain worst-first → store best-first
+          out ++= grp
+        }
+        out.iterator
       }
-      out.iterator
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Per-partition retained-bytes budget before the exec degrades to
+    * the spill-backed sort path. 64 MB default: comfortably under any
+    * sane executor's task share, and far above what a bounded-key
+    * workload (the operator's sweet spot) ever retains. */
+  val FallbackBytesKey = "spark.graft.topk.fallbackBytes"
+  val FallbackBytesDefault: Long = 64L << 20
 }
 
 /** Column-API entry point: per-`keyCols` top-`k` rows of `df` under

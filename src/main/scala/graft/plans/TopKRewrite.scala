@@ -29,8 +29,18 @@ import org.apache.spark.sql.types.IntegerType
   * Tie semantics are unchanged as a CLASS: under a non-total order
   * both spellings are partition-order-dependent; under a total order
   * both are exact — the determinism contract callers already carry.
+  *
+  * The rewrite is conf-gated (`spark.graft.topk.rewrite.enabled`,
+  * default true): because this rule fires on ANY user query matching
+  * the idiom, a kill switch back to the stock Window plan must exist —
+  * and the exec itself degrades to the spill-backed sort past its
+  * per-partition byte budget ([[TopKPerGroupExec.FallbackBytesKey]]),
+  * so high-cardinality grouping keys never trade a working spilling
+  * plan for an OOM.
   */
 object TopKRewrite extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.topk.rewrite.enabled"
 
   private def limitOf(cond: Expression, rn: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
@@ -40,7 +50,9 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else plan.transformUp {
     case p @ Project(projectList, Filter(cond, w: Window))
         if w.windowExpressions.length == 1 &&
           w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>

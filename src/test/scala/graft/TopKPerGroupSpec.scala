@@ -63,4 +63,19 @@ class TopKPerGroupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TopKPerGroup(fixture, Seq("nope"), "v", descending = true, "id", 3)
   }
+
+  test("past the byte budget the exec degrades to the spillable sort, same rows") {
+    // a 1-byte budget forces the fallback on the very first row, so the
+    // whole partition runs through UnsafeExternalRowSorter + streaming
+    // limit — results must be IDENTICAL to the heap path (total order)
+    val key = graft.plans.TopKPerGroupExec.FallbackBytesKey
+    val heapRows = TopKPerGroup(fixture, Seq("g"), "v", descending = true, "id", 5)
+      .orderBy("g", "id").as[(Long, Long, Long)].collect().toSeq
+    spark.conf.set(key, "1")
+    try {
+      val spillRows = TopKPerGroup(fixture, Seq("g"), "v", descending = true, "id", 5)
+        .orderBy("g", "id").as[(Long, Long, Long)].collect().toSeq
+      spillRows shouldBe heapRows
+    } finally spark.conf.unset(key)
+  }
 }

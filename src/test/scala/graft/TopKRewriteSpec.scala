@@ -72,4 +72,17 @@ class TopKRewriteSpec extends SparkSpec {
       .where(col("rn") <= 4 && col("v") > 10).drop("rn")
     q.queryExecution.optimizedPlan.toString should not include "TopKPerGroup"
   }
+
+  test("the conf kill switch restores the stock Window plan") {
+    spark.conf.set(graft.plans.TopKRewrite.EnabledKey, "false")
+    try {
+      val q = fixture.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 4).drop("rn")
+      val opt = q.queryExecution.optimizedPlan.toString
+      withClue(opt) {
+        opt should not include "TopKPerGroup"
+        opt should include("Window")
+      }
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledKey)
+  }
 }
