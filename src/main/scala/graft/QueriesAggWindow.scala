@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Queries.Entry
 import Tables._
 
@@ -486,6 +487,53 @@ object QueriesAggWindow {
       |SELECT o_custkey, ewma FROM t WHERE rnd = 1
       |ORDER BY o_custkey""".stripMargin))
 
+  /** Time-(interval-)weighted average — the TWAP/metering aggregate
+    * every billing, market-data, and sensor pipeline needs, where a
+    * value holds UNTIL the next observation and must be weighted by how
+    * long it held (a plain avg over-counts bursty periods). Per
+    * customer: each order's totalprice is weighted by the days until
+    * that customer's next order (the last order carries no interval and
+    * is excluded, as are all-same-day histories with zero span).
+    *
+    * Determinism: the weight is an exact INTEGER day count and the
+    * weighted sum runs in DECIMAL (price(18,2) × days is exact in both
+    * engines), so the only float op is the single final division on
+    * identical operands. Plan: the lead() window and the groupBy share
+    * ONE o_custkey exchange — the window's clustering feeds the partial
+    * agg directly; nothing global, nothing fact-wide a second time. */
+  val wTimeWeighted: Entry = Entry("w_time_weighted_avg",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      ord(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("days",
+          datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate")))
+        .where(col("days").isNotNull)
+        .groupBy("o_custkey")
+        .agg(
+          (sum(col("o_totalprice").cast(DecimalType(18, 2)) * col("days"))
+            .cast("double") / sum(col("days")).cast("double")).as("twap"),
+          sum(col("days")).cast("long").as("total_days"),
+          count(lit(1)).as("n_intervals"))
+        .where(col("total_days") > 0)
+        .orderBy("o_custkey")
+    },
+    Some("""WITH i AS (SELECT o_custkey, o_totalprice,
+      |  datediff('day', o_orderdate,
+      |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey)) AS days
+      | FROM orders)
+      |SELECT o_custkey,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * days) AS DOUBLE)
+      |   / CAST(sum(days) AS DOUBLE) AS twap,
+      | CAST(sum(days) AS BIGINT) AS total_days,
+      | count(*) AS n_intervals
+      |FROM i WHERE days IS NOT NULL
+      |GROUP BY 1 HAVING sum(days) > 0
+      |ORDER BY o_custkey""".stripMargin))
+
   /** Batch gap-sessionization — the classic two-window assignment the
     * streaming session entries (`st_session_*`) mirror in state: a
     * session breaks when the gap to the previous event exceeds 30 min,
@@ -930,6 +978,6 @@ object QueriesAggWindow {
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
-    wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma,
+    wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma, wTimeWeighted,
     wSessionize, oIncrementalAgg, gHllMergeable)
 }

@@ -57,22 +57,32 @@ object QueriesGraph {
     * is an equi-join + partially-aggregated groupBy per
     * [[graft.operators.PageRank]]'s contract; the final top-20 is
     * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  /** S5-materialized distinct trading pairs (customer, offset
+    * supplier): the 1.2 M-row join + distinct was 2.5 s of
+    * gr_pagerank's 4.4 s at sf0.1 and is pure re-derivable state —
+    * exactly the pinned/bucketed edge table a production graph stack
+    * keeps. Shared by gr_pagerank and gr_label_prop. */
+  private def tradingPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Features.cached(
+      tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("a"),
+          (col("l_suppkey") + SuppOffset).as("b"))
+        .distinct(),
+      "target/tmp/gr_edges_v1_" + d.replaceAll("[^0-9a-zA-Z]", "_"))
+
+  /** The shared oracle preamble building the same bidirected edge set. */
+  private val sqlEdges: String =
+    s"""e0 AS (SELECT DISTINCT o_custkey AS a,
+      |  l_suppkey + $SuppOffset AS b
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT a AS src, b AS dst FROM e0
+      |      UNION ALL SELECT b, a FROM e0)""".stripMargin
+
   val grPageRank: Entry = Entry("gr_pagerank",
     (s, d) => {
-      // S5-materialized distinct trading pairs: the 1.2 M-row join +
-      // distinct was 2.5 s of the entry's 4.4 s at sf0.1 and is pure
-      // re-derivable state — exactly the pinned/bucketed edge table a
-      // production PageRank keeps (and the node count below needs an
-      // action over it anyway, so the fixture pays for itself in one
-      // run).
-      val pairs = Features.cached(
-        tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-          .join(tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("a"),
-            (col("l_suppkey") + SuppOffset).as("b"))
-          .distinct(),
-        "target/tmp/gr_edges_v1_" + d.replaceAll("[^0-9a-zA-Z]", "_"))
+      val pairs = tradingPairs(s, d)
       // scale adapts to the graph so 85·csum can never wrap: count the
       // bidirected node set (disjoint id spaces — cust < offset ≤ supp)
       // exactly as the oracle's count(DISTINCT src) over e does
@@ -85,11 +95,7 @@ object QueriesGraph {
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
     },
-    Some(s"""WITH e0 AS (SELECT DISTINCT o_custkey AS a,
-      |  l_suppkey + $SuppOffset AS b
-      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      |e AS (SELECT a AS src, b AS dst FROM e0
-      |      UNION ALL SELECT b, a FROM e0),
+    Some(s"""WITH $sqlEdges,
       |$sqlScale,
       |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
       |n AS (SELECT DISTINCT src AS node FROM e),
@@ -118,6 +124,66 @@ object QueriesGraph {
     * [[graft.operators.Bfs]]'s iterative min-relaxation: per round one
     * (long, int) equi-join + one partial-agg min, checkpointed linear
     * lineage; the histogram is a second tiny aggregate. */
+  /** One synchronous label-adoption round as an oracle CTE pair:
+    * per-(node, incoming label) counts, then the "most frequent label,
+    * smallest on ties" pick via a row_number window — the same total
+    * order [[graft.operators.LabelProp]]'s max(struct(c, −label))
+    * computes. Nodes keep their label if (impossible here, bidirected)
+    * no in-edge exists. */
+  private def lpIter(i: Int): String =
+    s""",c$i AS (SELECT e.dst AS node, l.label, count(*) AS c
+       | FROM e JOIN r${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+       |r$i AS (SELECT n.node, coalesce(p.label, n.node) AS label
+       | FROM n LEFT JOIN (
+       |   SELECT node, label FROM (
+       |     SELECT node, label,
+       |       row_number() OVER (PARTITION BY node
+       |         ORDER BY c DESC, label) AS rn
+       |     FROM c$i) WHERE rn = 1) p USING (node))""".stripMargin
+
+  private val LpRounds = 3
+
+  /** Label-propagation communities over the SPARSE strong-ties trading
+    * graph (quantity > 45 — the gr_bfs_hops projection, which keeps
+    * real multi-community structure; the dense graph collapses to 2
+    * communities in 3 rounds): 3 deterministic synchronous rounds from
+    * identity labels ([[graft.operators.LabelProp]]), then the 20
+    * largest communities plus the total community count. Integer-only
+    * state, so rows hash.
+    *
+    * Plan shape: each round is one edges ⨝ labels join + two
+    * partially-aggregated groupBys over (long,long,long) rows; the
+    * census is a tiny agg + TakeOrderedAndProject. */
+  val grLabelProp: Entry = Entry("gr_label_prop",
+    (s, d) => {
+      val pairs = tbl(s, d, "lineitem")
+        .where(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("a"), (col("l_suppkey") + SuppOffset).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      operators.LabelProp.labelPropagate(edges, LpRounds)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("community"))
+        .limit(20)
+    },
+    Some(s"""WITH e0 AS (SELECT DISTINCT o_custkey AS a,
+      |  l_suppkey + $SuppOffset AS b
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | WHERE l_quantity > 45),
+      |e AS (SELECT a AS src, b AS dst FROM e0
+      |      UNION ALL SELECT b, a FROM e0),
+      |n AS (SELECT DISTINCT src AS node FROM e),
+      |r0 AS (SELECT node, node AS label FROM n)
+      |${(1 to LpRounds).map(lpIter).mkString("\n")}
+      |SELECT label AS community, count(*) AS n_members
+      |FROM r$LpRounds GROUP BY 1
+      |ORDER BY n_members DESC, community LIMIT 20""".stripMargin))
+
   val grBfsHops: Entry = Entry("gr_bfs_hops",
     (s, d) => {
       val pairs = tbl(s, d, "lineitem")
@@ -271,5 +337,6 @@ object QueriesGraph {
       | (3 * n_triangles * 1000000) // n_wedges AS clustering_ppm
       |FROM ne, nw, tr""".stripMargin))
 
-  val all: Seq[Entry] = Seq(grPageRank, grBfsHops, grCopurchase, grTriangles)
+  val all: Seq[Entry] = Seq(grPageRank, grLabelProp, grBfsHops, grCopurchase,
+    grTriangles)
 }
