@@ -487,6 +487,67 @@ object QueriesAggWindow {
       |SELECT o_custkey, ewma FROM t WHERE rnd = 1
       |ORDER BY o_custkey""".stripMargin))
 
+  /** Deterministic weight-proportional (PPS) systematic sampling — the
+    * importance-weighted downsample every training-data recipe runs
+    * (sample documents ∝ quality score, orders ∝ spend) when it must be
+    * REPRODUCIBLE: same data → same sample, on any cluster, any
+    * partitioning, with an inclusion proof per row. Standard PPS
+    * systematic design: lay every row's integer weight end-to-end along
+    * a line in a pseudo-random but deterministic order (the
+    * [[graft.functions.Feistel]] 62-bit bijection of the key — no RNG,
+    * no float u^(1/w)), then select the rows whose weight interval
+    * (cum−w, cum] crosses a multiple of step = W div k. Rows with
+    * w ≥ step are certainty inclusions (selected once); expected
+    * sample size is ~k (± the div-remainder tail). Integer-only
+    * (weights in exact DECIMAL→BIGINT cents), so the sample hashes.
+    *
+    * Plan shape at 100 TB: the global cumulative is the g_ks_drift
+    * carry pattern — ONE fact exchange on the hash-range bucket
+    * (shiftright(h, 56): 64 buckets, monotone in h, so in-bucket
+    * (h, key) order concatenates to the global order), an in-bucket
+    * rows-frame running sum, per-bucket totals read off max(cum_in)
+    * (no second fact branch), and the prefix offsets + grand total are
+    * windows over the 64-row bucket frame broadcast back. No global
+    * fact-row window anywhere. */
+  val gSampleWeighted: Entry = Entry("g_sample_weighted",
+    (s, d) => {
+      val k = 1000L
+      val x = ord(s, d).select(col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("w"))
+        .withColumn("h", graft.functions.Feistel.key(col("o_orderkey")))
+        .withColumn("bkt", shiftright(col("h"), 56))
+        .repartition(col("bkt"))
+      val wIn = Window.partitionBy("bkt").orderBy(col("h"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = x.withColumn("cum_in", sum(col("w")).over(wIn))
+      val tot = cum.groupBy("bkt").agg(max(col("cum_in")).as("t"))
+      val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy()
+      val offs = tot.select(col("bkt"),
+        coalesce(sum(col("t")).over(wB), lit(0L)).as("off"),
+        sum(col("t")).over(wAll).as("wtot"))
+      cum.join(broadcast(offs), "bkt")
+        .withColumn("cum", col("cum_in") + col("off"))
+        .withColumn("step", expr(s"wtot div $k"))
+        .where(expr("cum div step > (cum - w) div step"))
+        .select(col("o_orderkey"), col("w"), col("cum"))
+        .orderBy("o_orderkey")
+    },
+    Some(s"""WITH x AS (SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w,
+      |  ${graft.functions.Feistel.keySql("o_orderkey")} AS h
+      | FROM orders),
+      |c AS (SELECT o_orderkey, w,
+      |  CAST(sum(w) OVER (ORDER BY h, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      | FROM x),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) // 1000 AS step FROM x)
+      |SELECT o_orderkey, w, cum
+      |FROM c, t
+      |WHERE cum // step > (cum - w) // step
+      |ORDER BY o_orderkey""".stripMargin))
+
   /** Time-(interval-)weighted average — the TWAP/metering aggregate
     * every billing, market-data, and sensor pipeline needs, where a
     * value holds UNTIL the next observation and must be weighted by how
@@ -612,6 +673,69 @@ object QueriesAggWindow {
           col("est_merged") === col("est_direct") &&
             abs(col("est_direct") - col("n_exact")) * 20 <= col("n_exact"))
         .orderBy("y", "q")
+    },
+    None)
+
+  /** Mergeable quantile-sketch roll-up ([[graft.operators.KllSketch]],
+    * the custom-Aggregator counterpart of g_hll_mergeable): per-group
+    * KLL sketches of l_extendedprice built in one pass, then the
+    * group partials MERGED (never re-scanning facts) into a corpus
+    * sketch — the day → month percentile rollup Spark's own
+    * approx_percentile cannot express because it exposes no storable
+    * partial. Rows-only entry (sketch content is arrival-order
+    * dependent — inherent to mergeable quantile sketches), gated by
+    * falsifiable in-result checks: every estimate must land inside the
+    * exact ±2%-rank percentile bracket (the bound KllSketchSpec
+    * proves at 50k values), and each sketch's count must equal the
+    * exact group count — a lost row or a broken merge flips
+    * quality_ok to false.
+    *
+    * 100 TB plan shape: the sketch agg is a standard partial+final
+    * ObjectHashAggregate — per-partition reduce, K·log(n/K)-double
+    * states on the wire, one group-key exchange; the corpus merge
+    * aggregates |groups| states. Facts are scanned ONCE for the
+    * sketches (the exact-percentile bracket branch exists only to
+    * power the gate). */
+  val gQuantileSketch: Entry = Entry("g_quantile_sketch",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.KllSketch
+      val eps = 0.02
+      val qs = Seq(0.25, 0.5, 0.75, 0.95)
+      val rows = li(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+        .as[(String, Double)]
+      val sk = new KllSketch.SketchAgg[(String, Double)](_._2)
+      val groupStates = rows.groupByKey(_._1).agg(sk.toColumn.name("state"))
+      def estRows(tagged: org.apache.spark.sql.Dataset[(String, KllSketch.KllState)]) =
+        tagged.map { case (g, st) =>
+          val e = KllSketch.quantiles(st, qs)
+          (g, st.count, e(0), e(1), e(2), e(3))
+        }.toDF("g", "n_sketch", "e25", "e50", "e75", "e95")
+      val mg = new KllSketch.MergeAgg[(String, KllSketch.KllState)](_._2)
+      val est = estRows(groupStates)
+        .unionByName(estRows(groupStates.select(mg.toColumn)
+          .map(st => ("ALL", st))))
+      val base = li(s, d).select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"))
+      val bracketAggs = Seq(
+        count(lit(1)).as("n_exact"),
+        percentile(col("l_extendedprice"), typedLit(qs.map(_ - eps))).as("lo"),
+        percentile(col("l_extendedprice"), typedLit(qs.map(_ + eps))).as("hi"))
+      val bks = base.groupBy(col("l_returnflag").as("g"))
+        .agg(bracketAggs.head, bracketAggs.tail: _*)
+        .unionByName(base.agg(bracketAggs.head, bracketAggs.tail: _*)
+          .withColumn("g", lit("ALL")))
+      est.join(bks, Seq("g"))
+        .withColumn("quality_ok",
+          col("n_sketch") === col("n_exact") &&
+            (0 until 4).map(i =>
+              col(Seq("e25", "e50", "e75", "e95")(i))
+                .between(element_at(col("lo"), i + 1),
+                  element_at(col("hi"), i + 1))).reduce(_ && _))
+        .select(col("g"), col("n_sketch"), col("e25"), col("e50"),
+          col("e75"), col("e95"), col("quality_ok"))
+        .orderBy("g")
     },
     None)
 
@@ -979,5 +1103,6 @@ object QueriesAggWindow {
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
     wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma, wTimeWeighted,
-    wSessionize, oIncrementalAgg, gHllMergeable)
+    gSampleWeighted, wSessionize, oIncrementalAgg, gHllMergeable,
+    gQuantileSketch)
 }
