@@ -517,6 +517,13 @@ object QueriesAggWindow {
             .cast("long").as("w"))
         .withColumn("h", graft.functions.Feistel.key(col("o_orderkey")))
         .withColumn("bkt", shiftright(col("h"), 56))
+        // the g_ks_drift lesson verbatim: the offs join infers
+        // isnotnull(bkt) into ONE branch's scan and de-canonicalizes
+        // the shared exchange (second fact scan, second window);
+        // stating it here keeps both branches identical so
+        // ReuseExchange dedups them. (bkt is never null — o_orderkey
+        // isn't — so the filter drops nothing.)
+        .where(col("bkt").isNotNull)
         .repartition(col("bkt"))
       val wIn = Window.partitionBy("bkt").orderBy(col("h"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -328,4 +328,24 @@ class PlanShapeSpec extends SparkSpec {
       p should not include "CartesianProduct"
     }
   }
+
+  test("w_time_weighted_avg: lead window and groupBy share ONE custkey exchange") {
+    val p = staticPlan(QueriesAggWindow.wTimeWeighted.fn(spark, sf))
+    withClue(p) {
+      hashEx(p) shouldBe 1 // window clustering feeds the partial agg
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1 // output orderBy only
+    }
+  }
+
+  test("g_sample_weighted: ONE fact exchange; offsets return as a broadcast") {
+    val p = staticPlan(QueriesAggWindow.gSampleWeighted.fn(spark, sf))
+    withClue(p) {
+      // the bkt repartition is the only fact-row shuffle: the in-bucket
+      // window, the bucket-total agg, and the offset join all ride it
+      hashEx(p) shouldBe 1
+      "BroadcastExchange".r.findAllIn(p).size shouldBe 1
+      p should include("BroadcastHashJoin")
+      p should not include "CartesianProduct"
+    }
+  }
 }
