@@ -330,6 +330,56 @@ object Queries {
     * production) prunes the probe to selectivity+fpr BEFORE its
     * exchange. BloomSpec pins no-false-negatives, the fpr bound, and
     * that the membership predicate stays in the scan stage. */
+  /** Bucketed CO-LOCATED join — the "repartition/bucketing for
+    * co-located joins" leg of the scale playbook (broadcast handles
+    * small dims; bucketing handles BIG⨝BIG on a stable key): both fact
+    * tables are written `bucketBy(8, k)` + in-bucket sorted (the S5
+    * fixture discipline — a production lakehouse keeps its fact tables
+    * bucketed on the join key permanently), so the join consumes
+    * bucket-aligned scans with ZERO exchange on either side — at
+    * 100 TB that is the entire shuffle of the biggest join in the
+    * plan, gone, every run that joins on that key. The only shuffles
+    * left are the group-key agg (partial+final, priority-cardinality
+    * rows) and the output-contract orderBy; PlanShapeSpec pins
+    * exactly that. */
+  val jBucketedColocate: Entry = Entry("j_bucketed_colocate",
+    (s, d) => {
+      val suffix = d.replaceAll("[^0-9a-zA-Z]", "_")
+      def bucketed(name: String, df: => DataFrame): DataFrame = {
+        val t = s"graft_bkt_${name}_v1_$suffix"
+        if (!s.catalog.tableExists(t)) {
+          // fresh session, possibly stale warehouse dir from a prior
+          // one: managed-table creation refuses a non-empty location,
+          // so clear it first
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          val dir = new java.io.File(
+            new java.io.File(java.net.URI.create(wh).getPath), t)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          if (dir.exists()) rm(dir)
+          df.write.bucketBy(8, "k").sortBy("k").saveAsTable(t)
+        }
+        s.table(t)
+      }
+      val o = bucketed("orders", ord(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderpriority")))
+      val l = bucketed("lineitem", li(s, d).select(col("l_orderkey").as("k"),
+        col("l_quantity"), col("l_extendedprice")))
+      l.join(o, "k")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("revenue"),
+          dsum(col("l_quantity")).as("qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n,
+      | ${sqlDsum("l_extendedprice")} AS revenue,
+      | ${sqlDsum("l_quantity")} AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val jBloomPrune: Entry = Entry("j_bloom_prune",
     (s, d) => {
       val mBits = 1L << 17
@@ -471,7 +521,7 @@ object Queries {
   val all: Seq[Entry] = Seq(
     q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
     j1Multiway, j2Semi, j3Anti, jSkewSalted, jFullOuter, jAsof, jRangeBucketed,
-    jBloomPrune,
+    jBucketedColocate, jBloomPrune,
     o1TopK, w3RankLag, gDistinct,
     fDates, fDateSpine, fMath, fJson, fStrings) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++

@@ -329,6 +329,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("j_bucketed_colocate: the fact join runs on bucket-aligned scans, NO join exchange") {
+    // force the at-scale join (no broadcast): the SMJ must consume the
+    // two bucketed scans directly — the only hash exchange in the whole
+    // plan is the priority agg ABOVE the join
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = staticPlan(Queries.jBucketedColocate.fn(spark, sf))
+      withClue(p) {
+        p should include("SortMergeJoin")
+        hashEx(p) shouldBe 1
+        "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+        p should include("SelectedBucketsCount")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("w_time_weighted_avg: lead window and groupBy share ONE custkey exchange") {
     val p = staticPlan(QueriesAggWindow.wTimeWeighted.fn(spark, sf))
     withClue(p) {
