@@ -699,47 +699,61 @@ object QueriesAggWindow {
     *
     * 100 TB plan shape: the sketch agg is a standard partial+final
     * ObjectHashAggregate — per-partition reduce, K·log(n/K)-double
-    * states on the wire, one group-key exchange; the corpus merge
-    * aggregates |groups| states. Facts are scanned ONCE for the
-    * sketches (the exact-percentile bracket branch exists only to
-    * power the gate). */
+    * states on the wire, one group-key exchange — and the
+    * group-cardinality state frame is collected to the driver where
+    * the estimates and the corpus roll-up are plain arithmetic (the
+    * sketch-coordinator pattern; what crosses the wire is sketches,
+    * never facts). Facts are scanned once for the sketches and once
+    * for the gate's exact brackets (a rollup, so group and ALL
+    * brackets share that single scan). */
   val gQuantileSketch: Entry = Entry("g_quantile_sketch",
     (s, d) => {
       import s.implicits._
       import graft.operators.KllSketch
       val eps = 0.02
       val qs = Seq(0.25, 0.5, 0.75, 0.95)
-      val rows = li(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
-        .as[(String, Double)]
-      val sk = new KllSketch.SketchAgg[(String, Double)](_._2)
-      val groupStates = rows.groupByKey(_._1).agg(sk.toColumn.name("state"))
-      def estRows(tagged: org.apache.spark.sql.Dataset[(String, KllSketch.KllState)]) =
-        tagged.map { case (g, st) =>
-          val e = KllSketch.quantiles(st, qs)
-          (g, st.count, e(0), e(1), e(2), e(3))
-        }.toDF("g", "n_sketch", "e25", "e50", "e75", "e95")
-      val mg = new KllSketch.MergeAgg[(String, KllSketch.KllState)](_._2)
-      val est = estRows(groupStates)
-        .unionByName(estRows(groupStates.select(mg.toColumn)
-          .map(st => ("ALL", st))))
+      // ONE fact scan builds the per-group sketches (udaf wrapper =
+      // partial+final ObjectHashAggregate, no typed-tuple pipeline);
+      // the |groups|-row state frame is COLLECTED — the classic sketch
+      // coordinator pattern, and the entire point of a mergeable
+      // sketch: what crosses to the driver is K·log(n/K) doubles per
+      // group, never facts. Estimates and the corpus roll-up are then
+      // driver-side arithmetic on those states.
+      val sk = udaf(new KllSketch.SketchAgg[Double](identity))
+      val states = li(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+        .groupBy("l_returnflag").agg(sk(col("v")).as("state"))
+        .as[(String, KllSketch.KllState)].collect()
+      def estRow(g: String, st: KllSketch.KllState) = {
+        val e = KllSketch.quantiles(st, qs)
+        (g, st.count, e(0), e(1), e(2), e(3))
+      }
+      val perGroup = states.toSeq.map { case (g, st) => estRow(g, st) }
+      // merge AFTER the per-group estimates: merge() mutates its left
+      // argument (the Aggregator buffer contract)
+      val merged = states.map(_._2).reduce(KllSketch.merge)
+      val est = (perGroup :+ estRow("ALL", merged))
+        .toDF("g", "n_sketch", "e25", "e50", "e75", "e95")
       val base = li(s, d).select(col("l_returnflag"),
         col("l_extendedprice").cast("double").as("l_extendedprice"))
-      val bracketAggs = Seq(
-        count(lit(1)).as("n_exact"),
-        percentile(col("l_extendedprice"), typedLit(qs.map(_ - eps))).as("lo"),
-        percentile(col("l_extendedprice"), typedLit(qs.map(_ + eps))).as("hi"))
-      val bks = base.groupBy(col("l_returnflag").as("g"))
-        .agg(bracketAggs.head, bracketAggs.tail: _*)
-        .unionByName(base.agg(bracketAggs.head, bracketAggs.tail: _*)
-          .withColumn("g", lit("ALL")))
+      // the exact gate brackets: ONE rollup scan covers every group AND
+      // the ALL row, and ONE percentile expression carries all 8 points
+      // (each percentile agg buffers + sorts its group once per
+      // EXPRESSION, so split lo/hi aggs — or a second global-bracket
+      // branch — would redo that work)
+      val bks = base.rollup(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_exact"),
+          percentile(col("l_extendedprice"),
+            typedLit(qs.map(_ - eps) ++ qs.map(_ + eps))).as("lohi"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("g"),
+          col("n_exact"), col("lohi"))
       est.join(bks, Seq("g"))
         .withColumn("quality_ok",
           col("n_sketch") === col("n_exact") &&
             (0 until 4).map(i =>
               col(Seq("e25", "e50", "e75", "e95")(i))
-                .between(element_at(col("lo"), i + 1),
-                  element_at(col("hi"), i + 1))).reduce(_ && _))
+                .between(element_at(col("lohi"), i + 1),
+                  element_at(col("lohi"), i + 5))).reduce(_ && _))
         .select(col("g"), col("n_sketch"), col("e25"), col("e50"),
           col("e75"), col("e95"), col("quality_ok"))
         .orderBy("g")

@@ -83,15 +83,13 @@ object QueriesGraph {
   val grPageRank: Entry = Entry("gr_pagerank",
     (s, d) => {
       val pairs = tradingPairs(s, d)
-      // scale adapts to the graph so 85·csum can never wrap: count the
-      // bidirected node set (disjoint id spaces — cust < offset ≤ supp)
-      // exactly as the oracle's count(DISTINCT src) over e does
-      val nNodes = pairs.select(col("a").as("node"))
-        .union(pairs.select(col("b").as("node"))).distinct().count()
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      operators.PageRank.pageRank(edges, Iters,
-          operators.PageRank.safeScale(nNodes))
+      // scale is derived inside pageRank from its checkpointed node
+      // frame (== the oracle's count(DISTINCT src) over e: the
+      // bidirected union makes src-set and node-set identical), so
+      // 85·csum can never wrap and no extra counting pass runs here
+      operators.PageRank.pageRank(edges, Iters)
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
     },

@@ -57,13 +57,17 @@ object PageRank {
 
   /** Ranks after `iters` power iterations over the directed edge list
     * `edges` (columns src: long, dst: long; duplicates removed).
-    * Returns (node, rank) where rank is scaled by `scale` and node
-    * ranges over every vertex appearing in an edge. Dangling nodes
-    * (out-degree 0) lose their mass — callers wanting the classic
-    * redistribute-dangling variant should add reverse edges or a sink;
-    * the gate entry feeds a bidirected graph so none exist. */
+    * Returns (node, rank) where rank is scaled by `scale` — pass 0
+    * (the default) to derive the overflow-safe [[safeScale]] from the
+    * node count, a free `count()` on the already-checkpointed node
+    * frame (small graphs derive the same 10^12 the old fixed default
+    * used). Node ranges over every vertex appearing in an edge.
+    * Dangling nodes (out-degree 0) lose their mass — callers wanting
+    * the classic redistribute-dangling variant should add reverse
+    * edges or a sink; the gate entry feeds a bidirected graph so none
+    * exist. */
   def pageRank(edges: DataFrame, iters: Int,
-               scale: Long = 1000000000000L,
+               scale: Long = 0L,
                dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
@@ -76,8 +80,9 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
 
-    val teleport = (scale / dampDen) * (dampDen - dampNum)
-    var rank = nodes.select(col("node"), lit(scale).as("rank"))
+    val sc = if (scale > 0) scale else safeScale(nodes.count())
+    val teleport = (sc / dampDen) * (dampDen - dampNum)
+    var rank = nodes.select(col("node"), lit(sc).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = ed.join(rank, ed("src") === rank("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
