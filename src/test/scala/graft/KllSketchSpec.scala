@@ -77,4 +77,21 @@ class KllSketchSpec extends SparkSpec {
     st.count shouldBe 0L
     assert(KllSketch.quantiles(st, Seq(0.5)).head.isNaN)
   }
+
+  test("MergeAgg rolls shard sketches up through Spark's agg path, same bound") {
+    // the distributed day -> month rollup: sketch per shard, then a
+    // typed MERGE aggregation over the state frame — facts touched once
+    import spark.implicits._
+    import KllSketch.stateEncoder
+    val vs = lcgStream(20000)
+    val sharded = vs.zipWithIndex.map { case (v, i) => (i % 8, v) }
+      .toDF("shard", "v").as[(Int, Double)]
+    val sk = new KllSketch.SketchAgg[(Int, Double)](_._2)
+    val states = sharded.groupByKey(_._1).agg(sk.toColumn)
+    val mg = new KllSketch.MergeAgg[(Int, KllState)](_._2)
+    val rolled = states.select(mg.toColumn).collect().head
+    rolled.count shouldBe vs.size.toLong
+    val err = rankError(vs, rolled)
+    withClue(s"max rank error $err") { assert(err <= 0.02) }
+  }
 }
