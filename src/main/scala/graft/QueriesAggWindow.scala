@@ -602,6 +602,53 @@ object QueriesAggWindow {
       |GROUP BY 1 HAVING sum(days) > 0
       |ORDER BY o_custkey""".stripMargin))
 
+  /** Robust anomaly flags via median absolute deviation — the
+    * outlier detector quality pipelines prefer over z-scores because
+    * median/MAD don't move when the outliers themselves do (a fat
+    * finger inflates a stddev but not a median). Per customer: median
+    * spend, MAD = median(|x − median|), flag orders with
+    * |x − median| > 3·MAD (customers with ≥ 8 orders, so the
+    * statistics mean something; 3·MAD ≈ 2σ under normality).
+    *
+    * Determinism: exact interpolated percentiles over 2-dp doubles are
+    * identical IEEE arithmetic in both engines (the g_percentile
+    * contract), and every derived value (dev, 3·mad, the comparison)
+    * is single-op IEEE on identical operands — no rounding step
+    * needed, rows hash.
+    *
+    * Plan shape: BOTH percentile windows, the count window, and the
+    * deviation column ride ONE custkey exchange (aggregate-as-window
+    * with unbounded frames; the second window consumes the first's
+    * output in the same partitioning — the wEwma discipline). No
+    * join-back of a bounds frame, no second fact pass; per-customer
+    * buffers are order-count-sized. */
+  val wAnomalyMad: Entry = Entry("w_anomaly_mad",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+      ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("x"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("med", percentile(col("x"), lit(0.5)).over(w))
+        .withColumn("dev", abs(col("x") - col("med")))
+        .withColumn("mad", percentile(col("dev"), lit(0.5)).over(w))
+        .where(col("n") >= 8 && col("dev") > col("mad") * 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("x"),
+          col("med"), col("mad"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""WITH b AS (SELECT o_custkey, o_orderkey,
+      |  CAST(o_totalprice AS DOUBLE) AS x,
+      |  count(*) OVER w AS n,
+      |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) OVER w AS med
+      | FROM orders WINDOW w AS (PARTITION BY o_custkey)),
+      |m AS (SELECT *, abs(x - med) AS dev,
+      |  quantile_cont(abs(x - med), 0.5)
+      |    OVER (PARTITION BY o_custkey) AS mad
+      | FROM b)
+      |SELECT o_custkey, o_orderkey, x, med, mad
+      |FROM m WHERE n >= 8 AND dev > mad * 3
+      |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
   /** Batch gap-sessionization — the classic two-window assignment the
     * streaming session entries (`st_session_*`) mirror in state: a
     * session breaks when the gap to the previous event exceeds 30 min,
@@ -1124,6 +1171,6 @@ object QueriesAggWindow {
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
     wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma, wTimeWeighted,
-    gSampleWeighted, wSessionize, oIncrementalAgg, gHllMergeable,
+    gSampleWeighted, wAnomalyMad, wSessionize, oIncrementalAgg, gHllMergeable,
     gQuantileSketch)
 }

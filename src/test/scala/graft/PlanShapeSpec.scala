@@ -354,6 +354,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("w_anomaly_mad: count + two stacked percentile windows, ONE custkey exchange") {
+    val p = staticPlan(QueriesAggWindow.wAnomalyMad.fn(spark, sf))
+    withClue(p) {
+      hashEx(p) shouldBe 1 // med window feeds mad window in-place
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+      p should not include "Join" // no bounds frame joined back
+    }
+  }
+
   test("g_sample_weighted: ONE fact exchange; offsets return as a broadcast") {
     val p = staticPlan(QueriesAggWindow.gSampleWeighted.fn(spark, sf))
     withClue(p) {
