@@ -193,6 +193,100 @@ object QueriesAggWindow {
       |SELECT c_custkey, c_name, acctbal FROM changes
       |ORDER BY custkey""".stripMargin))
 
+  /** Partition-skew audit — the diagnostics pass an ops team runs
+    * BEFORE choosing a skew mitigation (the j_skew_salted /
+    * operators.Skew machinery this library already carries): per-key
+    * row counts, the 10 heaviest keys with their traffic share, and a
+    * hotness ratio (max key vs the uniform-share baseline), all in
+    * exact integer ppm so rows hash. `(max·10^6 div total)·n_keys` is
+    * spelled in that order in BOTH engines: every intermediate stays
+    * under 2^63 even at 10^9-row keys × 10^7 keys.
+    *
+    * Plan: one partial-agg exchange builds the key census (the
+    * exchange carries one row per key per partition, never facts); the
+    * totals are a 1-row agg CROSS-broadcast back; top-10 is
+    * TakeOrderedAndProject. */
+  val gSkewAudit: Entry = Entry("g_skew_audit",
+    (s, d) => {
+      val counts = li(s, d).groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("key"), col("cnt"),
+          expr("cnt * 1000000 div total").as("share_ppm"),
+          expr("(max_cnt * 1000000 div total) * n_keys").as("hot_ratio_ppm"),
+          col("n_keys"), col("total"))
+        .orderBy(col("cnt").desc, col("key"))
+        .limit(10)
+    },
+    Some("""WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
+      | FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |  count(*) AS n_keys, max(cnt) AS max_cnt FROM c)
+      |SELECT key, cnt,
+      | cnt * 1000000 // total AS share_ppm,
+      | (max_cnt * 1000000 // total) * n_keys AS hot_ratio_ppm,
+      | n_keys, total
+      |FROM c, t
+      |ORDER BY cnt DESC, key LIMIT 10""".stripMargin))
+
+  /** CDC snapshot diff — the change-classification pass every
+    * lakehouse sync/audit runs between two versions of a keyed table
+    * (o_upsert WRITES a merge; this entry explains one): full-outer
+    * join on the key, classify insert / delete / update / unchanged,
+    * emit the per-class census plus exact-decimal net balance drift.
+    * The two snapshots are derived deterministically from customer
+    * (v2 = +100 on every 10th key = updates; keys ≡ 0 mod 97 offset
+    * out = inserts; keys ≡ 3 mod 11 dropped = deletes), so both
+    * engines diff identical inputs.
+    *
+    * Plan shape at 100 TB: ONE co-partitioned full-outer SMJ — both
+    * snapshot scans exchange on the key once; classification is a
+    * map-side CASE over the joined row; the census is a
+    * 4-row partial+final agg. Nothing fact-sized is touched twice. */
+  val oSnapshotDiff: Entry = Entry("o_snapshot_diff",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val v1 = cust(s, d).select(col("c_custkey").as("k"),
+        round(col("c_acctbal"), 2).as("bal1"))
+      val v2 = cust(s, d).where(col("c_custkey") % 11 =!= 3)
+        .select(
+          when(col("c_custkey") % 97 === 0, col("c_custkey") + 1000000)
+            .otherwise(col("c_custkey")).as("k"),
+          when(col("c_custkey") % 10 === 0, round(col("c_acctbal") + 100, 2))
+            .otherwise(round(col("c_acctbal"), 2)).as("bal2"))
+      v1.join(v2, Seq("k"), "full_outer")
+        .select(
+          when(col("bal1").isNull, "insert")
+            .when(col("bal2").isNull, "delete")
+            .when(col("bal1") =!= col("bal2"), "update")
+            .otherwise("unchanged").as("change"),
+          coalesce(col("bal2"), lit(0.0)).cast(dec)
+            .minus(coalesce(col("bal1"), lit(0.0)).cast(dec)).as("drift"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"),
+          sum(col("drift")).cast("double").as("net_drift"))
+        .orderBy("change")
+    },
+    Some("""WITH v1 AS (SELECT c_custkey AS k, round(c_acctbal, 2) AS bal1
+      | FROM customer),
+      |v2 AS (SELECT
+      |  CASE WHEN c_custkey % 97 = 0 THEN c_custkey + 1000000
+      |       ELSE c_custkey END AS k,
+      |  CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 100, 2)
+      |       ELSE round(c_acctbal, 2) END AS bal2
+      | FROM customer WHERE c_custkey % 11 <> 3)
+      |SELECT CASE WHEN bal1 IS NULL THEN 'insert'
+      |            WHEN bal2 IS NULL THEN 'delete'
+      |            WHEN bal1 <> bal2 THEN 'update'
+      |            ELSE 'unchanged' END AS change,
+      | count(*) AS n,
+      | CAST(sum(CAST(coalesce(bal2, 0) AS DECIMAL(18,2))
+      |   - CAST(coalesce(bal1, 0) AS DECIMAL(18,2))) AS DOUBLE) AS net_drift
+      |FROM v1 FULL OUTER JOIN v2 USING (k)
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** O-intersect: part brands present in both cheap and expensive parts. */
   val oIntersect: Entry = Entry("o_intersect",
     (s, d) => {
@@ -1166,7 +1260,8 @@ object QueriesAggWindow {
       |GROUP BY dof, n""".stripMargin))
 
   val all: Seq[Entry] = Seq(
-    gCube, gRollup, gUnpivot, gCorrRegr, oExcept, oIntersect, oUpsert, oZorder, oDistinct, gApproxDistinct,
+    gCube, gRollup, gUnpivot, gCorrRegr, oExcept, oIntersect, oUpsert,
+    oSnapshotDiff, gSkewAudit, oZorder, oDistinct, gApproxDistinct,
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
