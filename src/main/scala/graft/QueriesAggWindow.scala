@@ -696,6 +696,50 @@ object QueriesAggWindow {
       |GROUP BY 1 HAVING sum(days) > 0
       |ORDER BY o_custkey""".stripMargin))
 
+  /** Gaps-and-islands — the consecutive-run detector behind streak
+    * analytics, SLA continuity, and contiguity compaction: per
+    * customer, runs of CONSECUTIVE active months, then the longest
+    * streak / island count / active-month census for sustained
+    * customers (≥ 6 active months). The classic spelling subtracts a
+    * rank from the value so each run collapses to a constant island
+    * id; here the rank comes FREE from `posexplode(sort_array(...))`
+    * over the per-customer month set — no window function at all.
+    *
+    * Plan shape: ONE exchange total. The collect_set groupBy shuffles
+    * (custkey, month-id) pairs once; the explode is map-side; and both
+    * downstream groupBys — (custkey, island) then (custkey) — are
+    * satisfied by the existing custkey clustering (hash(cust) ⊆ the
+    * grouping keys), so Spark plans no further exchange. Island state
+    * per customer is bounded by the calendar, not facts. */
+  val wGapIslands: Entry = Entry("w_gap_islands",
+    (s, d) => {
+      val m = ord(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+      val isl = m.groupBy("o_custkey").agg(collect_set(col("m")).as("ms"))
+        .select(col("o_custkey"),
+          posexplode(sort_array(col("ms"))).as(Seq("pos", "mo")))
+        .select(col("o_custkey"), (col("mo") - col("pos")).as("island"))
+        .groupBy("o_custkey", "island").agg(count(lit(1)).as("len"))
+      isl.groupBy("o_custkey").agg(
+          max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_islands"),
+          sum(col("len")).as("n_active_months"))
+        .where(col("n_active_months") >= 6)
+        .orderBy("o_custkey")
+    },
+    Some("""WITH mm AS (SELECT DISTINCT o_custkey,
+      |  year(o_orderdate) * 12 + month(o_orderdate) AS m FROM orders),
+      |r AS (SELECT o_custkey, m,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS rn
+      | FROM mm),
+      |i AS (SELECT o_custkey, m - rn AS island, count(*) AS len
+      | FROM r GROUP BY 1, 2)
+      |SELECT o_custkey, max(len) AS longest_streak,
+      | count(*) AS n_islands,
+      | CAST(sum(len) AS BIGINT) AS n_active_months
+      |FROM i GROUP BY 1 HAVING sum(len) >= 6
+      |ORDER BY o_custkey""".stripMargin))
+
   /** Robust anomaly flags via median absolute deviation — the
     * outlier detector quality pipelines prefer over z-scores because
     * median/MAD don't move when the outliers themselves do (a fat
@@ -1266,6 +1310,6 @@ object QueriesAggWindow {
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
     wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma, wTimeWeighted,
-    gSampleWeighted, wAnomalyMad, wSessionize, oIncrementalAgg, gHllMergeable,
-    gQuantileSketch)
+    gSampleWeighted, wAnomalyMad, wGapIslands, wSessionize, oIncrementalAgg,
+    gHllMergeable, gQuantileSketch)
 }

@@ -363,6 +363,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("w_gap_islands: collect_set + both rollups ride ONE custkey exchange") {
+    val p = staticPlan(QueriesAggWindow.wGapIslands.fn(spark, sf))
+    withClue(p) {
+      // hash(cust) satisfies the (cust, island) and (cust) groupings;
+      // the posexplode rank replaces the window entirely
+      hashEx(p) shouldBe 1
+      p should not include "Window"
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
   test("g_sample_weighted: ONE fact exchange; offsets return as a broadcast") {
     val p = staticPlan(QueriesAggWindow.gSampleWeighted.fn(spark, sf))
     withClue(p) {
