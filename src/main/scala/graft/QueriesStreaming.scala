@@ -675,7 +675,79 @@ object QueriesStreaming {
       | SELECT -1 AS doc_id, epoch_ms(TIMESTAMP '2030-01-01 20:00:00') AS t_ms)
       |SELECT doc_id, t_ms FROM out ORDER BY doc_id, t_ms""".stripMargin))
 
+  /** Incrementally-maintained per-key quantiles under REAL streaming
+    * execution — [[StreamingOps.quantilePerKey]]: a KLL sketch per
+    * language held in mapGroupsWithState state, updated across two
+    * genuine micro-batches (even doc_ids then odd, so every language's
+    * state crosses the batch boundary), then the final emission per
+    * key gated the g_quantile_sketch way: estimates inside the exact
+    * ±2%-rank percentile brackets of the FULL corpus (computed in
+    * batch) plus exact count equality — a lost batch, dropped state,
+    * or broken resume flips quality_ok or the count gate. Rows-only
+    * (sketch content is arrival-order dependent); the in-query require
+    * pins ≥2 data micro-batches. State per key is O(K·log n) doubles,
+    * bounded for however long the stream runs — the argument for
+    * sketch-valued state at 100 TB. */
+  val stStreamQuantile: Entry = Entry("st_stream_quantile",
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 2)
+      import s.implicits._
+      import graft.operators.KllSketch.stateEncoder
+      val eps = 0.02
+      val qs = Seq(0.25, 0.5, 0.75, 0.95)
+      val stage = stageBatchFiles(
+        "stream_qdoc_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_v1", {
+          val docs = tbl(outer, d, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          Seq("b0" -> docs.where(col("doc_id") % 2 === 0),
+            "b1" -> docs.where(col("doc_id") % 2 =!= 0))
+        })
+      val name = s"st_qtl_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val incoming = s.readStream
+        .schema(s.read.parquet(s"$stage/b0.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .select(col("lang"), col("n_chars").cast("double")).as[(String, Double)]
+      val q = StreamingOps.quantilePerKey(incoming, qs)
+        .map { case (lang, n, e) => (lang, n, e(0), e(1), e(2), e(3)) }
+        .toDF("lang", "n_sketch", "e25", "e50", "e75", "e95")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"expected >=2 data micro-batches (cross-batch sketch state), saw $fed")
+      } finally {
+        q.stop()
+        deleteRecursively(new java.io.File(s"target/tmp/ckpt_$name"))
+      }
+      // update-mode memory sink keeps every per-batch emission; the
+      // final answer per key is the one with the highest count (counts
+      // strictly grow when a batch touches the key)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_sketch").desc)
+      val fin = s.table(name)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      val bks = tbl(s, d, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_exact"),
+        percentile(col("n_chars").cast("double"),
+          typedLit(qs.map(_ - eps) ++ qs.map(_ + eps))).as("lohi"))
+      fin.join(bks, Seq("lang"))
+        .withColumn("quality_ok",
+          col("n_sketch") === col("n_exact") &&
+            (0 until 4).map(i =>
+              col(Seq("e25", "e50", "e75", "e95")(i))
+                .between(element_at(col("lohi"), i + 1),
+                  element_at(col("lohi"), i + 5))).reduce(_ && _))
+        .select(col("lang"), col("n_sketch"), col("e25"), col("e50"),
+          col("e75"), col("e95"), col("quality_ok"))
+        .orderBy("lang")
+    },
+    None)
+
   val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom,
     stStreamExec, stStreamSessionExec, stStreamDedup, stStreamJoin,
-    stStreamRecovery, stStreamWmDedup)
+    stStreamRecovery, stStreamWmDedup, stStreamQuantile)
 }

@@ -146,4 +146,32 @@ object StreamingOps {
       .groupBy(window(col(tsCol), width), col(keyCol))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
+  /** Incrementally-maintained per-key quantiles: the
+    * [[graft.operators.KllSketch]] compactor ladder held as
+    * mapGroupsWithState state, updated micro-batch by micro-batch —
+    * the streaming face of the same mergeable partial the batch
+    * rollup (g_quantile_sketch) stores per group. Each batch emits
+    * the key's refreshed (count, p25/p50/p75/p95); the LAST emission
+    * per key is the full-stream answer. State per key is
+    * O(K·log(n/K)) doubles — bounded however long the stream runs,
+    * which is the entire argument for sketch-valued state at 100 TB
+    * (exact per-key quantile state would hold every value seen). */
+  def quantilePerKey(rows: Dataset[(String, Double)], qs: Seq[Double])(
+      implicit encK: org.apache.spark.sql.Encoder[String],
+      encS: org.apache.spark.sql.Encoder[graft.operators.KllSketch.KllState],
+      encU: org.apache.spark.sql.Encoder[(String, Long, Seq[Double])])
+      : Dataset[(String, Long, Seq[Double])] = {
+    import graft.operators.KllSketch
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[KllSketch.KllState, (String, Long, Seq[Double])](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, vs: Iterator[(String, Double)],
+            state: GroupState[KllSketch.KllState]) =>
+          val st = state.getOption.getOrElse(KllSketch.empty)
+          vs.foreach(v => KllSketch.insert(st, v._2))
+          state.update(st)
+          (key, st.count, KllSketch.quantiles(st, qs))
+      }
+  }
 }

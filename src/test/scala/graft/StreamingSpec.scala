@@ -316,4 +316,16 @@ class StreamingSpec extends SparkSpec {
       got shouldBe Set(("a", 103L), ("b", 10L), ("c", 7L))
     } finally q2.stop()
   }
+
+  test("quantilePerKey: batch-mode state pass gives exact lower quantiles under K") {
+    // mapGroupsWithState over a bounded input = one batch, one state
+    // update per key — n <= K keeps the sketch exact, so the emitted
+    // quantiles are the literal sorted-rank answers
+    import graft.operators.KllSketch.stateEncoder
+    val rows = Seq(("a", 1.0), ("a", 3.0), ("a", 5.0), ("a", 7.0),
+      ("b", 10.0), ("b", 20.0)).toDS()
+    val got = StreamingOps.quantilePerKey(rows, Seq(0.5, 1.0))
+      .collect().map(r => (r._1, r._2, r._3)).toSeq.sortBy(_._1)
+    got shouldBe Seq(("a", 4L, Seq(3.0, 7.0)), ("b", 2L, Seq(10.0, 20.0)))
+  }
 }
