@@ -1181,6 +1181,58 @@ object QueriesPipeline {
       |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 16), ',') AS postings
       |FROM tok GROUP BY term ORDER BY term""".stripMargin))
 
+  /** RAKE-style keyphrase extraction (Rose et al. 2010's core move):
+    * candidate phrases are the maximal stopword-free word runs, scored
+    * here by corpus frequency — the keyword/phrase mining that feeds
+    * topic labeling and dataset cards. Runs come from the
+    * gaps-and-islands trick, not a sessionization join: among a doc's
+    * non-stopword tokens, (position − rank) is constant exactly within
+    * a run, so one window + one grouped ordered-concat rebuilds every
+    * phrase. 2..4-word phrases, top-20 by (count, phrase) — integer
+    * counts, total order, hashable.
+    *
+    * Plan shape at 100 TB: the token stream is map-side (posexplode);
+    * ONE doc-keyed exchange serves the rank window AND the
+    * (doc, island) phrase rebuild (hash(doc) satisfies that grouping);
+    * the phrase census is a second, vocabulary-bounded exchange; the
+    * top-20 is a TakeOrderedAndProject. Nothing corpus-sized is
+    * shuffled twice. */
+  val txKeyphrases: Entry = Entry("tx_keyphrases",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = docs(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .where(col("word") =!= "" && !col("word").isin("a", "the"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val phrases = words
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), (col("pos") - col("rn")).as("island"),
+          col("pos"), col("word"))
+        .groupBy("doc_id", "island")
+        .agg(count(lit(1)).as("n_words"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ").as("phrase"))
+      phrases.where(col("n_words").between(2, 4))
+        .groupBy("phrase").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("phrase")).limit(20)
+    },
+    Some("""WITH w AS (SELECT doc_id, CAST(i AS INT) AS pos,
+      |  list_extract(parts, CAST(i AS INT)) AS word
+      | FROM (SELECT doc_id, string_split(text, ' ') AS parts
+      |       FROM documents) p,
+      |      unnest(range(1, len(parts) + 1)) AS t(i)),
+      |nw AS (SELECT doc_id, pos, word,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      | FROM w WHERE word <> '' AND word NOT IN ('a', 'the')),
+      |ph AS (SELECT doc_id, pos - rn AS island,
+      |  count(*) AS n_words,
+      |  string_agg(word, ' ' ORDER BY pos) AS phrase
+      | FROM nw GROUP BY 1, 2)
+      |SELECT phrase, count(*) AS n FROM ph
+      |WHERE n_words BETWEEN 2 AND 4
+      |GROUP BY 1 ORDER BY n DESC, phrase LIMIT 20""".stripMargin))
+
   /** BPE tokenizer training, the pair-statistics iteration (Sennrich
     * et al. 2016 — see [[graft.operators.Bpe]] for the full merge
     * loop): adjacent character-pair counts over the DISTINCT-WORD
@@ -1729,6 +1781,7 @@ object QueriesPipeline {
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, txBpePairs, txInvertedIndex, txHeavyHitters,
+    txKeyphrases,
     plCleanCorpus, plCanonical, plPack,
     plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,

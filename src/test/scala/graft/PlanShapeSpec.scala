@@ -363,6 +363,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("tx_keyphrases: rank window + phrase rebuild share the doc exchange; census is the second") {
+    val p = staticPlan(QueriesPipeline.txKeyphrases.fn(spark, sf))
+    withClue(p) {
+      // doc-keyed window exchange (reused by the (doc, island) groupBy)
+      // + the vocabulary-bounded phrase census — nothing else
+      hashEx(p) shouldBe 2
+      p should include("TakeOrderedAndProject")
+    }
+  }
+
   test("w_gap_islands: collect_set + both rollups ride ONE custkey exchange") {
     val p = staticPlan(QueriesAggWindow.wGapIslands.fn(spark, sf))
     withClue(p) {
