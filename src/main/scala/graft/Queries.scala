@@ -345,20 +345,27 @@ object Queries {
   val jBucketedColocate: Entry = Entry("j_bucketed_colocate",
     (s, d) => {
       val suffix = d.replaceAll("[^0-9a-zA-Z]", "_")
+      // pid-scoped table names: saveAsTable has no atomic-swap, so two
+      // concurrent suite processes sharing the warehouse dir must not
+      // build the same table (the st_stream_recovery concurrency
+      // lesson). Each process pays one build per run; within-process
+      // passes reuse via the catalog. Stale other-pid dirs (> 1 h) are
+      // reaped on entry.
+      val pid = ProcessHandle.current().pid()
       def bucketed(name: String, df: => DataFrame): DataFrame = {
-        val t = s"graft_bkt_${name}_v1_$suffix"
+        val t = s"graft_bkt_${name}_v1_${suffix}_p$pid"
         if (!s.catalog.tableExists(t)) {
-          // fresh session, possibly stale warehouse dir from a prior
-          // one: managed-table creation refuses a non-empty location,
-          // so clear it first
           val wh = s.conf.get("spark.sql.warehouse.dir")
-          val dir = new java.io.File(
-            new java.io.File(java.net.URI.create(wh).getPath), t)
+          val whDir = new java.io.File(java.net.URI.create(wh).getPath)
           def rm(f: java.io.File): Unit = {
             if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
             f.delete(): Unit
           }
-          if (dir.exists()) rm(dir)
+          val staleMs = System.currentTimeMillis() - 3600L * 1000
+          Option(whDir.listFiles()).foreach(_.filter(f =>
+            f.getName.startsWith(s"graft_bkt_${name}_v1_${suffix}_p") &&
+              (f.getName == t || f.lastModified() < staleMs))
+            .foreach(rm))
           df.write.bucketBy(8, "k").sortBy("k").saveAsTable(t)
         }
         s.table(t)
