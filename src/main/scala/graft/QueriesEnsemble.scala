@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Queries.Entry
 import Tables.tbl
@@ -97,6 +98,47 @@ object QueriesEnsemble {
     s"CASE WHEN $sqlHi THEN $sqlMax WHEN $sqlLo THEN $sqlMin ELSE $sqlMedian END")
   val ensMinmaxBestbase: Entry = modeEntry("ens_minmax_bestbase", "minmax_bestbase",
     s"CASE WHEN $sqlHi THEN $sqlMax WHEN $sqlLo THEN $sqlMin ELSE base END")
+
+  /** Global rank of every row under (score, key) total order — WITHOUT
+    * a global window: the distinct-score census (≤ 1000 rows here —
+    * submissions quantize scores) is cumsum'd into per-score "rows
+    * strictly before" offsets and broadcast back; the in-score
+    * tiebreak is a row_number over score partitions. rank = before +
+    * in-score rank, exactly the oracle's row_number over the global
+    * order. The fact side sees ONE score-partitioned exchange; the
+    * cumsum runs on the tiny census frame (the g_ks_drift carry
+    * discipline applied to ranking). */
+  private def memberRank(df: DataFrame, m: String): DataFrame = {
+    val census = df.groupBy(col(m).as("s")).agg(count(lit(1)).as("c"))
+    val wC = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = census.select(col("s"),
+      coalesce(sum(col("c")).over(wC), lit(0L)).as("before"))
+    val wIn = Window.partitionBy(col(m)).orderBy("o_orderkey")
+    df.withColumn("rin", row_number().over(wIn))
+      .join(broadcast(offs), col(m) === col("s"))
+      .withColumn(s"r_$m", col("before") + col("rin"))
+      .drop("s", "before", "rin")
+  }
+
+  /** Rank-average stacking — the ensemble mode Kagglers reach for when
+    * members are miscalibrated (sub_stacking.py's six modes average
+    * VALUES; averaging each member's global RANK instead is invariant
+    * to any monotone recalibration of a member). avg_rank =
+    * (r0+r1+r2)/3 under the (score, key) total order, integer ranks so
+    * the only float op is the final division. */
+  val ensRankAverage: Entry = Entry("ens_rank_average",
+    (s, d) => {
+      val ranked = Seq("m0", "m1", "m2").foldLeft(predsFrame(s, d))(memberRank)
+      ranked.select(col("o_orderkey"),
+          ((col("r_m0") + col("r_m1") + col("r_m2")) / 3.0).as("avg_rank"))
+        .orderBy("o_orderkey")
+    },
+    Some(s"""$oracleCte
+      |SELECT o_orderkey,
+      | ((row_number() OVER (ORDER BY m0, o_orderkey))
+      |  + (row_number() OVER (ORDER BY m1, o_orderkey))
+      |  + (row_number() OVER (ORDER BY m2, o_orderkey))) / 3.0 AS avg_rank
+      |FROM p ORDER BY o_orderkey""".stripMargin))
 
   /** S4 + S2/S3 + F3 round-trip: write the (id, is_iceberg) submission
     * as a headered CSV with 6-dp fixed formatting (float_format='%.6f',
@@ -272,5 +314,6 @@ object QueriesEnsemble {
 
   val all: Seq[Entry] = Seq(
     ensMean, ensMedian, ensPushoutMedian, ensMinmaxMean, ensMinmaxMedian,
-    ensMinmaxBestbase, ensFoldDirs, s4CsvRoundtrip, s3Provenance, s1SarIngest)
+    ensMinmaxBestbase, ensRankAverage, ensFoldDirs, s4CsvRoundtrip,
+    s3Provenance, s1SarIngest)
 }
