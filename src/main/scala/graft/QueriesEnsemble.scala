@@ -140,6 +140,36 @@ object QueriesEnsemble {
       |  + (row_number() OVER (ORDER BY m2, o_orderkey))) / 3.0 AS avg_rank
       |FROM p ORDER BY o_orderkey""".stripMargin))
 
+  /** Hive-style partitioned parquet sink + partition-PRUNED readback —
+    * the layout half of the source/sink story (s4 proves the CSV
+    * round-trip; this proves the directory layout a 100 TB table
+    * actually ships with): write orders partitioned by priority (S5
+    * load-if-exists fixture), then read ONE partition back through the
+    * partition-column filter and aggregate it. The filter must resolve
+    * at FILE LISTING time — PlanShapeSpec pins PartitionFilters on the
+    * scan (and the oracle proves the pruned read still returns exactly
+    * the full-scan answer for that slice). At 100 TB this is the
+    * difference between listing 1/5 of the directories and scanning
+    * the table. */
+  val s5PartitionedPrune: Entry = Entry("s5_partitioned_prune",
+    (s, d) => {
+      val out = s"target/tmp/part_sink_${fixtureVer}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      if (!new java.io.File(s"$out/_SUCCESS").isFile)
+        tbl(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Tables.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n,
+      | ${Tables.sqlDsum("o_totalprice")} AS revenue
+      |FROM orders WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** S4 + S2/S3 + F3 round-trip: write the (id, is_iceberg) submission
     * as a headered CSV with 6-dp fixed formatting (float_format='%.6f',
     * sub_stacking.py:43; sink main.py:313-316), then read it back from
@@ -315,5 +345,5 @@ object QueriesEnsemble {
   val all: Seq[Entry] = Seq(
     ensMean, ensMedian, ensPushoutMedian, ensMinmaxMean, ensMinmaxMedian,
     ensMinmaxBestbase, ensRankAverage, ensFoldDirs, s4CsvRoundtrip,
-    s3Provenance, s1SarIngest)
+    s5PartitionedPrune, s3Provenance, s1SarIngest)
 }

@@ -363,6 +363,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("s5_partitioned_prune: the priority filter prunes at file-listing time") {
+    val p = staticPlan(QueriesEnsemble.s5PartitionedPrune.fn(spark, sf))
+    withClue(p) {
+      p should include("PartitionFilters: [isnotnull(o_orderpriority")
+      p should include("o_orderpriority#") // the equality filter is partition-level
+      // the data filter list must NOT carry the priority predicate —
+      // it never reaches row decoding
+      p should not include "DataFilters: [isnotnull(o_orderpriority"
+    }
+  }
+
   test("tx_keyphrases: rank window + phrase rebuild share the doc exchange; census is the second") {
     val p = staticPlan(QueriesPipeline.txKeyphrases.fn(spark, sf))
     withClue(p) {
