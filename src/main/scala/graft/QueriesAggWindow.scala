@@ -193,6 +193,149 @@ object QueriesAggWindow {
       |SELECT c_custkey, c_name, acctbal FROM changes
       |ORDER BY custkey""".stripMargin))
 
+  /** Ordered CDC apply — the OTHER half of the lakehouse story next to
+    * o_upsert (single-batch merge) and o_snapshot_diff (explain a
+    * merge): replay a sequenced change log (I/U/D per key, seq =
+    * commit order) onto a base snapshot with LATEST-WINS semantics.
+    * U-after-D resurrects (key 273 here: U@1, D@2, U@3), D-after-U
+    * deletes (key 91: U@1, D@2) — the log is derived deterministically
+    * from customer so both engines replay identical histories.
+    *
+    * Scale shape: the log first collapses to one winner per key via
+    * max_by(struct, seq) — a partial+final agg, so a 10^10-row log
+    * shrinks map-side before its ONE exchange; the apply is a single
+    * co-partitioned full-outer join against the snapshot. Latest-wins
+    * via agg (not a row_number window) keeps it two exchanges total
+    * and no sort of anything log-sized. */
+  val oCdcApply: Entry = Entry("o_cdc_apply",
+    (s, d) => {
+      val c = cust(s, d)
+      def slice(cond: org.apache.spark.sql.Column, seq: Int, op: String,
+          bal: org.apache.spark.sql.Column) =
+        c.where(cond).select(
+          (if (op == "I") col("c_custkey") + 2000000 else col("c_custkey")).as("lkey"),
+          lit(seq).as("seq"), lit(op).as("op"),
+          col("c_name").as("lname"), round(bal, 2).as("lbal"))
+      val log = slice(col("c_custkey") % 7 === 0, 1, "U", col("c_acctbal") + 50)
+        .unionByName(slice(col("c_custkey") % 13 === 0, 2, "D", lit(-1.0)))
+        .unionByName(slice(col("c_custkey") % 21 === 0, 3, "U", col("c_acctbal") + 100))
+        .unionByName(slice(col("c_custkey") % 97 === 0, 1, "I", col("c_acctbal")))
+      val last = log.groupBy(col("lkey"))
+        .agg(max_by(struct(col("op"), col("lname"), col("lbal")), col("seq")).as("w"))
+        .select(col("lkey"), col("w.op").as("op"),
+          col("w.lname").as("lname"), col("w.lbal").as("lbal"))
+      val base = c.select(col("c_custkey").as("key"),
+        col("c_name").as("name"), round(col("c_acctbal"), 2).as("bal"))
+      base.join(last, base("key") === last("lkey"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(coalesce(col("key"), col("lkey")).as("key"),
+          when(col("lkey").isNull, col("name")).otherwise(col("lname")).as("name"),
+          when(col("lkey").isNull, col("bal")).otherwise(col("lbal")).as("bal"))
+        .orderBy("key")
+    },
+    Some("""WITH log AS (
+      | SELECT c_custkey AS lkey, 1 AS seq, 'U' AS op, c_name AS lname,
+      |   round(c_acctbal + 50, 2) AS lbal FROM customer WHERE c_custkey % 7 = 0
+      | UNION ALL
+      | SELECT c_custkey, 2, 'D', c_name, round(-1.0, 2)
+      | FROM customer WHERE c_custkey % 13 = 0
+      | UNION ALL
+      | SELECT c_custkey, 3, 'U', c_name, round(c_acctbal + 100, 2)
+      | FROM customer WHERE c_custkey % 21 = 0
+      | UNION ALL
+      | SELECT c_custkey + 2000000, 1, 'I', c_name, round(c_acctbal, 2)
+      | FROM customer WHERE c_custkey % 97 = 0),
+      |last AS (SELECT lkey, max_by(op, seq) AS op, max_by(lname, seq) AS lname,
+      |  max_by(lbal, seq) AS lbal FROM log GROUP BY lkey),
+      |base AS (SELECT c_custkey AS key, c_name AS name,
+      |  round(c_acctbal, 2) AS bal FROM customer)
+      |SELECT coalesce(b.key, l.lkey) AS key,
+      | CASE WHEN l.lkey IS NULL THEN b.name ELSE l.lname END AS name,
+      | CASE WHEN l.lkey IS NULL THEN b.bal ELSE l.lbal END AS bal
+      |FROM base b FULL OUTER JOIN last l ON b.key = l.lkey
+      |WHERE l.op IS NULL OR l.op <> 'D'
+      |ORDER BY key""".stripMargin))
+
+  /** Diversity / concentration metrics in EXACT integer ppm — the
+    * per-stratum "how mixed is this slice" audit a training-data
+    * curation pipeline runs over domain/language/source composition
+    * (reference analog: the per-class composition checks around
+    * main.py's fold construction). Per customer nation: order-priority
+    * richness, Herfindahl-Hirschman concentration, and Simpson
+    * diversity (1-HHI). Everything stays in BIGINT parts-per-million —
+    * no log/float in sight — so both engines hash identically;
+    * `sumsq·10^6 div tot²` is exact while `sumsq·10^6 < 2^63`, i.e. up
+    * to ~3·10^6 rows per (nation,priority) cell; beyond that, swap the
+    * literals for DECIMAL(38) casts (same spelling both engines).
+    *
+    * Plan at 100 TB: orders is touched ONCE — two broadcast dim hash
+    * joins (customer, nation) stay map-side, then ONE partial+final agg
+    * exchange on (nation, priority) carrying a row per cell per
+    * partition, and the small cell census re-aggregates to nations
+    * without moving anything fact-sized. */
+  val gSimpson: Entry = Entry("g_simpson_ppm",
+    (s, d) => {
+      val cst = cust(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val nat = tbl(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val cells = ord(s, d).select(col("o_custkey"), col("o_orderpriority"))
+        .join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("cnt"))
+      cells.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_prios"), sum(col("cnt")).as("tot"),
+          sum(col("cnt") * col("cnt")).as("sumsq"))
+        .select(col("nation"), col("n_prios"), col("tot"),
+          expr("sumsq * 1000000 div (tot * tot)").as("hhi_ppm"),
+          expr("1000000 - sumsq * 1000000 div (tot * tot)").as("simpson_ppm"))
+        .orderBy("nation")
+    },
+    Some("""WITH c AS (SELECT n_name AS nation, o_orderpriority AS prio, count(*) AS cnt
+      | FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      | GROUP BY 1, 2),
+      |t AS (SELECT nation, count(*) AS n_prios, CAST(sum(cnt) AS BIGINT) AS tot,
+      |  CAST(sum(cnt * cnt) AS BIGINT) AS sumsq FROM c GROUP BY 1)
+      |SELECT nation, n_prios, tot,
+      | sumsq * 1000000 // (tot * tot) AS hhi_ppm,
+      | 1000000 - sumsq * 1000000 // (tot * tot) AS simpson_ppm
+      |FROM t ORDER BY nation""".stripMargin))
+
+  /** Rolling (trailing-frame) median — the robust-smoothing window the
+    * reference's per-image running statistics imply but Spark has no
+    * built-in for (percentile_approx cannot run over a window frame).
+    * Spelled as collect_list over a ROWS frame → array_sort → lower
+    * middle; the oracle spells the IDENTICAL algorithm with DuckDB's
+    * list() window aggregate, so no quantile-interpolation convention
+    * can diverge (both pick element (n+1) div 2 of the sorted frame).
+    *
+    * Plan at 100 TB: ONE exchange on custkey feeds a single WindowExec;
+    * the frame is O(k)=5 wide so per-row work is k·log k and state per
+    * open group is bounded — no whole-partition buffering beyond
+    * Spark's standard window spill path. */
+  val wRollingMedian: Entry = Entry("w_rolling_median",
+    (s, d) => {
+      val w = Window.partitionBy(col("custkey"))
+        .orderBy(col("o_orderdate"), col("orderkey")).rowsBetween(-4, 0)
+      ord(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 2).as("p"))
+        .withColumn("arr", array_sort(collect_list(col("p")).over(w)))
+        .select(col("custkey"), col("orderkey"),
+          size(col("arr")).as("n_in_frame"),
+          element_at(col("arr"),
+            expr("cast((size(arr) + 1) div 2 as int)")).as("med_trailing"))
+        .orderBy("custkey", "orderkey")
+    },
+    Some("""WITH b AS (SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |  list_sort(list(round(o_totalprice, 2)) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+      | FROM orders)
+      |SELECT custkey, orderkey, len(arr) AS n_in_frame,
+      | arr[(len(arr) + 1) // 2] AS med_trailing
+      |FROM b ORDER BY custkey, orderkey""".stripMargin))
+
   /** Partition-skew audit — the diagnostics pass an ops team runs
     * BEFORE choosing a skew mitigation (the j_skew_salted /
     * operators.Skew machinery this library already carries): per-key
@@ -1311,5 +1454,5 @@ object QueriesAggWindow {
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
     wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma, wTimeWeighted,
     gSampleWeighted, wAnomalyMad, wGapIslands, wSessionize, oIncrementalAgg,
-    gHllMergeable, gQuantileSketch)
+    gHllMergeable, gQuantileSketch, gSimpson, wRollingMedian, oCdcApply)
 }
