@@ -406,6 +406,52 @@ object Queries {
       |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
       |ORDER BY l_orderkey, l_linenumber""".stripMargin))
 
+  /** Fuzzy (edit-distance ≤ 1) self-join — the approximate-match join a
+    * dedup/entity-resolution pass needs, spelled SCALABLY: the naive
+    * spelling is an O(N²) cross join with levenshtein on every pair
+    * (that IS the DuckDB oracle here), which is dead at 10^9 rows. The
+    * Spark side instead uses FastSS deletion-neighborhood blocking
+    * (Bocek et al. 2007, "Fast Similarity Search in Large
+    * Dictionaries"): each string emits itself plus its |s| delete-one
+    * variants as blocking keys; two strings within ED 1 are GUARANTEED
+    * to share a key (substitution at i → both delete i; insertion →
+    * the longer one deletes the inserted char and hits the shorter's
+    * self-key), so the candidate set from the key-equi-join has no
+    * false negatives, and the exact codegen'd `levenshtein` pass
+    * removes the false positives (e.g. transposed pairs).
+    *
+    * Scale shape: (|s|+1)·N rows shuffle ONCE on the high-cardinality
+    * deletion key — candidates stay near-linear unless keys collide
+    * semantically (true near-dup clusters), the quadratic work is
+    * confined INSIDE each bucket, and no row ever compares against the
+    * whole table. Candidate dedup happens on (akey,bkey) before the
+    * verify so each pair pays one levenshtein. */
+  val jFuzzyEdit: Entry = Entry("j_fuzzy_edit",
+    (s, d) => {
+      val c = cust(s, d).select(col("c_custkey").as("ckey"), col("c_name").as("name"))
+      val keys = c.select(col("ckey"), col("name"),
+        explode(expr(
+          """concat(array(name),
+            |  transform(sequence(1, length(name)),
+            |    i -> concat(substring(name, 1, i - 1),
+            |                substring(name, i + 1, length(name)))))""".stripMargin
+        )).as("k"))
+      val a = keys.select(col("ckey").as("akey"), col("name").as("aname"), col("k"))
+      val b = keys.select(col("ckey").as("bkey"), col("name").as("bname"), col("k"))
+      a.join(b, "k").where(col("akey") < col("bkey"))
+        .select("akey", "aname", "bkey", "bname").distinct()
+        .where(levenshtein(col("aname"), col("bname")) <= 1)
+        .select(col("akey"), col("bkey"),
+          levenshtein(col("aname"), col("bname")).cast("long").as("dist"))
+        .orderBy("akey", "bkey")
+    },
+    Some("""SELECT a.c_custkey AS akey, b.c_custkey AS bkey,
+      | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a, customer b
+      |WHERE a.c_custkey < b.c_custkey
+      |  AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY akey, bkey""".stripMargin))
+
   /** O-topk + 3-way join: TPC-H Q3-shaped revenue top-10 (tie-broken).
     * The segment-filtered customer side is ~1/5 of a dimension table —
     * explicitly broadcast so at 100 TB the orders⋈lineitem fact side
@@ -528,7 +574,7 @@ object Queries {
   val all: Seq[Entry] = Seq(
     q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
     j1Multiway, j2Semi, j3Anti, jSkewSalted, jFullOuter, jAsof, jRangeBucketed,
-    jBucketedColocate, jBloomPrune,
+    jBucketedColocate, jBloomPrune, jFuzzyEdit,
     o1TopK, w3RankLag, gDistinct,
     fDates, fDateSpine, fMath, fJson, fStrings) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++

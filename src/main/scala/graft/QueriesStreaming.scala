@@ -747,7 +747,82 @@ object QueriesStreaming {
     },
     None)
 
+  /** Streaming per-key top-k under REAL micro-batch execution —
+    * [[StreamingOps.topKPerKey]]: a SpaceSaving summary per language
+    * held in mapGroupsWithState state, folded across two genuine
+    * micro-batches (even doc_ids then odd, so every language's counters
+    * cross the batch boundary and round-trip the state store encoder).
+    * Capacity (64) exceeds the per-language source cardinality (~20),
+    * so the SpaceSaving counts are EXACT and the final emission is
+    * hash-comparable against the plain SQL top-3-per-group oracle —
+    * same (count desc, source asc) tie-break on both sides. Below
+    * capacity the same operator degrades gracefully to the ±err
+    * overestimate bound it also emits; the entry pins the exact
+    * regime, the spec pins the eviction regime.
+    *
+    * Scale shape: state per key is O(capacity) counters no matter how
+    * long the stream runs or how many distinct values arrive — the
+    * whole argument for sketch-valued top-k state at 100 TB (exact
+    * per-key maps grow with distinct-value cardinality and OOM the
+    * state store). */
+  val stStreamTopK: Entry = Entry("st_stream_topk",
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 2)
+      import s.implicits._
+      import graft.operators.HeavyHitters.ssStateEncoder
+      val stage = stageBatchFiles(
+        "stream_topk_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_v1", {
+          val docs = tbl(outer, d, "documents").select(col("doc_id"),
+            col("lang"), col("source"))
+          Seq("b0" -> docs.where(col("doc_id") % 2 === 0),
+            "b1" -> docs.where(col("doc_id") % 2 =!= 0))
+        })
+      val name = s"st_topk_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val incoming = s.readStream
+        .schema(s.read.parquet(s"$stage/b0.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .select(col("lang"), col("source")).as[(String, String)]
+      val q = StreamingOps.topKPerKey(incoming, k = 3, capacity = 64)
+        .map { case (lang, tot, ks, cs, _) => (lang, tot, ks, cs) }
+        .toDF("lang", "n_seen", "top_sources", "top_cnts")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"expected >=2 data micro-batches (cross-batch top-k state), saw $fed")
+      } finally {
+        q.stop()
+        deleteRecursively(new java.io.File(s"target/tmp/ckpt_$name"))
+      }
+      // update-mode memory sink keeps every per-batch emission; the
+      // final answer per key is the one with the highest n_seen (totals
+      // strictly grow when a batch touches the key)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_seen").desc)
+      s.table(name)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("lang"), col("n_seen"),
+          posexplode(arrays_zip(col("top_sources"), col("top_cnts"))))
+        .select(col("lang"), col("n_seen"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("col.top_sources").as("source"), col("col.top_cnts").as("cnt"))
+        .orderBy("lang", "rank")
+    },
+    Some("""WITH c AS (SELECT lang, source, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_seen FROM c GROUP BY 1),
+      |r AS (SELECT lang, source, cnt,
+      |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rank
+      |  FROM c)
+      |SELECT r.lang, t.n_seen, r.rank, r.source, r.cnt
+      |FROM r JOIN t ON r.lang = t.lang
+      |WHERE r.rank <= 3 ORDER BY r.lang, r.rank""".stripMargin))
+
   val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom,
     stStreamExec, stStreamSessionExec, stStreamDedup, stStreamJoin,
-    stStreamRecovery, stStreamWmDedup, stStreamQuantile)
+    stStreamRecovery, stStreamWmDedup, stStreamQuantile, stStreamTopK)
 }

@@ -174,4 +174,33 @@ object StreamingOps {
           (key, st.count, KllSketch.quantiles(st, qs))
       }
   }
+
+  /** Incrementally-maintained per-key top-k heavy hitters: a
+    * [[graft.operators.HeavyHitters]] SpaceSaving summary held as
+    * mapGroupsWithState state, folded micro-batch by micro-batch. Each
+    * batch emits the key's refreshed (total, top-k keys, counts,
+    * error bounds); the LAST emission per key is the full-stream
+    * answer. State per key is O(capacity) counters — bounded however
+    * long the stream runs, and mergeable across restarts via the
+    * checkpoint. With capacity ≥ the key's distinct-value cardinality
+    * the counts are exact; below it they carry the SpaceSaving
+    * overestimate bound in `errs`. */
+  def topKPerKey(rows: Dataset[(String, String)], k: Int, capacity: Int)(
+      implicit encS: org.apache.spark.sql.Encoder[graft.operators.HeavyHitters.SSState],
+      encU: org.apache.spark.sql.Encoder[(String, Long, Seq[String], Seq[Long], Seq[Long])])
+      : Dataset[(String, Long, Seq[String], Seq[Long], Seq[Long])] = {
+    import graft.operators.HeavyHitters
+    rows.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .mapGroupsWithState[HeavyHitters.SSState,
+        (String, Long, Seq[String], Seq[Long], Seq[Long])](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, vs: Iterator[(String, String)],
+            state: GroupState[HeavyHitters.SSState]) =>
+          val st = HeavyHitters.ssUpdate(
+            state.getOption.getOrElse(HeavyHitters.ssEmpty), vs.map(_._2), capacity)
+          state.update(st)
+          val top = HeavyHitters.ssTopK(st, k)
+          (key, st.total, top.map(_._1), top.map(_._2), top.map(_._3))
+      }
+  }
 }

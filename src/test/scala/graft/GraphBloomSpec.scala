@@ -233,6 +233,46 @@ class GraphBloomSpec extends SparkSpec {
     heavy.subsetOf(cands) shouldBe true
   }
 
+  // ------------------------------------------------------- SpaceSaving
+  test("spacesaving: exact when capacity covers cardinality; bounded overestimates under eviction") {
+    import graft.operators.HeavyHitters._
+    val stream = (0 until 5000).map { i =>
+      val x = (i * 2654435761L) & 0x7fffffff
+      s"v${(x % 40) * (x % 40) / 40}" // quadratic skew, ~40 distinct
+    }
+    val truth = stream.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    // capacity 64 > 40 distinct → exact counts, zero error
+    val exact = ssUpdate(ssEmpty, stream.iterator, 64)
+    exact.total shouldBe 5000L
+    exact.errs.forall(_ == 0L) shouldBe true
+    exact.keys.zip(exact.cnts).foreach { case (k, c) => c shouldBe truth(k) }
+    // capacity 8 < distinct → every counter overestimates by ≤ its err,
+    // and every item with true count > min(cnts) is retained
+    val tight = ssUpdate(ssEmpty, stream.iterator, 8)
+    tight.keys.size shouldBe 8
+    tight.total shouldBe 5000L
+    tight.keys.indices.foreach { i =>
+      val t = truth(tight.keys(i))
+      tight.cnts(i) should be >= t
+      (tight.cnts(i) - tight.errs(i)) should be <= t
+    }
+    val minCnt = tight.cnts.min
+    truth.collect { case (k, c) if c > minCnt => k }
+      .foreach(k => tight.keys should contain(k))
+    // batch-split state folding equals one pass (the streaming property)
+    val (a, b) = stream.splitAt(2500)
+    val folded = ssUpdate(ssUpdate(ssEmpty, a.iterator, 64), b.iterator, 64)
+    folded shouldBe exact
+  }
+
+  test("spacesaving topK ordering is (count desc, key asc)") {
+    import graft.operators.HeavyHitters._
+    val st = ssUpdate(ssEmpty,
+      Iterator("b", "a", "a", "c", "b", "d"), 16)
+    ssTopK(st, 3).map(t => (t._1, t._2)) shouldBe
+      Seq(("a", 2L), ("b", 2L), ("c", 1L))
+  }
+
   test("tx_heavy_hitters entry equals the naive exact plan at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val got = QueriesPipeline.txHeavyHitters.fn(spark, d)
