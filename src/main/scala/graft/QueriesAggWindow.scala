@@ -193,6 +193,52 @@ object QueriesAggWindow {
       |SELECT c_custkey, c_name, acctbal FROM changes
       |ORDER BY custkey""".stripMargin))
 
+  /** Small-file compaction planner — the table-maintenance pass every
+    * 100 TB lakehouse runs nightly: given a file inventory (id,
+    * partition, bytes), assign files to target-size compaction bins so
+    * each rewrite task gets ~one optimal output file. Greedy sequential
+    * packing in file order: bin = floor(bytes-before-this-file /
+    * target) per partition — the industry-standard planner shape
+    * (optimal bin packing is NP-hard and pointless here; sequential
+    * keeps at most one under-full bin per partition). All-integer
+    * (sizes in cents), so the plan hashes exactly.
+    *
+    * The inventory is METADATA — a few rows per real file, millions of
+    * rows for a 100 TB table, not terabytes — so a per-partition
+    * running-sum window (one exchange on the partition key) is the
+    * right tool; the o(census) carry trick (w_gap_islands) exists if an
+    * inventory ever outgrows window sort. Orders stands in as the
+    * inventory: o_orderkey = file, o_orderpriority = table partition,
+    * totalprice-cents = bytes. */
+  val oCompactionPlan: Entry = Entry("o_compaction_plan",
+    (s, d) => {
+      val target = 100000000L // "1 GB" in cents-as-bytes: ~30 files per bin
+      val w = Window.partitionBy(col("part")).orderBy(col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inv = ord(s, d).select(col("o_orderkey").as("file_id"),
+        col("o_orderpriority").as("part"),
+        col("o_totalprice").cast(DecimalType(18, 2)).multiply(100)
+          .cast("long").as("bytes"))
+      val planned = inv
+        .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"before div $target"))
+      planned.groupBy(col("part"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+          min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+        .orderBy("part", "bin")
+    },
+    Some("""WITH inv AS (SELECT o_orderkey AS file_id, o_orderpriority AS part,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS bytes
+      | FROM orders),
+      |pl AS (SELECT file_id, part, bytes,
+      |  CAST(coalesce(sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 100000000
+      |   AS BIGINT) AS bin
+      | FROM inv)
+      |SELECT part, bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+      | min(file_id) AS first_file, max(file_id) AS last_file
+      |FROM pl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** Ordered CDC apply — the OTHER half of the lakehouse story next to
     * o_upsert (single-batch merge) and o_snapshot_diff (explain a
     * merge): replay a sequenced change log (I/U/D per key, seq =
@@ -1454,5 +1500,6 @@ object QueriesAggWindow {
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
     wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma, wTimeWeighted,
     gSampleWeighted, wAnomalyMad, wGapIslands, wSessionize, oIncrementalAgg,
-    gHllMergeable, gQuantileSketch, gSimpson, wRollingMedian, oCdcApply)
+    gHllMergeable, gQuantileSketch, gSimpson, wRollingMedian, oCdcApply,
+    oCompactionPlan)
 }

@@ -170,6 +170,49 @@ object QueriesEnsemble {
       |FROM orders WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** S6: SCHEMA EVOLUTION across parquet file generations — the drift
+    * every long-lived 100 TB table accumulates (a column added by a new
+    * writer version while years of old files lack it). Two fixture
+    * generations are written with DIFFERENT schemas — v1 (c_custkey,
+    * c_acctbal) for even keys, v2 adds c_tier for odd keys — then read
+    * back through `mergeSchema`, which unions the footers and
+    * null-fills the missing column on old files; the aggregate groups
+    * by the evolved column with the null bucket made explicit. The
+    * oracle re-derives the same census from the source table, so a
+    * dropped generation, a mis-merged schema, or wrong null-fill all
+    * hash-fail.
+    *
+    * Scale note: mergeSchema=true footer-merges EVERY file at listing
+    * time — right for proving the semantics, wrong as a default at
+    * 10^7 files; production pins the merged schema explicitly
+    * (`.schema(evolved)`) and gets the same null-fill per file, which
+    * is the cheap path this entry's read also demonstrates shape-wise
+    * (the merge IS the evolved schema here: 2 footers). */
+  val s6SchemaEvolution: Entry = Entry("s6_schema_evolution",
+    (s, d) => {
+      val out = s"target/tmp/schema_evo_${fixtureVer}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      val tier = when(col("c_acctbal") >= 5000, "gold")
+        .when(col("c_acctbal") >= 0, "std").otherwise("neg")
+      if (!new java.io.File(s"$out/v1/_SUCCESS").isFile)
+        tbl(s, d, "customer").where(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_acctbal"))
+          .write.mode("overwrite").parquet(s"$out/v1")
+      if (!new java.io.File(s"$out/v2/_SUCCESS").isFile)
+        tbl(s, d, "customer").where(col("c_custkey") % 2 =!= 0)
+          .select(col("c_custkey"), col("c_acctbal"), tier.as("c_tier"))
+          .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .groupBy(coalesce(col("c_tier"), lit("pre_evolution")).as("tier"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("c_acctbal")).as("bal"))
+        .orderBy("tier")
+    },
+    Some(s"""SELECT coalesce(CASE WHEN c_custkey % 2 = 1 THEN
+      |   CASE WHEN c_acctbal >= 5000 THEN 'gold'
+      |        WHEN c_acctbal >= 0 THEN 'std' ELSE 'neg' END
+      |  END, 'pre_evolution') AS tier,
+      | count(*) AS n, ${Tables.sqlDsum("c_acctbal")} AS bal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** S4 + S2/S3 + F3 round-trip: write the (id, is_iceberg) submission
     * as a headered CSV with 6-dp fixed formatting (float_format='%.6f',
     * sub_stacking.py:43; sink main.py:313-316), then read it back from
@@ -345,5 +388,5 @@ object QueriesEnsemble {
   val all: Seq[Entry] = Seq(
     ensMean, ensMedian, ensPushoutMedian, ensMinmaxMean, ensMinmaxMedian,
     ensMinmaxBestbase, ensRankAverage, ensFoldDirs, s4CsvRoundtrip,
-    s5PartitionedPrune, s3Provenance, s1SarIngest)
+    s5PartitionedPrune, s6SchemaEvolution, s3Provenance, s1SarIngest)
 }

@@ -829,6 +829,46 @@ object QueriesPipeline {
       | FROM e, p)
       |SELECT vec_id, dist FROM c ORDER BY dist, vec_id LIMIT 10""".stripMargin))
 
+  /** ANN via Product Quantization + ADC ([[Similarity.pqTopK]]) — the
+    * compressed-domain scale path next to sim_ann_lsh (bucket pruning)
+    * and sim_ann_ivf (cell pruning): vectors are scored from an 8-byte
+    * code against a precomputed probe↔centroid distance table instead
+    * of their 64 raw floats. Unlike the recall-gated sketches, the
+    * oracle REPLAYS THE WHOLE PQ PIPELINE in SQL — list-sliced subspace
+    * distances, argmin code assignment with the same (d2, cid)
+    * tie-break, m-ordered ADC fold — so the approximate result itself
+    * is hash-compared bit-for-bit: a faithfulness gate on the
+    * quantizer, not a loose quality bound. */
+  val simAnnPq: Entry = Entry("sim_ann_pq",
+    (s, d) => Similarity.pqTopK(emb(s, d), probeId = 0, k = 10),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |sd AS (SELECT e.vec_id, t.m, cb.cid,
+      |  list_sum(list_transform(
+      |    list_zip(e.v[t.m*8+1 : t.m*8+8], cb.cv[t.m*8+1 : t.m*8+8]),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      | FROM e, range(0, 8) t(m), cb),
+      |asg AS (SELECT vec_id, m, cid,
+      |  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+      | FROM sd),
+      |dt AS (SELECT cb.cid, t.m,
+      |  list_sum(list_transform(
+      |    list_zip(p.pv[t.m*8+1 : t.m*8+8], cb.cv[t.m*8+1 : t.m*8+8]),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS pd2
+      | FROM p, range(0, 8) t(m), cb),
+      |adc AS (SELECT a.vec_id, list_sum(list(dt.pd2 ORDER BY a.m)) AS adc_raw
+      | FROM asg a JOIN dt ON a.m = dt.m AND a.cid = dt.cid
+      | WHERE a.rn = 1 GROUP BY a.vec_id),
+      |td AS (SELECT e.vec_id,
+      |  sqrt(list_sum(list_transform(list_zip(e.v, p.pv),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2])))) AS td
+      | FROM e, p)
+      |SELECT a.vec_id, round(sqrt(a.adc_raw), 6) AS adc_dist,
+      | round(t.td, 6) AS true_dist
+      |FROM adc a JOIN td t ON a.vec_id = t.vec_id
+      |ORDER BY a.adc_raw, a.vec_id LIMIT 10""".stripMargin))
+
   /** Nearest-centroid assignment ([[Similarity.kmeansAssign]]) — the
     * k-means E-step and the backbone of clustering-based curation
     * (cluster the corpus, then sample/filter per cluster). Centroids
@@ -1787,6 +1827,6 @@ object QueriesPipeline {
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
     plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,
     plSubstringDup,
-    simTopk, simAnnLsh, simAnnIvf, simKmeans, simNearDup,
+    simTopk, simAnnLsh, simAnnIvf, simAnnPq, simKmeans, simNearDup,
     mmDecode, mmResize, mmWav, mmVideoFrames)
 }

@@ -139,6 +139,77 @@ object Similarity {
     }
   }
 
+  /** ANN via Product Quantization with Asymmetric Distance Computation
+    * (Jégou, Douze & Schmid, "Product quantization for nearest neighbor
+    * search", TPAMI 2011): split each D-dim vector into `m` subvectors,
+    * quantize every subvector to its nearest codebook entry, and score
+    * candidates by summing the PRE-COMPUTED probe↔centroid subspace
+    * distances their codes index (ADC) — per-vector work drops from D
+    * multiplies to m table lookups, and a stored corpus keeps only
+    * m·log2(ksub) bits per vector (8 bytes here vs 256 for the raw
+    * floats: the memory story that makes billion-vector search fit).
+    *
+    * Codebooks are pinned deterministically (the ksub lowest vec_ids'
+    * subvectors — the k-means refinement shifts quality, not
+    * semantics), every float reduction is a fixed left-to-right fold,
+    * and argmin ties break to the lowest centroid id, so the whole
+    * pipeline is a pure function an oracle can replay bit-for-bit —
+    * the PQ faithfulness contract, not a loose recall bound.
+    *
+    * Scale shape: codebook (ksub rows) and distance table (m·ksub
+    * doubles) are driver-built and closure-broadcast; the corpus scan
+    * is ONE pass with no shuffle except the global top-k
+    * (TakeOrderedAndProject). Composes with [[ivfTopK]]'s cell pruning
+    * as classic IVF-PQ: IVF prunes WHICH vectors are scanned, PQ
+    * compresses HOW each is scored. */
+  def pqTopK(emb: DataFrame, probeId: Long, k: Int,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val base = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+    // ksub-row codebook fetch + 1-row probe fetch (same driver-side
+    // contract as ivfTopK's probe): tiny by construction
+    val cb: Array[Array[Double]] = base.where(col("vec_id") < ksub)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray)).sortBy(_._1).map(_._2)
+    require(cb.length == ksub, s"codebook needs vec_ids 0..${ksub - 1}")
+    val pv: Array[Double] = base.where(col("vec_id") === probeId)
+      .collect().head.getSeq[Double](1).toArray
+    val dim = pv.length
+    val sub = dim / m
+    def sliceD2(a: Array[Double], b: Array[Double], mi: Int): Double = {
+      var s = 0.0; var j = mi * sub
+      while (j < (mi + 1) * sub) { val dd = a(j) - b(j); s += dd * dd; j += 1 }
+      s
+    }
+    // ADC table: probe↔centroid distance per (subspace, code)
+    val dt: Array[Array[Double]] =
+      Array.tabulate(m, ksub)((mi, ci) => sliceD2(pv, cb(ci), mi))
+    // JVM loops (not HOF lambdas) for the hot path; left-to-right sums
+    // match the oracle's list_sum fold order
+    val adcU = udf((v: Array[Double]) => {
+      var acc = 0.0; var mi = 0
+      while (mi < m) {
+        var best = 0; var bestD = Double.MaxValue; var ci = 0
+        while (ci < ksub) {
+          val s = sliceD2(v, cb(ci), mi)
+          if (s < bestD) { bestD = s; best = ci } // tie → lowest code
+          ci += 1
+        }
+        acc += dt(mi)(best)
+        mi += 1
+      }
+      acc
+    })
+    val trueU = udf((v: Array[Double]) => {
+      var s = 0.0; var j = 0
+      while (j < dim && j < v.length) { val dd = v(j) - pv(j); s += dd * dd; j += 1 }
+      math.sqrt(s)
+    })
+    base.select(col("vec_id"), adcU(col("v")).as("adc_raw"), trueU(col("v")).as("td"))
+      .orderBy(col("adc_raw"), col("vec_id")).limit(k)
+      .select(col("vec_id"), round(sqrt(col("adc_raw")), 6).as("adc_dist"),
+        round(col("td"), 6).as("true_dist"))
+  }
+
   /** Embedding near-duplicate pairs above a distance cut, via BANDED
     * random-projection LSH: each band's key concatenates the bucket ids
     * of r independent projections, so a collision needs r simultaneous
