@@ -272,6 +272,36 @@ object Queries {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin))
 
+  /** FORWARD as-of: for each click, the next purchase by the same user
+    * at-or-after it ([[graft.operators.AsOf.asofJoinForward]]) —
+    * j_asof's time-mirror ("label events with the outcome that
+    * followed" is how a conversion/attribution pipeline builds training
+    * targets). Build side pre-aggregates per (user, ts) so "the
+    * earliest following row" is deterministic. Oracle: DuckDB's native
+    * forward ASOF (`p.ts <= b.ts`) — the declarative semantics, not a
+    * replay of the window composition. */
+  val jAsofForward: Entry = Entry("j_asof_forward",
+    (s, d) => {
+      val ev = tbl(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOf.asofJoinForward(clicks, purchases, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("asof.t").as("purchase_ts"), col("asof.purchase_value").as("purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  max(value) AS purchase_value
+      | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      | FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      | b.ts AS purchase_ts, b.purchase_value
+      |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts
+      |ORDER BY p.event_id""".stripMargin))
+
   /** J-range: bucketed interval join ([[graft.operators.RangeJoin]]) —
     * clicks landing inside each signup's 2-hour follow-on window,
     * counted per signup, zero-match signups kept via a left re-attach.
@@ -573,7 +603,8 @@ object Queries {
   // Registry — batches append here.
   val all: Seq[Entry] = Seq(
     q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
-    j1Multiway, j2Semi, j3Anti, jSkewSalted, jFullOuter, jAsof, jRangeBucketed,
+    j1Multiway, j2Semi, j3Anti, jSkewSalted, jFullOuter, jAsof, jAsofForward,
+    jRangeBucketed,
     jBucketedColocate, jBloomPrune, jFuzzyEdit,
     o1TopK, w3RankLag, gDistinct,
     fDates, fDateSpine, fMath, fJson, fStrings) ++

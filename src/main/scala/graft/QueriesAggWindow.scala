@@ -193,6 +193,92 @@ object QueriesAggWindow {
       |SELECT c_custkey, c_name, acctbal FROM changes
       |ORDER BY custkey""".stripMargin))
 
+  /** Count-Min sketch (Cormode & Muthukrishnan, "An improved data
+    * stream summary: the count-min sketch and its applications",
+    * J. Algorithms 2005) — the fifth mergeable summary in the library's
+    * sketch family (HLL distinct, KLL quantiles, Bloom membership,
+    * SpaceSaving top-k, CM point frequencies): d=3 affine-modular hash
+    * rows of w=1024 counters; est(k) = min over rows of the counter k
+    * hashes to — an overestimate by at most the collision mass, never
+    * under. The hashes are pairwise-independent ((a·k+b) mod p mod w,
+    * p = 2^31-1) and PURE INTEGER arithmetic, so the oracle replays
+    * the entire sketch — build, merge, probe — in SQL and the
+    * estimates hash-compare exactly: a faithfulness gate, not a bound
+    * check. Probed on the top-20 keys (tie-broken), where CM's
+    * guarantee is strongest.
+    *
+    * Scale shape: the key census is ONE partial+final agg; the sketch
+    * build re-aggregates census rows (not facts) onto 3·1024 counters
+    * — a table THIS size is the whole point: counters sum cell-wise
+    * across partitions/days/streams (the merge the groupBy's partial
+    * agg is literally performing), so per-shard sketches roll up for
+    * free where exact per-key counts would shuffle every key. */
+  val gCmsSketch: Entry = Entry("g_cms_sketch",
+    (s, d) => {
+      val P = 2147483647L
+      val W = 1024L
+      val params = Seq((0, 1103515245L, 12345L), (1, 22695477L, 1L), (2, 69069L, 5L))
+      val census = ord(s, d).groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val expanded = census.select(col("key"), col("cnt"),
+        explode(array(params.map { case (j, a, b) =>
+          struct(lit(j).as("j"),
+            ((col("key") * a + b) % P % W).as("h"))
+        }: _*)).as("jh"))
+        .select(col("key"), col("cnt"), col("jh.j").as("j"), col("jh.h").as("h"))
+      val cm = expanded.groupBy("j", "h").agg(sum(col("cnt")).as("s"))
+      val top = census.orderBy(col("cnt").desc, col("key")).limit(20)
+      top.join(expanded.drop("cnt"), Seq("key"))
+        .join(broadcast(cm), Seq("j", "h"))
+        .groupBy("key").agg(max(col("cnt")).as("cnt"), min(col("s")).as("cms_est"))
+        .orderBy("key")
+    },
+    Some("""WITH c AS (SELECT o_custkey AS key, count(*) AS cnt
+      |  FROM orders GROUP BY 1),
+      |e AS (SELECT key, cnt, j,
+      |  CAST((key * a + b) % 2147483647 % 1024 AS BIGINT) AS h
+      | FROM c, (VALUES (0, 1103515245, 12345), (1, 22695477, 1),
+      |   (2, 69069, 5)) t(j, a, b)),
+      |cm AS (SELECT j, h, CAST(sum(cnt) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+      |top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 20)
+      |SELECT top.key, max(top.cnt) AS cnt, min(cm.s) AS cms_est
+      |FROM top JOIN e ON top.key = e.key JOIN cm ON e.j = cm.j AND e.h = cm.h
+      |GROUP BY top.key ORDER BY top.key""".stripMargin))
+
+  /** Navigation-function window family — first_value / last_value /
+    * nth_value over the FULL partition frame (w3_rank_lag covers
+    * rank/lag; this closes the navigation trio): each order row carries
+    * its customer's first, last, and second order price under the
+    * (date, key) total order — the "attach the cohort's anchor row to
+    * every member" shape. Full-frame last_value needs the explicit
+    * UNBOUNDED FOLLOWING bound in BOTH engines (the default frame stops
+    * at CURRENT ROW and silently turns last_value into "running
+    * latest"). One exchange on custkey, one WindowExec, all three
+    * functions share the frame. */
+  val wFirstLast: Entry = Entry("w_first_last",
+    (s, d) => {
+      val w = Window.partitionBy(col("custkey"))
+        .orderBy(col("o_orderdate"), col("orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ord(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 2).as("p"))
+        .select(col("custkey"), col("orderkey"), col("p"),
+          first(col("p")).over(w).as("first_p"),
+          last(col("p")).over(w).as("last_p"),
+          nth_value(col("p"), 2).over(w).as("second_p"))
+        .orderBy("custkey", "orderkey")
+    },
+    Some("""SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      | round(o_totalprice, 2) AS p,
+      | first_value(round(o_totalprice, 2)) OVER w AS first_p,
+      | last_value(round(o_totalprice, 2)) OVER w AS last_p,
+      | nth_value(round(o_totalprice, 2), 2) OVER w AS second_p
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY custkey, orderkey""".stripMargin))
+
   /** Small-file compaction planner — the table-maintenance pass every
     * 100 TB lakehouse runs nightly: given a file inventory (id,
     * partition, bytes), assign files to target-size compaction bins so
@@ -1501,5 +1587,5 @@ object QueriesAggWindow {
     wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma, wTimeWeighted,
     gSampleWeighted, wAnomalyMad, wGapIslands, wSessionize, oIncrementalAgg,
     gHllMergeable, gQuantileSketch, gSimpson, wRollingMedian, oCdcApply,
-    oCompactionPlan)
+    oCompactionPlan, wFirstLast, gCmsSketch)
 }

@@ -58,4 +58,29 @@ object AsOf {
       .filter(col("__side") === 1)
       .drop("__side", "__asof")
   }
+
+  /** FORWARD as-of join: attach the EARLIEST build row with
+    * build.time >= probe.time ("the next quote after this trade", "the
+    * first purchase after this click"). Same union+window composition
+    * as [[asofJoin]], mirrored: probe sorts BEFORE build on time ties
+    * (the `>=` tie matches), the frame looks forward
+    * (CURRENT..UNBOUNDED FOLLOWING), and `first(ignoreNulls)` replaces
+    * `last`. Identical scale shape: ONE shuffle on the key, no row
+    * explosion. */
+  def asofJoinForward(probe: DataFrame, build: DataFrame, key: String,
+      time: String): DataFrame = {
+    val payload = build.columns.filter(c => c != key && c != time).toSeq
+    val b = build
+      .withColumn("__asof", struct(col(time).as("t") +: payload.map(col): _*))
+      .drop(payload: _*)
+      .withColumn("__side", lit(1))
+    val p = probe.withColumn("__side", lit(0))
+    val w = Window.partitionBy(key)
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    p.unionByName(b, allowMissingColumns = true)
+      .withColumn("asof", first(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .drop("__side", "__asof")
+  }
 }
