@@ -459,12 +459,17 @@ object Queries {
   val jFuzzyEdit: Entry = Entry("j_fuzzy_edit",
     (s, d) => {
       val c = cust(s, d).select(col("c_custkey").as("ckey"), col("c_name").as("name"))
+      // array_distinct BEFORE the explode: strings with repeated chars
+      // (here: zero runs in the padded ids) yield the same delete-one
+      // variant from every position in the run — undeduped, two names
+      // differing inside a run of r repeats would meet on r·r key rows
+      // and explode the candidate set r² before its distinct
       val keys = c.select(col("ckey"), col("name"),
         explode(expr(
-          """concat(array(name),
+          """array_distinct(concat(array(name),
             |  transform(sequence(1, length(name)),
             |    i -> concat(substring(name, 1, i - 1),
-            |                substring(name, i + 1, length(name)))))""".stripMargin
+            |                substring(name, i + 1, length(name))))))""".stripMargin
         )).as("k"))
       val a = keys.select(col("ckey").as("akey"), col("name").as("aname"), col("k"))
       val b = keys.select(col("ckey").as("bkey"), col("name").as("bname"), col("k"))

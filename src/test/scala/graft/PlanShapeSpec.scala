@@ -406,4 +406,65 @@ class PlanShapeSpec extends SparkSpec {
       p should not include "CartesianProduct"
     }
   }
+
+  test("j_fuzzy_edit: blocking equi-join — NEVER a cartesian/nested-loop pair scan") {
+    val p = staticPlan(Queries.jFuzzyEdit.fn(spark, sf))
+    withClue(p) {
+      // the whole point of FastSS blocking vs the oracle's O(N²) spell
+      p should not include "CartesianProduct"
+      p should not include "NestedLoop"
+    }
+    // at-scale shape: both sides fact-sized → sort-merge equi-join on
+    // the deletion key, one exchange per side
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = staticPlan(Queries.jFuzzyEdit.fn(spark, sf))
+      withClue(p2) {
+        p2 should include("SortMergeJoin")
+        p2 should not include "NestedLoop"
+        p2 should not include "CartesianProduct"
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("o_cdc_apply: log collapses in a partial agg; apply is ONE full-outer join") {
+    val p = staticPlan(QueriesAggWindow.oCdcApply.fn(spark, sf))
+    withClue(p) {
+      p should include("FullOuter")
+      p should not include "Window" // latest-wins via max_by agg, no row_number sort
+      // log-side agg exchange + the two join sides; nothing fact-sized twice
+      hashEx(p) should be <= 3
+    }
+  }
+
+  test("o_compaction_plan: window and (part,bin) census share the partition exchange") {
+    val p = staticPlan(QueriesAggWindow.oCompactionPlan.fn(spark, sf))
+    withClue(p) {
+      // hash(part) satisfies the (part, bin) grouping — the census agg
+      // plans NO second hash exchange after the running-sum window
+      hashEx(p) shouldBe 1
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
+  test("sim_ann_pq: one scan, zero shuffles — top-k via TakeOrdered only") {
+    val p = staticPlan(graft.operators.Similarity.pqTopK(
+      Tables.tbl(spark, sf, "embeddings"), probeId = 0, k = 10))
+    withClue(p) {
+      hashEx(p) shouldBe 0
+      p should include("TakeOrderedAndProject")
+      p should not include "Join"
+    }
+  }
+
+  test("g_simpson_ppm: dims broadcast; facts never sort-merge") {
+    val p = staticPlan(QueriesAggWindow.gSimpson.fn(spark, sf))
+    withClue(p) {
+      "BroadcastHashJoin".r.findAllIn(p).size shouldBe 2
+      p should not include "SortMergeJoin"
+      // cell census + nation rollup: two hash exchanges, both tiny-row
+      hashEx(p) shouldBe 2
+    }
+  }
 }
