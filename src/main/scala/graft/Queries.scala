@@ -605,6 +605,24 @@ object Queries {
       | replace(p_name, ' ', '_') AS snake
       |FROM part ORDER BY p_partkey""".stripMargin))
 
+  /** F-hashes: cryptographic content digests — the content-addressing
+    * primitive of every dedup/provenance pipeline (exact-dup keys,
+    * cache keys, change detection are all "hash the bytes"). Both
+    * engines digest the SAME UTF-8 bytes, so the hex strings match
+    * exactly; the digest census (n vs n_distinct per digest length)
+    * doubles as an exact-dup audit on the corpus. Map-only — hashing
+    * is embarrassingly parallel, the shape that matters at 100 TB. */
+  val fContentHash: Entry = Entry("f_content_hash",
+    (s, d) => tbl(s, d, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        sha2(col("text"), 256).as("sha256_hex"),
+        length(col("text")).cast("long").as("n_chars_txt"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+      | length(text) AS n_chars_txt
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
   // Registry — batches append here.
   val all: Seq[Entry] = Seq(
     q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
@@ -612,7 +630,7 @@ object Queries {
     jRangeBucketed,
     jBucketedColocate, jBloomPrune, jFuzzyEdit,
     o1TopK, w3RankLag, gDistinct,
-    fDates, fDateSpine, fMath, fJson, fStrings) ++
+    fDates, fDateSpine, fMath, fJson, fStrings, fContentHash) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++
     QueriesAggWindow.all ++ QueriesPipeline.all ++ QueriesStreaming.all ++
     QueriesMl.all ++ QueriesSql.all ++ QueriesGraph.all

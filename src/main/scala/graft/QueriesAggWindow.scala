@@ -193,6 +193,48 @@ object QueriesAggWindow {
       |SELECT c_custkey, c_name, acctbal FROM changes
       |ORDER BY custkey""".stripMargin))
 
+  /** Running DISTINCT count per key — "how many distinct event types
+    * has this user touched so far" at every event, the
+    * breadth-of-engagement feature stream. Spark (and SQL generally)
+    * has no `count(DISTINCT x) OVER (...)`; the scalable spelling is
+    * the FIRST-OCCURRENCE FLAG idiom: row_number = 1 inside
+    * (key, value) marks each value's first sighting, and a running sum
+    * of the flags over the (key, time) order IS the running distinct
+    * count. Two windows — and left to itself the planner shuffles
+    * TWICE (hash(user, type) for the flag window, then hash(user) for
+    * the running sum). The explicit repartition(user_id) pins ONE
+    * fact-row exchange instead: hash(user) is a subset-clustering of
+    * (user, type), so it satisfies BOTH window distributions and each
+    * WindowExec just sorts within partitions (plan-pinned in
+    * PlanShapeSpec). Ties are impossible under the (ts, event_id) total
+    * order; the oracle CASTs its ns timestamps to µs so both engines
+    * order identical instants. */
+  val wRunningDistinct: Entry = Entry("w_running_distinct",
+    (s, d) => {
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .repartition(col("user_id"))
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"),
+          sum(col("first_seen")).over(wRun).as("n_distinct_types"))
+        .orderBy("event_id")
+    },
+    Some("""WITH f AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+      | FROM events)
+      |SELECT event_id, user_id,
+      | CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |  AS n_distinct_types
+      |FROM f ORDER BY event_id""".stripMargin))
+
   /** Count-Min sketch (Cormode & Muthukrishnan, "An improved data
     * stream summary: the count-min sketch and its applications",
     * J. Algorithms 2005) — the fifth mergeable summary in the library's
@@ -1587,5 +1629,5 @@ object QueriesAggWindow {
     wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma, wTimeWeighted,
     gSampleWeighted, wAnomalyMad, wGapIslands, wSessionize, oIncrementalAgg,
     gHllMergeable, gQuantileSketch, gSimpson, wRollingMedian, oCdcApply,
-    oCompactionPlan, wFirstLast, gCmsSketch)
+    oCompactionPlan, wFirstLast, gCmsSketch, wRunningDistinct)
 }

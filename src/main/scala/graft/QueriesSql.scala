@@ -54,6 +54,43 @@ object QueriesSql {
       | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** DYNAMIC pivot — g_pivot hardcodes its column values; real
+    * report/feature pipelines don't know them up front. The standard
+    * two-phase Spark pattern: a tiny distinct-values query runs first
+    * (driver-side collect of the pivot domain — METADATA-sized by
+    * definition: a pivot only makes sense over a small domain), its
+    * sorted result becomes the pivot column list, and the main plan
+    * compiles against it. The oracle pins the five priorities the
+    * discovery must find — a wrong/missing discovered value changes
+    * the schema and hash-fails, so the dynamic phase is itself under
+    * test. Count cells coalesce to 0 on both sides. */
+  val gPivotDynamic: Entry = Entry("g_pivot_dynamic",
+    (s, d) => {
+      val vals = tbl(s, d, "orders").select(col("o_orderpriority"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      def cname(v: String) = "p" + v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      val cst = tbl(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val nat = tbl(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      tbl(s, d, "orders").select(col("o_custkey"), col("o_orderpriority"))
+        .join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .pivot("o_orderpriority", vals)
+        .agg(count(lit(1)))
+        .select(col("nation") +: vals.map(v =>
+          coalesce(col(s"`$v`"), lit(0L)).as(cname(v))): _*)
+        .orderBy("nation")
+    },
+    Some("""SELECT n_name AS nation,
+      | CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+      | CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+      | CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+      | CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_not_specified,
+      | CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Scalar + IN subqueries through the spark.sql surface: orders above
     * the global average price from customers in a nation subset. */
   val sqSubqueries: Entry = Entry("sq_subqueries",
@@ -219,6 +256,7 @@ object QueriesSql {
       |SELECT c_nationkey, c_custkey, c_acctbal FROM r WHERE rn <= 3
       |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin))
 
-  val all: Seq[Entry] = Seq(q5Join5, gPivot, sqSubqueries, fStructJson, oTopkPerGroupNative,
+  val all: Seq[Entry] = Seq(q5Join5, gPivot, gPivotDynamic, sqSubqueries,
+    fStructJson, oTopkPerGroupNative,
     oUnionSemantics, gConditionalAgg, fIntervalsNulls, oExplodeWords, fMapJson)
 }

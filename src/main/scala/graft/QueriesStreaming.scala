@@ -747,6 +747,67 @@ object QueriesStreaming {
     },
     None)
 
+  /** The BUILT-IN session_window operator under REAL micro-batch
+    * execution — st_session proves the batch spelling against the
+    * lag/gap oracle and st_stream_session_exec proves the custom-state
+    * path; this closes the matrix: Spark's native session aggregation
+    * with watermarked append-mode finalization, sessions crossing the
+    * batch boundary (event_id-parity split, so most users have rows in
+    * BOTH data batches and their open session state must merge).
+    * Choreography (the st_stream_wm_dedup lesson): the 40-day
+    * watermark delay covers the fixture's whole 30-day event span, so
+    * nothing in batch 1 is late w.r.t. batch 0's max; two driver rows
+    * at 2031 then advance the watermark past every real session's end
+    * — eviction uses the PREVIOUS batch's watermark, hence driver
+    * batch b3 — flushing ALL real sessions to the append sink while
+    * the driver's own still-open session never finalizes (excluded by
+    * key anyway). Oracle: the same declarative lag/gap construction
+    * st_session uses, driver key filtered. */
+  val stStreamSessionWindow: Entry = Entry("st_stream_session_window",
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 2)
+      def at(t: String) = lit(s"2031-01-01 $t").cast("timestamp")
+      val stage = stageBatchFiles(
+        "stream_sesswin_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_v1", {
+          val base = tbl(outer, d, "events")
+            .select(col("event_id"), col("user_id"), col("ts"))
+          val driver1 = base.limit(1)
+            .select(lit(-1L).as("user_id"), at("00:00:00").as("ts"))
+          val driver2 = base.limit(1)
+            .select(lit(-1L).as("user_id"), at("16:00:00").as("ts"))
+          Seq(
+            "b0" -> base.where(col("event_id") % 2 === 0).select(col("user_id"), col("ts")),
+            "b1" -> base.where(col("event_id") % 2 =!= 0).select(col("user_id"), col("ts")),
+            "b2" -> driver1,
+            "b3" -> driver2)
+        })
+      val name = s"st_sesswin_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val q = s.readStream
+        .schema(s.read.parquet(s"$stage/b0.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withWatermark("ts", "40 days")
+        .groupBy(session_window(col("ts"), "8 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 4,
+          s"expected >=4 data micro-batches (cross-batch session merge + flush), saw $fed")
+      } finally {
+        q.stop()
+        deleteRecursively(new java.io.File(s"target/tmp/ckpt_$name"))
+      }
+      s.table(name).where(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    },
+    Some(sessionOracle))
+
   /** Streaming per-key top-k under REAL micro-batch execution —
     * [[StreamingOps.topKPerKey]]: a SpaceSaving summary per language
     * held in mapGroupsWithState state, folded across two genuine
@@ -824,5 +885,6 @@ object QueriesStreaming {
 
   val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom,
     stStreamExec, stStreamSessionExec, stStreamDedup, stStreamJoin,
-    stStreamRecovery, stStreamWmDedup, stStreamQuantile, stStreamTopK)
+    stStreamRecovery, stStreamWmDedup, stStreamQuantile, stStreamTopK,
+    stStreamSessionWindow)
 }

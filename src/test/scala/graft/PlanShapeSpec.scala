@@ -467,4 +467,45 @@ class PlanShapeSpec extends SparkSpec {
       hashEx(p) shouldBe 2
     }
   }
+
+  test("w_running_distinct: BOTH windows ride the explicit user_id repartition") {
+    val p = staticPlan(QueriesAggWindow.wRunningDistinct.fn(spark, sf))
+    withClue(p) {
+      // hash(user) is a subset-clustering of (user, type): the
+      // first-seen-flag window AND the running sum sort in place on
+      // the one REPARTITION_BY_COL exchange — without it the planner
+      // shuffles the event facts twice (observed pre-fix)
+      hashEx(p) shouldBe 1
+      p should include("REPARTITION_BY_COL") // ...and it's OUR exchange:
+      // the planner added none of its own on top
+      "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+      "Window".r.findAllIn(p).size shouldBe 2
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
+  test("g_pivot_dynamic: dims broadcast; pivot is the standard two-level agg") {
+    val p = staticPlan(QueriesSql.gPivotDynamic.fn(spark, sf))
+    withClue(p) {
+      // orders joins customer and nation as broadcasts (facts never
+      // sort-merge); the pivot compiles to (nation, priority) census →
+      // pivotfirst on nation — two hash exchanges, both post-reduction
+      "BroadcastHashJoin".r.findAllIn(p).size shouldBe 2
+      p should not include "SortMergeJoin"
+      hashEx(p) shouldBe 2
+      p should include("pivotfirst")
+    }
+  }
+
+  test("f_content_hash: digesting is scan-stage map-only") {
+    val p = staticPlan(Queries.fContentHash.fn(spark, sf))
+    withClue(p) {
+      // md5/sha2 evaluate inside the scan's project — the ONLY
+      // exchange is the output-contract orderBy; this is the shape
+      // that makes content-addressing viable at 100 TB
+      hashEx(p) shouldBe 0
+      "- Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+      "Scan parquet".r.findAllIn(p).size shouldBe 1
+    }
+  }
 }
