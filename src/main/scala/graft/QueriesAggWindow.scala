@@ -1620,6 +1620,103 @@ object QueriesAggWindow {
       |FROM cells JOIN r USING (period) JOIN c USING (event_type), n, dof
       |GROUP BY dof, n""".stripMargin))
 
+  /** Running-peak / maximum-drawdown — the risk statistic every
+    * portfolio-, inventory-, or quota-monitoring pipeline computes over
+    * a per-key value series: walk the series in time order, track the
+    * running peak of the cumulative position, and report the deepest
+    * peak-to-trough fall. The position here is the signed order flow
+    * (even orderkeys add, odd subtract — deterministic, and guarantees
+    * genuine drawdowns exist), all in exact BIGINT cents so both
+    * engines agree bit-for-bit.
+    *
+    * Scale shape: ONE o_custkey exchange serves the running-sum window,
+    * the running-max window (same spec → same Window node), AND the
+    * final per-customer groupBy (hash(custkey) already satisfies the
+    * grouping). Per-key series length is bounded by orders-per-customer
+    * — no global window anywhere. */
+  val wDrawdown: Entry = Entry("w_drawdown",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("v"))
+        .withColumn("delta",
+          when(col("o_orderkey") % 2 === 0, col("v")).otherwise(-col("v")))
+        .withColumn("equity", sum(col("delta")).over(w))
+        .withColumn("peak", max(col("equity")).over(w))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("peak")).as("peak_cents"),
+          max(col("peak") - col("equity")).as("max_drawdown_cents"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH x AS (SELECT o_custkey, o_orderdate, o_orderkey,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END *
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS delta
+      | FROM orders),
+      |c AS (SELECT o_custkey,
+      |  sum(delta) OVER w AS equity,
+      |  max(sum(delta) OVER w) OVER w2 AS peak
+      | FROM x
+      | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT o_custkey, count(*) AS n_orders,
+      | CAST(max(peak) AS BIGINT) AS peak_cents,
+      | CAST(max(peak - equity) AS BIGINT) AS max_drawdown_cents
+      |FROM c GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+
+  /** Pareto / ABC classification — the 80-15-5 inventory cut every
+    * curation or procurement pipeline runs: rank customers by revenue,
+    * take the cumulative revenue share walking down the ranking, and
+    * class A = the head covering 80% of revenue, B = to 95%, C = tail.
+    * Shares are integer parts-per-million (cum_cents·10^6 div total —
+    * truncating BIGINT division both engines spell identically), so
+    * the class boundaries are exact, not float-fuzzy; at sf1-scale
+    * revenue (~2.25e12 cents) the ppm product stays < 2^62.
+    *
+    * Scale shape: facts collapse to customer-sized rows in ONE
+    * partial+final agg; the ranking windows run over that key-sized
+    * frame (single-partition window over ~|customers| rows — if even
+    * THAT outgrows a task, ens_rank_average's distinct-census
+    * cumsum + broadcast-offset carry replaces it move-for-move). */
+  val wParetoAbc: Entry = Entry("w_pareto_abc",
+    (s, d) => {
+      val wCum = Window.orderBy(col("cents").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy()
+      ord(s, d)
+        .groupBy("o_custkey")
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("cents"))
+        .withColumn("cum", sum(col("cents")).over(wCum))
+        .withColumn("tot", sum(col("cents")).over(wTot))
+        .withColumn("cum_ppm", expr("cum * 1000000 div tot"))
+        .withColumn("abc_class",
+          when(col("cum_ppm") <= 800000L, "A")
+            .when(col("cum_ppm") <= 950000L, "B")
+            .otherwise("C"))
+        .select(col("o_custkey"), col("cents"), col("cum_ppm"), col("abc_class"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH rev AS (SELECT o_custkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      | FROM orders GROUP BY 1),
+      |c AS (SELECT o_custkey, cents,
+      |  CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |  CAST(sum(cents) OVER () AS BIGINT) AS tot
+      | FROM rev)
+      |SELECT o_custkey, cents, cum * 1000000 // tot AS cum_ppm,
+      | CASE WHEN cum * 1000000 // tot <= 800000 THEN 'A'
+      |      WHEN cum * 1000000 // tot <= 950000 THEN 'B'
+      |      ELSE 'C' END AS abc_class
+      |FROM c ORDER BY o_custkey""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     gCube, gRollup, gUnpivot, gCorrRegr, oExcept, oIntersect, oUpsert,
     oSnapshotDiff, gSkewAudit, oZorder, oDistinct, gApproxDistinct,
@@ -1629,5 +1726,6 @@ object QueriesAggWindow {
     wRetention, gKsDrift, gChi2Drift, gWinsorize, wEwma, wTimeWeighted,
     gSampleWeighted, wAnomalyMad, wGapIslands, wSessionize, oIncrementalAgg,
     gHllMergeable, gQuantileSketch, gSimpson, wRollingMedian, oCdcApply,
-    oCompactionPlan, wFirstLast, gCmsSketch, wRunningDistinct)
+    oCompactionPlan, wFirstLast, gCmsSketch, wRunningDistinct,
+    wDrawdown, wParetoAbc)
 }

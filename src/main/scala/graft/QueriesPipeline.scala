@@ -1817,6 +1817,55 @@ object QueriesPipeline {
       |    THEN 1 ELSE 0 END AS INT) AS kept
       |FROM a ORDER BY doc_id""".stripMargin))
 
+  /** Hashing-trick featurization + fixed linear scorer — the
+    * fastText-style quality-classifier SHAPE (Joulin et al. 2016;
+    * Weinberger et al. 2009 feature hashing) with every piece
+    * deterministic: each token maps to one of D=1024 feature buckets
+    * via an affine-modular hash of an integer token signature
+    * (length·961 + 31·first-char + last-char — both engines spell it
+    * from builtins), each bucket carries a fixed pseudo-random weight
+    * in [−1000, 1000] derived from the bucket id by a second modular
+    * hash, and the document score is the weight sum. PURE BIGINT
+    * arithmetic end-to-end (max intermediate ~3.5e14), so the oracle
+    * replays hash → bucket → weight → score exactly.
+    *
+    * Scale shape: ZERO exchanges before the final sort — tokenize,
+    * hash, weight, and aggregate all happen inside array HOFs on the
+    * document row (`transform`/`aggregate`/`array_distinct`), the
+    * map-only stage a 100 TB scoring pass must be. A learned model
+    * swaps the weight formula for a broadcast Map[bucket→weight];
+    * nothing else changes. */
+  val plHashFeatures: Entry = Entry("pl_hash_features",
+    (s, d) => docs(s, d)
+      .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+      .withColumn("buckets", expr(
+        """transform(toks, t ->
+          | (CAST(length(t) * 961 + ascii(substring(t, 1, 1)) * 31
+          |       + ascii(substring(t, length(t), 1)) AS BIGINT)
+          |  * 2654435761) % 1000003 % 1024)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("""aggregate(buckets, CAST(0 AS BIGINT),
+          | (acc, b) -> acc + (b * 48271 + 11) % 65537 % 2001 - 1000)"""
+          .stripMargin).as("score"),
+        size(array_distinct(col("buckets"))).cast("long").as("n_buckets"))
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |f AS (SELECT doc_id,
+      |  (CAST(length(t) * 961 + ascii(substr(t, 1, 1)) * 31
+      |        + ascii(substr(t, length(t), 1)) AS BIGINT)
+      |   * 2654435761) % 1000003 % 1024 AS b
+      | FROM tok WHERE t <> ''),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum((b * 48271 + 11) % 65537 % 2001 - 1000) AS BIGINT) AS score,
+      |  CAST(count(DISTINCT b) AS BIGINT) AS n_buckets
+      | FROM f GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+      | coalesce(score, 0) AS score, coalesce(n_buckets, 0) AS n_buckets
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
@@ -1826,7 +1875,7 @@ object QueriesPipeline {
     plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
     plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,
-    plSubstringDup,
+    plSubstringDup, plHashFeatures,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simKmeans, simNearDup,
     mmDecode, mmResize, mmWav, mmVideoFrames)
 }
