@@ -1657,18 +1657,18 @@ object QueriesAggWindow {
       |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END *
       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS delta
       | FROM orders),
-      |c AS (SELECT o_custkey,
-      |  sum(delta) OVER w AS equity,
-      |  max(sum(delta) OVER w) OVER w2 AS peak
-      | FROM x
-      | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-      |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |c1 AS (SELECT o_custkey, o_orderdate, o_orderkey,
+      |  sum(delta) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
+      | FROM x),
+      |c2 AS (SELECT o_custkey, equity,
+      |  max(equity) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      | FROM c1)
       |SELECT o_custkey, count(*) AS n_orders,
       | CAST(max(peak) AS BIGINT) AS peak_cents,
       | CAST(max(peak - equity) AS BIGINT) AS max_drawdown_cents
-      |FROM c GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+      |FROM c2 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
 
   /** Pareto / ABC classification — the 80-15-5 inventory cut every
     * curation or procurement pipeline runs: rank customers by revenue,

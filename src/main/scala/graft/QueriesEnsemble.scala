@@ -41,9 +41,13 @@ object QueriesEnsemble {
     * changing Ms/BaseK (or bumping `gen` when the member/submission
     * FORMULA code itself changes) retargets the cache instead of
     * silently serving stale fixtures against an updated oracle. */
-  private val fixtureVer: String = {
+  private def fixtureVer(d: String): String = {
     val gen = 1 // bump on any change to the pm/stack/fold write formulas
-    val sig = s"g$gen;Ms=${Ms.mkString("_")};B=$BaseK;K=3;fmt=6"
+    // data-versioned (r8 lesson): a regenerated testdata dir must
+    // retarget every derived fixture, so the sources' mtime+length
+    // join the formula constants in the key
+    val sig = s"g$gen;Ms=${Ms.mkString("_")};B=$BaseK;K=3;fmt=6;" +
+      Tables.dataVer(d, "orders", "customer", "nation")
     (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
   }
 
@@ -153,7 +157,7 @@ object QueriesEnsemble {
     * the table. */
   val s5PartitionedPrune: Entry = Entry("s5_partitioned_prune",
     (s, d) => {
-      val out = s"target/tmp/part_sink_${fixtureVer}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      val out = s"target/tmp/part_sink_${fixtureVer(d)}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
       if (!new java.io.File(s"$out/_SUCCESS").isFile)
         tbl(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
@@ -190,7 +194,7 @@ object QueriesEnsemble {
     * (the merge IS the evolved schema here: 2 footers). */
   val s6SchemaEvolution: Entry = Entry("s6_schema_evolution",
     (s, d) => {
-      val out = s"target/tmp/schema_evo_${fixtureVer}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      val out = s"target/tmp/schema_evo_${fixtureVer(d)}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
       val tier = when(col("c_acctbal") >= 5000, "gold")
         .when(col("c_acctbal") >= 0, "std").otherwise("neg")
       if (!new java.io.File(s"$out/v1/_SUCCESS").isFile)
@@ -221,7 +225,7 @@ object QueriesEnsemble {
     * oracle checks the full sink→scan loop including the formatting. */
   val s4CsvRoundtrip: Entry = Entry("s4_csv_roundtrip",
     (s, d) => {
-      val out = s"target/tmp/csv_rt_${fixtureVer}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      val out = s"target/tmp/csv_rt_${fixtureVer(d)}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
       // S5 load-if-exists (main.py:93): the submission CSV is a pure
       // function of (d); once a complete write exists (_SUCCESS), later
       // runs — the second bench pass, repeated verifies — time the
@@ -255,7 +259,7 @@ object QueriesEnsemble {
     * lost or doubled through the sink→scan loop — both oracle-stable. */
   val s3Provenance: Entry = Entry("s3_provenance",
     (s, d) => {
-      val out = s"target/tmp/csv_prov_${fixtureVer}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      val out = s"target/tmp/csv_prov_${fixtureVer(d)}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
       // S5 load-if-exists: input fixture, same rationale as s4CsvRoundtrip
       if (!new java.io.File(s"$out/_SUCCESS").isFile)
         tbl(s, d, "nation").select(col("n_nationkey"), col("n_name"))
@@ -297,7 +301,7 @@ object QueriesEnsemble {
     }
     Entry("ens_fold_dirs",
       (s, d) => {
-        val base = s"target/tmp/fold_stack_${fixtureVer}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+        val base = s"target/tmp/fold_stack_${fixtureVer(d)}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
         // SETUP — the upstream per-fold submission writers the reference
         // assumes already ran: fold_<f>/m<i> member CSVs, 6-dp formatted.
         // S5 load-if-exists (main.py:93): each member is a pure function

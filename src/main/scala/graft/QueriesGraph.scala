@@ -70,7 +70,8 @@ object QueriesGraph {
         .select(col("o_custkey").as("a"),
           (col("l_suppkey") + SuppOffset).as("b"))
         .distinct(),
-      "target/tmp/gr_edges_v1_" + d.replaceAll("[^0-9a-zA-Z]", "_"))
+      "target/tmp/gr_edges_v1_" + d.replaceAll("[^0-9a-zA-Z]", "_") +
+        "_" + Tables.dataVer(d, "lineitem", "orders"))
 
   /** The shared oracle preamble building the same bidirected edge set. */
   private val sqlEdges: String =

@@ -199,14 +199,17 @@ object QueriesPipeline {
     * claim); downstream consumers like pl_canonical_docs test the step
     * AFTER clustering, so they load the upstream map the way a real
     * pipeline reads its previous stage's output. */
-  private val compAssignVer: String = {
+  private def compAssignVer(d: String): String = {
     val gen = 1 // bump on any change to chainCorpus/dupEdges/assignment
-    val sig = s"g$gen;blk=2w;tau=0.55;chain=7_14;pfx=7_10"
+    // data-versioned: documents.parquet mtime+length joins the formula
+    // constants so a testdata regen retargets the cache (r8 lesson)
+    val sig = s"g$gen;blk=2w;tau=0.55;chain=7_14;pfx=7_10;" +
+      Tables.dataVer(d, "documents")
     (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
   }
   private def componentAssignCached(s: SparkSession, d: String): DataFrame = {
     val out = "target/tmp/comp_assign_" +
-      d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + compAssignVer
+      d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + compAssignVer(d)
     if (!new java.io.File(s"$out/_SUCCESS").isFile)
       componentAssign(s, d).write.mode("overwrite").parquet(out)
     s.read.parquet(out)

@@ -9,10 +9,11 @@ import Tables._
   * face of the streaming operators (same StreamingOps transforms run
   * under readStream; see StreamingSpec for the incremental execution).
   *
-  * Timestamp parity: events.parquet stores TIMESTAMP(NANOS); both
-  * engines truncate to micros (Tables.tbl `div 1000`; DuckDB's reader)
-  * so window arithmetic sees identical instants. Session-gap compares
-  * are done in whole microseconds for the same reason.
+  * Timestamp parity: [[Tables.normalizeTs]] maps every physical form
+  * events.parquet has shipped (ns longs, µs NTZ) to session-TZ micros
+  * timestamps, and DuckDB reads the same file to the same instants, so
+  * window arithmetic agrees. Session-gap compares are done in whole
+  * microseconds for the same reason.
   */
 object QueriesStreaming {
 
@@ -132,14 +133,15 @@ object QueriesStreaming {
     * parquet files, so stage a byte-identical copy once (load-if-exists,
     * S5 semantics; temp-file + atomic move so a killed run can't leave a
     * truncated copy that later exists()-checks trust) and return the
-    * ns→µs-rebuilt streaming frame — the same rebuild Tables.tbl applies
-    * on the batch side. private[graft]: StreamingSpec drives the same
+    * ts-normalized streaming frame — the same [[Tables.normalizeTs]]
+    * the batch side applies. private[graft]: StreamingSpec drives the same
     * staged source, so one helper owns the copy+rebuild invariants. */
   private[graft] def stagedEventsStream(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
     val stage = java.nio.file.Paths.get(
-      "target/tmp/stream_src_" + d.replaceAll("[^0-9a-zA-Z]", "_"))
+      "target/tmp/stream_src_" + d.replaceAll("[^0-9a-zA-Z]", "_") +
+        "_" + Tables.dataVer(d, "events"))
     java.nio.file.Files.createDirectories(stage)
     val dst = stage.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dst)) {
@@ -155,9 +157,7 @@ object QueriesStreaming {
     val raw = s.readStream
       .schema(s.read.parquet(src.toString).schema)
       .parquet(stage.toAbsolutePath.toString)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    Tables.normalizeTs(raw)
   }
 
   /** Streaming EXECUTION under the oracle (not just the shared plan
@@ -320,7 +320,8 @@ object QueriesStreaming {
   private def stagedDocBatches(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     stageBatchFiles(
-      "stream_docs_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + docStreamVer, {
+      "stream_docs_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + docStreamVer +
+        "_" + Tables.dataVer(d, "documents"), {
         val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
         Seq(
           "b0" -> docs,
@@ -391,26 +392,23 @@ object QueriesStreaming {
     * the median purchase timestamp among qualifying strict pairs, so
     * that purchase lands in batch 1 while its click (strictly earlier)
     * lands in batch 0 — the pair can only be emitted from the join
-    * state store. A time split also means every batch-1 event is at or
-    * after the batch-0 watermark, so nothing arrives late. Kept in the
-    * raw parquet schema (ns longs; comparisons happen on µs-truncated
-    * values, matching what the join itself sees); the reader applies
-    * the same ns→µs rebuild as Tables.tbl. The scalar aggs here are
-    * fixture staging (once per cache key), not the measured operator. */
+    * state store. Staged frames carry the NORMALIZED ts
+    * ([[Tables.normalizeTs]]: µs-truncated, session-TZ timestamps —
+    * exactly what the join itself compares), so the reader below needs
+    * no per-generation branch. The scalar aggs here are fixture
+    * staging (once per cache key), not the measured operator. */
   private val eventHalvesVer: String = {
-    val gen = 2 // bump on any change to the split formula
-    val sig = s"g$gen;split=median-straddle-buy;files=2"
+    val gen = 3 // bump on any change to the split formula
+    val sig = s"g$gen;split=median-straddle-buy;files=2;ts=normalized"
     (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
   }
   private def stagedEventHalves(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     stageBatchFiles(
-      "stream_ev2_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + eventHalvesVer, {
-        val raw = s.read.parquet(s"$d/events.parquet")
-        val us =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("us", expr("ts div 1000"))
-          else raw.withColumn("us", unix_micros(col("ts")))
+      "stream_ev2_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + eventHalvesVer +
+        "_" + Tables.dataVer(d, "events"), {
+        val raw = tbl(s, d, "events")
+        val us = raw.withColumn("us", unix_micros(col("ts")))
         val c = us.where(col("event_type") === "click")
           .select(col("user_id").as("u"), col("us").as("cus"))
         val p = us.where(col("event_type") === "purchase")
@@ -424,10 +422,7 @@ object QueriesStreaming {
           .where(col("cus") < boundaryUs && col("pus") >= boundaryUs).count()
         require(straddle >= 1,
           s"event split must leave >=1 attribution pair straddling the boundary, got $straddle")
-        val bnd =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            col("ts") < boundaryUs * 1000L
-          else unix_micros(col("ts")) < boundaryUs
+        val bnd = unix_micros(col("ts")) < boundaryUs
         Seq("e0" -> raw.where(bnd), "e1" -> raw.where(!bnd))
       })
 
@@ -453,10 +448,7 @@ object QueriesStreaming {
         .schema(s.read.parquet(s"$stage/e0.parquet").schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
-      val stream =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val stream = Tables.normalizeTs(raw)
       val clicks = stream.where(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"),
           col("event_id").as("click_id"))
@@ -631,7 +623,8 @@ object QueriesStreaming {
       // JVM-default zone instead
       def at(t: String) = lit(s"2030-01-01 $t").cast("timestamp")
       val stage = stageBatchFiles(
-        "stream_wmdd_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + wmDedupVer, {
+        "stream_wmdd_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + wmDedupVer +
+          "_" + Tables.dataVer(d, "documents"), {
           val ids = tbl(outer, d, "documents").select(col("doc_id"))
           val driver = ids.limit(1)
             .select(lit(-1L).as("doc_id"), at("20:00:00").as("ts"))
@@ -696,7 +689,8 @@ object QueriesStreaming {
       val eps = 0.02
       val qs = Seq(0.25, 0.5, 0.75, 0.95)
       val stage = stageBatchFiles(
-        "stream_qdoc_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_v1", {
+        "stream_qdoc_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_v1" +
+          "_" + Tables.dataVer(d, "documents"), {
           val docs = tbl(outer, d, "documents")
             .select(col("doc_id"), col("lang"), col("n_chars"))
           Seq("b0" -> docs.where(col("doc_id") % 2 === 0),
@@ -768,7 +762,8 @@ object QueriesStreaming {
       val s = sizedStreamSession(outer, 2)
       def at(t: String) = lit(s"2031-01-01 $t").cast("timestamp")
       val stage = stageBatchFiles(
-        "stream_sesswin_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_v1", {
+        "stream_sesswin_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_v1" +
+          "_" + Tables.dataVer(d, "events"), {
           val base = tbl(outer, d, "events")
             .select(col("event_id"), col("user_id"), col("ts"))
           val driver1 = base.limit(1)
@@ -832,7 +827,8 @@ object QueriesStreaming {
       import s.implicits._
       import graft.operators.HeavyHitters.ssStateEncoder
       val stage = stageBatchFiles(
-        "stream_topk_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_v1", {
+        "stream_topk_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_v1" +
+          "_" + Tables.dataVer(d, "documents"), {
           val docs = tbl(outer, d, "documents").select(col("doc_id"),
             col("lang"), col("source"))
           Seq("b0" -> docs.where(col("doc_id") % 2 === 0),

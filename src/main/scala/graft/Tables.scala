@@ -25,16 +25,39 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark has no native
-    * type for; the session sets spark.sql.legacy.parquet.nanosAsLong and
-    * we rebuild a micros timestamp here (integer `div` — a double divide
-    * would lose precision on ~1e18 nano values). DuckDB truncates ns→µs
-    * the same way, so the oracle sees identical instants. */
+  /** events.parquet has shipped `ts` in two physical forms across
+    * testdata generations: TIMESTAMP(NANOS) (no native Spark type; the
+    * session sets spark.sql.legacy.parquet.nanosAsLong and we rebuild a
+    * micros timestamp — integer `div`, a double divide would lose
+    * precision on ~1e18 nano values) and TIMESTAMP(MICROS) without UTC
+    * adjustment, which Spark reads as TIMESTAMP_NTZ. Both normalize to
+    * session-TZ TimestampType here — the session TZ is pinned UTC, so
+    * the NTZ→instant cast is unambiguous and DuckDB (which reads the
+    * same file as a plain timestamp) sees identical instants. Every
+    * downstream unix_micros()/withWatermark() relies on this one spot. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Data-version token for derived-fixture cache keys: mtime+length of
+    * the source parquet files. Folding this into every `target/tmp`
+    * fixture path makes a regenerated testdata dir retarget the cache
+    * instead of serving stale bytes against a fresh oracle (the r8
+    * near-miss: fixtures survived a testdata rewrite on key alone). */
+  def dataVer(dir: String, names: String*): String = {
+    val sig = names.sorted.map { n =>
+      val f = new java.io.File(s"$dir/$n.parquet")
+      s"$n:${f.lastModified}:${f.length}"
+    }.mkString(";")
+    (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
   }
 
   /** Exact sum of a ~2-decimal double column: cast to DECIMAL (exact in
