@@ -372,38 +372,56 @@ object Queries {
     * left are the group-key agg (partial+final, priority-cardinality
     * rows) and the output-contract orderBy; PlanShapeSpec pins
     * exactly that. */
+  /** Bucketed-table fixture shared with the untimed harness setup:
+    * pid-scoped table names — saveAsTable has no atomic-swap, so two
+    * concurrent suite processes sharing the warehouse dir must not
+    * build the same table (the st_stream_recovery concurrency lesson).
+    * Load-if-exists via the catalog; stale other-pid dirs (> 1 h) are
+    * reaped on build. Bench/Verify call [[ensureBucketedFixtures]]
+    * during setup so the ENTRY times the co-located join, not two
+    * table writes (pass 1 of a fresh process otherwise paid both). */
+  private def bucketed(s: SparkSession, d: String,
+      name: String, df: => DataFrame): DataFrame = {
+    val suffix = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val pid = ProcessHandle.current().pid()
+    val t = s"graft_bkt_${name}_v1_${suffix}_p$pid"
+    if (!s.catalog.tableExists(t)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whDir = new java.io.File(java.net.URI.create(wh).getPath)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      val staleMs = System.currentTimeMillis() - 3600L * 1000
+      Option(whDir.listFiles()).foreach(_.filter(f =>
+        f.getName.startsWith(s"graft_bkt_${name}_v1_${suffix}_p") &&
+          (f.getName == t || f.lastModified() < staleMs))
+        .foreach(rm))
+      df.write.bucketBy(8, "k").sortBy("k").saveAsTable(t)
+    }
+    s.table(t)
+  }
+
+  private def bucketedOrders(s: SparkSession, d: String): DataFrame =
+    bucketed(s, d, "orders", ord(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderpriority")))
+  private def bucketedLineitem(s: SparkSession, d: String): DataFrame =
+    bucketed(s, d, "lineitem", li(s, d).select(col("l_orderkey").as("k"),
+      col("l_quantity"), col("l_extendedprice")))
+
+  /** Harness-setup hook (Bench/Verify, untimed): build the bucketed
+    * tables j_bucketed_colocate reads, the way SarFixture.ensure()
+    * pre-writes the JSON fixture. */
+  def ensureBucketedFixtures(s: SparkSession, d: String): Unit = {
+    bucketedOrders(s, d)
+    bucketedLineitem(s, d)
+    ()
+  }
+
   val jBucketedColocate: Entry = Entry("j_bucketed_colocate",
     (s, d) => {
-      val suffix = d.replaceAll("[^0-9a-zA-Z]", "_")
-      // pid-scoped table names: saveAsTable has no atomic-swap, so two
-      // concurrent suite processes sharing the warehouse dir must not
-      // build the same table (the st_stream_recovery concurrency
-      // lesson). Each process pays one build per run; within-process
-      // passes reuse via the catalog. Stale other-pid dirs (> 1 h) are
-      // reaped on entry.
-      val pid = ProcessHandle.current().pid()
-      def bucketed(name: String, df: => DataFrame): DataFrame = {
-        val t = s"graft_bkt_${name}_v1_${suffix}_p$pid"
-        if (!s.catalog.tableExists(t)) {
-          val wh = s.conf.get("spark.sql.warehouse.dir")
-          val whDir = new java.io.File(java.net.URI.create(wh).getPath)
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          val staleMs = System.currentTimeMillis() - 3600L * 1000
-          Option(whDir.listFiles()).foreach(_.filter(f =>
-            f.getName.startsWith(s"graft_bkt_${name}_v1_${suffix}_p") &&
-              (f.getName == t || f.lastModified() < staleMs))
-            .foreach(rm))
-          df.write.bucketBy(8, "k").sortBy("k").saveAsTable(t)
-        }
-        s.table(t)
-      }
-      val o = bucketed("orders", ord(s, d).select(col("o_orderkey").as("k"),
-        col("o_orderpriority")))
-      val l = bucketed("lineitem", li(s, d).select(col("l_orderkey").as("k"),
-        col("l_quantity"), col("l_extendedprice")))
+      val o = bucketedOrders(s, d)
+      val l = bucketedLineitem(s, d)
       l.join(o, "k")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),

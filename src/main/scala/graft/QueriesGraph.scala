@@ -90,7 +90,10 @@ object QueriesGraph {
       // frame (== the oracle's count(DISTINCT src) over e: the
       // bidirected union makes src-set and node-set identical), so
       // 85·csum can never wrap and no extra counting pass runs here
-      operators.PageRank.pageRank(edges, Iters)
+      // assumeDistinct: the fixture materializes the distinct and the
+      // bidirected union of distinct pairs over disjoint id spaces
+      // stays distinct — no defensive re-shuffle of the edge set
+      operators.PageRank.pageRank(edges, Iters, assumeDistinct = true)
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
     },
@@ -164,7 +167,9 @@ object QueriesGraph {
         .distinct()
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      operators.LabelProp.labelPropagate(edges, LpRounds)
+      // assumeDistinct: same argument as gr_pagerank — pairs is
+      // materialized distinct, bidirection over disjoint ids keeps it so
+      operators.LabelProp.labelPropagate(edges, LpRounds, assumeDistinct = true)
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("community"))
@@ -192,8 +197,12 @@ object QueriesGraph {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("a"), (col("l_suppkey") + SuppOffset).as("b"))
         .distinct()
+      // pin the built edge set once: it feeds hopDistances' own pin,
+      // the node census, AND the seed agg — unpinned, each of those
+      // re-executes the lineitem ⨝ orders build from the scan
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
       val nodes = edges.select(col("src").as("node")).distinct()
       val seed = nodes.agg(min(col("node")).as("node"))
       nodes.join(operators.Bfs.hopDistances(edges, seed, Hops), Seq("node"), "left")

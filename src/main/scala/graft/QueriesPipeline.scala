@@ -1829,8 +1829,10 @@ object QueriesPipeline {
     * from builtins), each bucket carries a fixed pseudo-random weight
     * in [−1000, 1000] derived from the bucket id by a second modular
     * hash, and the document score is the weight sum. PURE BIGINT
-    * arithmetic end-to-end (max intermediate ~3.5e14), so the oracle
-    * replays hash → bucket → weight → score exactly.
+    * arithmetic end-to-end, overflow-free by construction (the
+    * signature is reduced mod 1000003 before the golden-ratio
+    * multiply, capping the intermediate at ~2.7e15), so the oracle
+    * replays hash → bucket → weight → score exactly on ANY input.
     *
     * Scale shape: ZERO exchanges before the final sort — tokenize,
     * hash, weight, and aggregate all happen inside array HOFs on the
@@ -1839,13 +1841,22 @@ object QueriesPipeline {
     * swaps the weight formula for a broadcast Map[bucket→weight];
     * nothing else changes. */
   val plHashFeatures: Entry = Entry("pl_hash_features",
+    // coalesce(text, ''): a NULL text must score as an empty doc (the
+    // oracle's LEFT JOIN + coalesce yields 0s), not propagate NULL
+    // through split/size. Signature-mod BEFORE the multiply: reduces
+    // the operand to < 1000003, so sig·2654435761 < 2.7e15 — overflow-
+    // free BY CONSTRUCTION for any token length, where the raw product
+    // wrapped (silently in Spark, an error in DuckDB) past ~3.6M-char
+    // tokens. (a·b) mod m ≡ ((a mod m)·b) mod m, so values are
+    // unchanged on every non-pathological input.
     (s, d) => docs(s, d)
-      .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+      .withColumn("toks",
+        expr("filter(split(coalesce(text, ''), ' '), t -> length(t) > 0)"))
       .withColumn("buckets", expr(
         """transform(toks, t ->
           | (CAST(length(t) * 961 + ascii(substring(t, 1, 1)) * 31
           |       + ascii(substring(t, length(t), 1)) AS BIGINT)
-          |  * 2654435761) % 1000003 % 1024)""".stripMargin))
+          |  % 1000003 * 2654435761) % 1000003 % 1024)""".stripMargin))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         expr("""aggregate(buckets, CAST(0 AS BIGINT),
@@ -1858,7 +1869,7 @@ object QueriesPipeline {
       |f AS (SELECT doc_id,
       |  (CAST(length(t) * 961 + ascii(substr(t, 1, 1)) * 31
       |        + ascii(substr(t, length(t), 1)) AS BIGINT)
-      |   * 2654435761) % 1000003 % 1024 AS b
+      |   % 1000003 * 2654435761) % 1000003 % 1024 AS b
       | FROM tok WHERE t <> ''),
       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
       |  CAST(sum((b * 48271 + 11) % 65537 % 2001 - 1000) AS BIGINT) AS score,

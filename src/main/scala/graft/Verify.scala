@@ -105,6 +105,8 @@ object Verify {
     // harness setup: the SAR fixture some oracle SQL reads by absolute
     // path must exist before ANY phase (Spark or DuckDB) runs
     SarFixture.ensure()
+    try Queries.ensureBucketedFixtures(spark, sfDir)
+    catch { case _: Throwable => () } // the entry rebuilds on demand
     SparkEntry.queries
       .filter { case (name, _) =>
         nameFilter.forall(_.findFirstIn(name).isDefined) }

@@ -33,11 +33,14 @@ object LabelProp {
   /** (node, label) after `rounds` synchronous adoption rounds over the
     * directed edge list (columns src, dst; duplicates removed). Nodes
     * with no in-edges keep their own id (feed a bidirected graph if
-    * every node must hear its neighbors, as the gate entry does). */
-  def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges
+    * every node must hear its neighbors, as the gate entry does).
+    * `assumeDistinct` as in [[PageRank.pageRank]]: an already-deduped
+    * edge frame skips the defensive full-edge shuffle. */
+  def labelPropagate(edges: DataFrame, rounds: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val e0 = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
+    val e = (if (assumeDistinct) e0 else e0.distinct())
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)

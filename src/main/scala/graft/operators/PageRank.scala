@@ -65,20 +65,29 @@ object PageRank {
     * Dangling nodes (out-degree 0) lose their mass — callers wanting
     * the classic redistribute-dangling variant should add reverse
     * edges or a sink; the gate entry feeds a bidirected graph so none
-    * exist. */
+    * exist.
+    *
+    * `assumeDistinct`: callers whose edge frame is already deduped (the
+    * gate's S5-cached trading-pairs fixture materializes the distinct)
+    * skip the defensive full-edge-set shuffle — at 100 TB that is a
+    * whole extra pass over the fact-scale frame for a no-op. */
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 0L,
-               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
-    val e = edges
+               dampNum: Long = 85, dampDen: Long = 100,
+               assumeDistinct: Boolean = false): DataFrame = {
+    val e0 = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
+    val e = if (assumeDistinct) e0 else e0.distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // Edge list with out-degrees attached, computed once: every
     // iteration re-reads this frame, so pin it (localCheckpoint in
     // local mode; a cluster run would persist/bucket the edge table).
     val ed = e.join(outdeg, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    // Node set from the PINNED edge frame — deriving it from `e` would
+    // re-execute the whole edge-build lineage (scan + distinct) a
+    // second time; scanning the checkpointed frame costs its size only.
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct().localCheckpoint(true)
 
     val sc = if (scale > 0) scale else safeScale(nodes.count())
     val teleport = (sc / dampDen) * (dampDen - dampNum)

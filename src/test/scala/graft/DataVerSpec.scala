@@ -1,0 +1,38 @@
+package graft
+
+/** [[Tables.dataVer]] — the data-version token every derived-fixture
+  * cache key folds in (r8 near-miss: a regenerated testdata dir kept
+  * serving code-versioned fixtures). The contract: same bytes → same
+  * token; touched mtime OR changed length → different token, so a
+  * regen retargets every `target/tmp` cache path that embeds it. */
+class DataVerSpec extends SparkSpec {
+
+  private def tmpTable(dir: java.io.File, name: String, bytes: Array[Byte]): Unit =
+    java.nio.file.Files.write(
+      dir.toPath.resolve(s"$name.parquet"), bytes): Unit
+
+  test("dataVer is stable for identical files and order-insensitive") {
+    val dir = java.nio.file.Files.createTempDirectory("dv").toFile
+    tmpTable(dir, "a", Array[Byte](1, 2, 3))
+    tmpTable(dir, "b", Array[Byte](4, 5))
+    val v1 = Tables.dataVer(dir.getPath, "a", "b")
+    val v2 = Tables.dataVer(dir.getPath, "b", "a") // sorted internally
+    v1 shouldBe v2
+    v1 should fullyMatch regex "[0-9a-f]+"
+  }
+
+  test("a touched or resized source changes the token (forces recompute)") {
+    val dir = java.nio.file.Files.createTempDirectory("dv").toFile
+    tmpTable(dir, "a", Array[Byte](1, 2, 3))
+    val v0 = Tables.dataVer(dir.getPath, "a")
+    // regen with different content length → new token even at same mtime
+    tmpTable(dir, "a", Array[Byte](1, 2, 3, 4))
+    val v1 = Tables.dataVer(dir.getPath, "a")
+    v1 should not be v0
+    // same length, bumped mtime (the driver rewrites in place) → new token
+    val f = new java.io.File(dir, "a.parquet")
+    f.setLastModified(f.lastModified() + 60000) shouldBe true
+    val v2 = Tables.dataVer(dir.getPath, "a")
+    v2 should not be v1
+  }
+}

@@ -508,4 +508,34 @@ class PlanShapeSpec extends SparkSpec {
       "Scan parquet".r.findAllIn(p).size shouldBe 1
     }
   }
+
+  test("w_drawdown: equity/peak windows + groupBy share ONE custkey exchange") {
+    val p = staticPlan(QueriesAggWindow.wDrawdown.fn(spark, sf))
+    withClue(p) {
+      // peak reads equity's output so the two stack as two Window
+      // nodes — but same (custkey, date, key) spec, so BOTH plus the
+      // per-customer groupBy ride ONE hash(custkey) exchange; a second
+      // hash exchange would mean a window or the agg re-shuffled
+      hashEx(p) shouldBe 1
+      "Window".r.findAllIn(p).size shouldBe 2
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
+  test("w_pareto_abc: facts collapse in the agg BEFORE any window runs") {
+    val p = staticPlan(QueriesAggWindow.wParetoAbc.fn(spark, sf))
+    withClue(p) {
+      // agg-then-window: the customer-revenue agg reduces facts first
+      // (one hash exchange); the ranking windows then run over the
+      // key-sized frame — a window BELOW the agg would walk the facts
+      hashEx(p) shouldBe 1
+      val aggAt = p.indexOf("HashAggregate")
+      val winAt = p.indexOf("Window")
+      aggAt should be >= 0
+      winAt should be >= 0
+      // formatted plans print operators leaves-last, so the agg
+      // (upstream) must appear BELOW the window (downstream) in text
+      winAt should be < aggAt
+    }
+  }
 }
