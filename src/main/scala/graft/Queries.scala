@@ -468,6 +468,15 @@ object Queries {
     * false negatives, and the exact codegen'd `levenshtein` pass
     * removes the false positives (e.g. transposed pairs).
     *
+    * Cost bound (why ~5 s at sf0.1 is inherent, not a plan defect):
+    * each length-L string emits exactly L+1 blocking keys, so the
+    * shuffled key set is Σ(Lᵢ+1) ≈ (L̄+1)·N rows — for the 18-char
+    * customer names here, 19·N — and a bucket for deletion key k
+    * holds only strings of length |k| or |k|+1 that share k, so the
+    * per-bucket quadratic verify is bounded by the true near-dup
+    * cluster size, never by N. The entry's time is that one wide
+    * shuffle plus one levenshtein per surviving candidate pair.
+    *
     * Scale shape: (|s|+1)·N rows shuffle ONCE on the high-cardinality
     * deletion key — candidates stay near-linear unless keys collide
     * semantically (true near-dup clusters), the quadratic work is
