@@ -1880,6 +1880,111 @@ object QueriesPipeline {
       |FROM documents d LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin))
 
+  /** Length-bucketed batch scheduling — the loader-side packing
+    * complement to pl_pack_sequences: LLM training batches pad every
+    * sequence to the batch max, so loaders bucket documents by
+    * next-power-of-two token length (clamped to the 1024 context here)
+    * and schedule per-(lang, bucket) batches under a fixed padded-token
+    * budget (16384). The entry reports, per bucket: document and token
+    * census, padded-token load, batch count at the budget, and the
+    * padding waste in integer ppm — the numbers a data-loading planner
+    * actually schedules from.
+    *
+    * Exactness: the bucket ladder is a CASE spelled identically in both
+    * engines (no float log2 — exact on every input by construction) and
+    * every aggregate is BIGINT; ceil-div is the shared `(x + b-1) div b`
+    * idiom. Scale shape: tokenize + bucket are scan-stage map work; ONE
+    * partial-agg exchange carries (lang, bucket)-cardinality rows
+    * (≤ 7·|langs|), then the output-contract sort. */
+  val plLengthBuckets: Entry = Entry("pl_length_buckets",
+    (s, d) => docs(s, d)
+      .select(col("lang"), expr(
+        "size(filter(split(coalesce(text, ''), ' '), t -> length(t) > 0))")
+        .cast("long").as("n_tok"))
+      .withColumn("bucket",
+        when(col("n_tok") <= 16, 16L).when(col("n_tok") <= 32, 32L)
+          .when(col("n_tok") <= 64, 64L).when(col("n_tok") <= 128, 128L)
+          .when(col("n_tok") <= 256, 256L).when(col("n_tok") <= 512, 512L)
+          .otherwise(1024L))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("bucket")).as("padded_tokens"))
+      .withColumn("n_batches", expr("(padded_tokens + 16383) div 16384"))
+      .withColumn("pad_waste_ppm",
+        expr("(padded_tokens - total_tokens) * 1000000 div padded_tokens"))
+      .orderBy("lang", "bucket"),
+    Some("""WITH tok AS (SELECT lang,
+      |  CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+      |       t -> t <> '')) AS BIGINT) AS n_tok
+      | FROM documents),
+      |b AS (SELECT lang, n_tok,
+      |  CAST(CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+      |   WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+      |   WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+      |   ELSE 1024 END AS BIGINT) AS bucket
+      | FROM tok),
+      |g AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(bucket) AS BIGINT) AS padded_tokens
+      | FROM b GROUP BY 1, 2)
+      |SELECT lang, bucket, n_docs, total_tokens, padded_tokens,
+      | (padded_tokens + 16383) // 16384 AS n_batches,
+      | (padded_tokens - total_tokens) * 1000000 // padded_tokens AS pad_waste_ppm
+      |FROM g ORDER BY lang, bucket""".stripMargin))
+
+  /** Quality-scorer calibration audit (reliability-diagram bins) — the
+    * eval step every learned quality/toxicity filter needs before its
+    * scores gate a corpus: decile-bin the score, and per bin compare
+    * mean predicted score against the observed positive rate. A
+    * well-calibrated scorer has small per-bin gaps; the per-bin rows
+    * ARE the reliability diagram, and Σ n·gap/N is ECE.
+    *
+    * The score here is a deterministic label-correlated construction in
+    * integer ppm (label steers 600k of the range, a Knuth-hash of the
+    * id the rest) so the WHOLE audit — binning, per-bin means, gaps —
+    * is exact BIGINT arithmetic both engines replay bit-for-bit; a
+    * learned scorer swaps in real probabilities and nothing else
+    * changes. Scale shape: map-only score+bin at the scan, ONE
+    * partial-agg exchange carrying 10 bin rows, driver-free. */
+  val plScoreCalibration: Entry = Entry("pl_score_calibration",
+    (s, d) => tbl(s, d, "embeddings")
+      // the 10-class label binarizes (class ≥ 5 = "high quality") —
+      // calibration is a binary-outcome audit
+      .select(col("vec_id"),
+        (col("label") >= 5).cast("long").as("label"))
+      .withColumn("score_ppm",
+        col("label") * 600000L +
+          expr("vec_id * 2654435761 % 1000003 % 400001"))
+      .withColumn("bin", expr("score_ppm * 10 div 1000001"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("score_ppm")).as("sum_score"),
+        sum(col("label")).as("n_pos"))
+      .select(col("bin"), col("n"),
+        expr("sum_score div n").as("avg_score_ppm"),
+        expr("n_pos * 1000000 div n").as("pos_rate_ppm"),
+        abs(expr("sum_score div n") - expr("n_pos * 1000000 div n"))
+          .as("gap_ppm"))
+      .orderBy("bin"),
+    Some("""WITH s0 AS (SELECT vec_id,
+      |  CAST(CASE WHEN label >= 5 THEN 1 ELSE 0 END AS BIGINT) AS label
+      | FROM embeddings),
+      |s AS (SELECT
+      |  label * 600000
+      |    + vec_id * 2654435761 % 1000003 % 400001 AS score_ppm,
+      |  label
+      | FROM s0),
+      |b AS (SELECT score_ppm * 10 // 1000001 AS bin, score_ppm, label FROM s),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(score_ppm) AS BIGINT) AS sum_score,
+      |  CAST(sum(label) AS BIGINT) AS n_pos
+      | FROM b GROUP BY 1)
+      |SELECT bin, n, sum_score // n AS avg_score_ppm,
+      | n_pos * 1000000 // n AS pos_rate_ppm,
+      | abs(sum_score // n - n_pos * 1000000 // n) AS gap_ppm
+      |FROM g ORDER BY bin""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
@@ -1889,7 +1994,7 @@ object QueriesPipeline {
     plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
     plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,
-    plSubstringDup, plHashFeatures,
+    plSubstringDup, plHashFeatures, plLengthBuckets, plScoreCalibration,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simKmeans, simNearDup,
     mmDecode, mmResize, mmWav, mmVideoFrames)
 }

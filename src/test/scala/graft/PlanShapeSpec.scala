@@ -509,6 +509,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pl_length_buckets / pl_score_calibration: map-side bin + ONE group exchange") {
+    for (e <- Seq(QueriesPipeline.plLengthBuckets, QueriesPipeline.plScoreCalibration)) {
+      val p = staticPlan(e.fn(spark, sf))
+      withClue(s"${e.name}\n$p") {
+        // tokenize/score + bucket assignment are scan-stage projections;
+        // the only hash exchange carries bin-cardinality partial-agg
+        // rows, then the output-contract sort — the loader-planner shape
+        // that stays driver-free at 100 TB
+        hashEx(p) shouldBe 1
+        "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+        "Scan parquet".r.findAllIn(p).size shouldBe 1
+        p should not include "Join"
+      }
+    }
+  }
+
   test("w_drawdown: equity/peak windows + groupBy share ONE custkey exchange") {
     val p = staticPlan(QueriesAggWindow.wDrawdown.fn(spark, sf))
     withClue(p) {
