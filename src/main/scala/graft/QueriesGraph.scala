@@ -63,6 +63,10 @@ object QueriesGraph {
     * exactly the pinned/bucketed edge table a production graph stack
     * keeps. Shared by gr_pagerank and gr_label_prop. */
   private def tradingPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    {
+    val family = "gr_edges_v1_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+    val name = family + "_" + Tables.dataVer(d, "lineitem", "orders")
+    Tables.reapStaleSiblings(family + "_", name)
     Features.cached(
       tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         .join(tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
@@ -70,8 +74,8 @@ object QueriesGraph {
         .select(col("o_custkey").as("a"),
           (col("l_suppkey") + SuppOffset).as("b"))
         .distinct(),
-      "target/tmp/gr_edges_v1_" + d.replaceAll("[^0-9a-zA-Z]", "_") +
-        "_" + Tables.dataVer(d, "lineitem", "orders"))
+      "target/tmp/" + name)
+    }
 
   /** The shared oracle preamble building the same bidirected edge set. */
   private val sqlEdges: String =

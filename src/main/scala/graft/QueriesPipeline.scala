@@ -208,8 +208,10 @@ object QueriesPipeline {
     (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
   }
   private def componentAssignCached(s: SparkSession, d: String): DataFrame = {
-    val out = "target/tmp/comp_assign_" +
-      d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + compAssignVer(d)
+    val family = "comp_assign_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+    val name = family + "_" + compAssignVer(d)
+    Tables.reapStaleSiblings(family + "_", name)
+    val out = "target/tmp/" + name
     if (!new java.io.File(s"$out/_SUCCESS").isFile)
       componentAssign(s, d).write.mode("overwrite").parquet(out)
     s.read.parquet(out)

@@ -139,9 +139,10 @@ object QueriesStreaming {
   private[graft] def stagedEventsStream(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val stage = java.nio.file.Paths.get(
-      "target/tmp/stream_src_" + d.replaceAll("[^0-9a-zA-Z]", "_") +
-        "_" + Tables.dataVer(d, "events"))
+    val family = "stream_src_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+    val stageName = family + "_" + Tables.dataVer(d, "events")
+    Tables.reapStaleSiblings(family + "_", stageName)
+    val stage = java.nio.file.Paths.get("target/tmp/" + stageName)
     java.nio.file.Files.createDirectories(stage)
     val dst = stage.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dst)) {
@@ -277,8 +278,12 @@ object QueriesStreaming {
     * exists behind a _READY marker (S5 semantics); parts are written to
     * temp dirs and atomically moved, marker last, so a killed run can't
     * leave a half-staged dir that later exists()-checks trust. */
-  private def stageBatchFiles(stageName: String,
+  private def stageBatchFiles(family: String, ver: String,
       parts: => Seq[(String, org.apache.spark.sql.DataFrame)]): String = {
+    val stageName = family + "_" + ver
+    // a regen/bump orphans the previous version's dir — reap it here so
+    // target/tmp doesn't leak a fixture footprint per testdata epoch
+    Tables.reapStaleSiblings(family + "_", stageName)
     val stage = java.nio.file.Paths.get("target/tmp/" + stageName)
     val ready = stage.resolve("_READY")
     if (!java.nio.file.Files.exists(ready)) {
@@ -320,8 +325,8 @@ object QueriesStreaming {
   private def stagedDocBatches(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     stageBatchFiles(
-      "stream_docs_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + docStreamVer +
-        "_" + Tables.dataVer(d, "documents"), {
+      "stream_docs_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
+      docStreamVer + "_" + Tables.dataVer(d, "documents"), {
         val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
         Seq(
           "b0" -> docs,
@@ -405,8 +410,8 @@ object QueriesStreaming {
   private def stagedEventHalves(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     stageBatchFiles(
-      "stream_ev2_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + eventHalvesVer +
-        "_" + Tables.dataVer(d, "events"), {
+      "stream_ev2_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
+      eventHalvesVer + "_" + Tables.dataVer(d, "events"), {
         val raw = tbl(s, d, "events")
         val us = raw.withColumn("us", unix_micros(col("ts")))
         val c = us.where(col("event_type") === "click")
@@ -623,8 +628,8 @@ object QueriesStreaming {
       // JVM-default zone instead
       def at(t: String) = lit(s"2030-01-01 $t").cast("timestamp")
       val stage = stageBatchFiles(
-        "stream_wmdd_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_" + wmDedupVer +
-          "_" + Tables.dataVer(d, "documents"), {
+        "stream_wmdd_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
+        wmDedupVer + "_" + Tables.dataVer(d, "documents"), {
           val ids = tbl(outer, d, "documents").select(col("doc_id"))
           val driver = ids.limit(1)
             .select(lit(-1L).as("doc_id"), at("20:00:00").as("ts"))
@@ -689,8 +694,8 @@ object QueriesStreaming {
       val eps = 0.02
       val qs = Seq(0.25, 0.5, 0.75, 0.95)
       val stage = stageBatchFiles(
-        "stream_qdoc_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_v1" +
-          "_" + Tables.dataVer(d, "documents"), {
+        "stream_qdoc_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
+        "v1_" + Tables.dataVer(d, "documents"), {
           val docs = tbl(outer, d, "documents")
             .select(col("doc_id"), col("lang"), col("n_chars"))
           Seq("b0" -> docs.where(col("doc_id") % 2 === 0),
@@ -762,8 +767,8 @@ object QueriesStreaming {
       val s = sizedStreamSession(outer, 2)
       def at(t: String) = lit(s"2031-01-01 $t").cast("timestamp")
       val stage = stageBatchFiles(
-        "stream_sesswin_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_v1" +
-          "_" + Tables.dataVer(d, "events"), {
+        "stream_sesswin_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
+        "v1_" + Tables.dataVer(d, "events"), {
           val base = tbl(outer, d, "events")
             .select(col("event_id"), col("user_id"), col("ts"))
           val driver1 = base.limit(1)
@@ -827,8 +832,8 @@ object QueriesStreaming {
       import s.implicits._
       import graft.operators.HeavyHitters.ssStateEncoder
       val stage = stageBatchFiles(
-        "stream_topk_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_v1" +
-          "_" + Tables.dataVer(d, "documents"), {
+        "stream_topk_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
+        "v1_" + Tables.dataVer(d, "documents"), {
           val docs = tbl(outer, d, "documents").select(col("doc_id"),
             col("lang"), col("source"))
           Seq("b0" -> docs.where(col("doc_id") % 2 === 0),

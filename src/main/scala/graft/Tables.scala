@@ -60,6 +60,27 @@ object Tables {
     (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
   }
 
+  /** Reap SUPERSEDED fixture cache dirs: same family prefix, different
+    * version suffix — the dirs a testdata regen (new [[dataVer]]) or a
+    * formula bump orphans under target/tmp. Without this, every regen
+    * leaks the full fixture footprint forever. Only dirs untouched for
+    * an hour are removed (same guard as the bucketed-table reaper): a
+    * CONCURRENT process on the same key set writes the same new name,
+    * and nothing legitimately reads an hour-cold dir whose source
+    * changed. Call right before using `keep`. */
+  private[graft] def reapStaleSiblings(prefix: String, keep: String): Unit = {
+    val base = new java.io.File("target/tmp")
+    val staleMs = System.currentTimeMillis() - 3600L * 1000
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    Option(base.listFiles()).foreach(_.filter(f =>
+      f.getName.startsWith(prefix) && f.getName != keep &&
+        f.lastModified() < staleMs)
+      .foreach(rm))
+  }
+
   /** Exact sum of a ~2-decimal double column: cast to DECIMAL (exact in
     * both Spark and DuckDB for clean inputs), sum without float error,
     * back to DOUBLE. `scale` must cover the data's true decimal scale. */

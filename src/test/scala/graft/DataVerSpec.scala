@@ -21,6 +21,29 @@ class DataVerSpec extends SparkSpec {
     v1 should fullyMatch regex "[0-9a-f]+"
   }
 
+  test("reapStaleSiblings removes superseded hour-cold dirs, keeps live ones") {
+    val base = new java.io.File("target/tmp")
+    base.mkdirs()
+    val fam = s"dvreap_${ProcessHandle.current().pid()}_"
+    val keep = new java.io.File(base, fam + "new")
+    val staleOld = new java.io.File(base, fam + "old")
+    val freshOld = new java.io.File(base, fam + "racing")
+    Seq(keep, staleOld, freshOld).foreach { d =>
+      d.mkdirs(); java.nio.file.Files.writeString(d.toPath.resolve("x"), "x"): Unit
+    }
+    // hour-cold sibling → reaped; fresh sibling (a concurrent writer) and
+    // the keep dir → untouched
+    staleOld.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000) shouldBe true
+    Tables.reapStaleSiblings(fam, keep.getName)
+    keep.exists() shouldBe true
+    freshOld.exists() shouldBe true
+    staleOld.exists() shouldBe false
+    Seq(keep, freshOld).foreach { d =>
+      java.nio.file.Files.deleteIfExists(d.toPath.resolve("x"))
+      d.delete(): Unit
+    }
+  }
+
   test("a touched or resized source changes the token (forces recompute)") {
     val dir = java.nio.file.Files.createTempDirectory("dv").toFile
     tmpTable(dir, "a", Array[Byte](1, 2, 3))
