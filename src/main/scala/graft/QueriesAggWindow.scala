@@ -1193,11 +1193,12 @@ object QueriesAggWindow {
     * approx_percentile cannot express because it exposes no storable
     * partial. Rows-only entry (sketch content is arrival-order
     * dependent — inherent to mergeable quantile sketches), gated by
-    * falsifiable in-result checks: every estimate must land inside the
-    * exact ±2%-rank percentile bracket (the bound KllSketchSpec
-    * proves at 50k values), and each sketch's count must equal the
-    * exact group count — a lost row or a broken merge flips
-    * quality_ok to false.
+    * falsifiable in-result checks: every estimate must satisfy the
+    * exact ±2%-RANK bound (the guarantee KllSketchSpec proves at 50k
+    * values), verified by rank COUNTING — |{x<v̂}| may not overshoot
+    * (q+eps)·n and |{x≤v̂}| may not undershoot (q−eps)·n, tie-robust —
+    * and each sketch's count must equal the exact group count; a lost
+    * row or a broken merge flips quality_ok to false.
     *
     * 100 TB plan shape: the sketch agg is a standard partial+final
     * ObjectHashAggregate — per-partition reduce, K·log(n/K)-double
@@ -1206,8 +1207,9 @@ object QueriesAggWindow {
     * the estimates and the corpus roll-up are plain arithmetic (the
     * sketch-coordinator pattern; what crosses the wire is sketches,
     * never facts). Facts are scanned once for the sketches and once
-    * for the gate's exact brackets (a rollup, so group and ALL
-    * brackets share that single scan). */
+    * for the gate's rank counters (conditional sums against the
+    * broadcast estimate frame — O(n) map work, NO per-group sort; the
+    * former exact-percentile bracket was the entry's entire 6.8 s). */
   val gQuantileSketch: Entry = Entry("g_quantile_sketch",
     (s, d) => {
       import s.implicits._
@@ -1236,26 +1238,37 @@ object QueriesAggWindow {
       val merged = states.map(_._2).reduce(KllSketch.merge)
       val est = (perGroup :+ estRow("ALL", merged))
         .toDF("g", "n_sketch", "e25", "e50", "e75", "e95")
-      val base = li(s, d).select(col("l_returnflag"),
-        col("l_extendedprice").cast("double").as("l_extendedprice"))
-      // the exact gate brackets: ONE rollup scan covers every group AND
-      // the ALL row, and ONE percentile expression carries all 8 points
-      // (each percentile agg buffers + sorts its group once per
-      // EXPRESSION, so split lo/hi aggs — or a second global-bracket
-      // branch — would redo that work)
-      val bks = base.rollup(col("l_returnflag"))
+      // The exact gate, by RANK COUNTING (r9: replaces the former exact
+      // `percentile` brackets): a KLL estimate for quantile q is within
+      // ±eps RANK error iff |{x ≤ v̂}| ∈ [(q−eps)·n, (q+eps)·n] — the
+      // same guarantee checked DIRECTLY, with one conditional-sum scan
+      // instead of a per-group sort (the former gate was the entry's
+      // cost: 6.8 s of an 8-point exact percentile over a rollup).
+      // Each fact row expands to its group key and 'ALL' (map-side 2×),
+      // joins the broadcast 5-row estimate frame, and ONE partial-agg
+      // exchange carries the 8 rank counters per group.
+      val base = li(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+        .select(explode(array(col("l_returnflag"), lit("ALL"))).as("g"), col("v"))
+      // tie-robust two-sided rank: strictly-below count must not
+      // overshoot, at-or-below count must not undershoot — correct for
+      // any run of duplicates AT the estimated value
+      def nLe(e: String) = sum(when(col("v") <= col(e), 1L).otherwise(0L))
+      def nLt(e: String) = sum(when(col("v") < col(e), 1L).otherwise(0L))
+      val ranks = base.join(broadcast(est), Seq("g"))
+        .groupBy("g")
         .agg(count(lit(1)).as("n_exact"),
-          percentile(col("l_extendedprice"),
-            typedLit(qs.map(_ - eps) ++ qs.map(_ + eps))).as("lohi"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("g"),
-          col("n_exact"), col("lohi"))
-      est.join(bks, Seq("g"))
+          nLe("e25").as("le25"), nLt("e25").as("lt25"),
+          nLe("e50").as("le50"), nLt("e50").as("lt50"),
+          nLe("e75").as("le75"), nLt("e75").as("lt75"),
+          nLe("e95").as("le95"), nLt("e95").as("lt95"))
+      est.join(broadcast(ranks), Seq("g"))
         .withColumn("quality_ok",
           col("n_sketch") === col("n_exact") &&
-            (0 until 4).map(i =>
-              col(Seq("e25", "e50", "e75", "e95")(i))
-                .between(element_at(col("lohi"), i + 1),
-                  element_at(col("lohi"), i + 5))).reduce(_ && _))
+            qs.zip(Seq("25", "50", "75", "95")).map { case (q, t) =>
+              col(s"le$t") >= (lit(q - eps) * col("n_exact")) &&
+                col(s"lt$t") <= (lit(q + eps) * col("n_exact"))
+            }.reduce(_ && _))
         .select(col("g"), col("n_sketch"), col("e25"), col("e50"),
           col("e75"), col("e95"), col("quality_ok"))
         .orderBy("g")
