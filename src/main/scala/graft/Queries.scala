@@ -447,12 +447,15 @@ object Queries {
         .where(operators.Bloom.mightContain("l_orderkey", "bloom", mBits, nh))
         .drop("bloom")
         .join(build, col("l_orderkey") === col("bk"), "left_semi")
-        .orderBy("l_orderkey", "l_linenumber")
+        // order by ALL output columns: synthetic lineitem does NOT keep
+        // (orderkey, linenumber) unique at sf0.1 (118k dup pairs), so
+        // the two-column sort was tie-broken differently per engine
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
     },
     Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
       |WHERE EXISTS (SELECT 1 FROM orders
       |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin))
 
   /** Fuzzy (edit-distance ≤ 1) self-join — the approximate-match join a
     * dedup/entity-resolution pass needs, spelled SCALABLY: the naive

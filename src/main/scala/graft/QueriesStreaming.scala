@@ -266,10 +266,28 @@ object QueriesStreaming {
     * changing them retargets the cache instead of serving stale files
     * against an updated oracle. */
   private val docStreamVer: String = {
-    val gen = 1 // bump on any change to the slice/staging formulas
-    val sig = s"g$gen;dup=7;off=100000;files=2"
+    val gen = 2 // bump on any change to the slice/staging formulas
+    val sig = s"g$gen;dup=7;off=100000;files=2;base=text-distinct"
     (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
   }
+
+  /** Text-distinct base docs (min doc_id per text): the synthetic
+    * documents table stops being text-unique past sf0.01 (sf0.1 holds
+    * 4992 distinct texts over 5000 rows), and the dedup-stream
+    * fixtures' determinism REQUIRES distinct base texts — with natural
+    * dups, which twin survives dropDuplicates depends on partition
+    * order inside a micro-batch, and dups straddling the known-corpus
+    * slice boundary break the survivors-set oracle. One canonical rep
+    * per text (SQL twin: GROUP BY text, min(doc_id)) restores the
+    * invariant at every scale. */
+  private def textDistinctDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    tbl(s, d, "documents")
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+
+  private val sqlTextDistinctBase =
+    "base AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)"
 
   /** Stage a sequence of frames as single parquet files in one
     * directory, ordered for FileStreamSource: distinct ascending mtimes
@@ -327,7 +345,7 @@ object QueriesStreaming {
     stageBatchFiles(
       "stream_docs_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
       docStreamVer + "_" + Tables.dataVer(d, "documents"), {
-        val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+        val docs = textDistinctDocs(s, d)
         Seq(
           "b0" -> docs,
           "b1" -> docs.where(col("doc_id") % 7 === 0)
@@ -347,8 +365,9 @@ object QueriesStreaming {
     * table and the state store would use dropDuplicatesWithinWatermark
     * to bound retention; the finite fixture needs no watermark.)
     *
-    * Deterministic because base texts are distinct (dd_exact proves
-    * 500 groups from 500 base docs): every planted b1 copy is dropped
+    * Deterministic because the STAGED base texts are distinct (one
+    * canonical rep per text, [[textDistinctDocs]] — the raw table
+    * stops being text-unique past sf0.01): every planted b1 copy is dropped
     * either by the anti-join (its source is in the known corpus) or by
     * batch-0 state (its digest was seen), so survivors are exactly the
     * base docs outside the known corpus — SQL-expressible, and the
@@ -360,7 +379,7 @@ object QueriesStreaming {
     (outer, d) => {
       val s = sizedStreamSession(outer, 2)
       val stage = stagedDocBatches(outer, d)
-      val known = tbl(s, d, "documents").where(col("doc_id") % 3 === 0)
+      val known = textDistinctDocs(s, d).where(col("doc_id") % 3 === 0)
         .select(xxhash64(col("text")).as("k_digest"),
           length(col("text")).cast("long").as("k_tlen"))
       val incoming = s.readStream
@@ -389,7 +408,8 @@ object QueriesStreaming {
       }
       s.table(name).orderBy("doc_id")
     },
-    Some("""SELECT doc_id, length(text) AS tlen FROM documents
+    Some(s"""WITH $sqlTextDistinctBase
+      |SELECT doc_id, length(text) AS tlen FROM base
       |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin))
 
   /** Events split into two files at a TIME boundary chosen so at least
@@ -576,7 +596,8 @@ object QueriesStreaming {
       } finally q2.stop()
       s.read.parquet(outDir.toString).orderBy("doc_id")
     },
-    Some("""SELECT doc_id, length(text) AS tlen FROM documents
+    Some(s"""WITH $sqlTextDistinctBase
+      |SELECT doc_id, length(text) AS tlen FROM base
       |ORDER BY doc_id""".stripMargin))
 
   /** Cache-key version for the watermark-dedup fixture below. */
