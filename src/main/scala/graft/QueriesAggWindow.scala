@@ -510,6 +510,62 @@ object QueriesAggWindow {
       | arr[(len(arr) + 1) // 2] AS med_trailing
       |FROM b ORDER BY custkey, orderkey""".stripMargin))
 
+  /** Data-integrity audit — the dbt-test / data-quality pass every
+    * warehouse schedules over its contracts: key uniqueness, orphan
+    * foreign keys, payload duplication, each as a violation COUNT so
+    * the report is one tiny hash-exact frame. Motivated concretely by
+    * r9: two of these invariants (lineitem line-key uniqueness,
+    * documents text uniqueness) silently stopped holding at sf0.1 and
+    * broke downstream determinism — this entry is the check that would
+    * have caught the drift the day the data regenerated.
+    *
+    * Scale shape: each check is a partial-agg census or a broadcast-able
+    * anti-join collapsed to ONE row before the 5-row union — no check
+    * ever carries fact rows past its own exchange; a scheduled audit at
+    * 100 TB runs per-partition increments of the same censuses. */
+  val gIntegrityAudit: Entry = Entry("g_integrity_audit",
+    (s, d) => {
+      def one(name: String, cnt: org.apache.spark.sql.DataFrame) =
+        cnt.select(lit(name).as("check"), col("n_bad"))
+      // rows participating in a duplicated key group (0 when unique)
+      def dupRows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+          .where(col("c") > 1)
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n_bad"))
+      val orphans = li(s, d).select(col("l_orderkey"))
+        .join(ord(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+      one("documents_dup_text_rows",
+          dupRows(tbl(s, d, "documents"), Seq("text")))
+        .unionByName(one("events_dup_event_id",
+          dupRows(tbl(s, d, "events"), Seq("event_id"))))
+        .unionByName(one("lineitem_dup_line_keys",
+          dupRows(li(s, d), Seq("l_orderkey", "l_linenumber"))))
+        .unionByName(one("lineitem_orphan_orders", orphans))
+        .unionByName(one("orders_dup_pk",
+          dupRows(ord(s, d), Seq("o_orderkey"))))
+        .orderBy("check")
+    },
+    Some("""SELECT * FROM (
+      | SELECT 'documents_dup_text_rows' AS "check", CAST(coalesce(sum(c), 0) AS BIGINT) AS n_bad
+      |  FROM (SELECT count(*) AS c FROM documents GROUP BY text HAVING count(*) > 1)
+      | UNION ALL
+      | SELECT 'events_dup_event_id', CAST(coalesce(sum(c), 0) AS BIGINT)
+      |  FROM (SELECT count(*) AS c FROM events GROUP BY event_id HAVING count(*) > 1)
+      | UNION ALL
+      | SELECT 'lineitem_dup_line_keys', CAST(coalesce(sum(c), 0) AS BIGINT)
+      |  FROM (SELECT count(*) AS c FROM lineitem
+      |        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+      | UNION ALL
+      | SELECT 'lineitem_orphan_orders', CAST(count(*) AS BIGINT)
+      |  FROM lineitem WHERE NOT EXISTS
+      |   (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      | UNION ALL
+      | SELECT 'orders_dup_pk', CAST(coalesce(sum(c), 0) AS BIGINT)
+      |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+      |) ORDER BY "check"""".stripMargin))
+
   /** Partition-skew audit — the diagnostics pass an ops team runs
     * BEFORE choosing a skew mitigation (the j_skew_salted /
     * operators.Skew machinery this library already carries): per-key
@@ -1732,7 +1788,7 @@ object QueriesAggWindow {
 
   val all: Seq[Entry] = Seq(
     gCube, gRollup, gUnpivot, gCorrRegr, oExcept, oIntersect, oUpsert,
-    oSnapshotDiff, gSkewAudit, oZorder, oDistinct, gApproxDistinct,
+    oSnapshotDiff, gSkewAudit, gIntegrityAudit, oZorder, oDistinct, gApproxDistinct,
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
