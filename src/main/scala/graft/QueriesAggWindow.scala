@@ -566,6 +566,69 @@ object QueriesAggWindow {
       |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
       |) ORDER BY "check"""".stripMargin))
 
+  /** ANALYZE-style per-column table statistics — the stats collection
+    * pass a cost-based optimizer (and every data catalog) schedules:
+    * for each profiled column one row of (n_rows, n_null, n_distinct,
+    * min, max), numeric min/max rounded to 2dp so the frame hashes.
+    * Spark's own `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`
+    * produces exactly these numbers into the catalog; this entry IS
+    * that computation as a plan, exact NDV included (a production run
+    * at 100 TB swaps count(DISTINCT) for the HLL sketch this library
+    * already gates in g_hll_mergeable — one pass either way).
+    *
+    * Scale shape: ONE scan, ONE 1-row partial+final aggregate carrying
+    * all 15 statistics (count/sum-style aggs fold into a single
+    * ObjectHashAggregate); the per-column rows are unpivoted from that
+    * single row driver-free via a tiny union-of-projections. */
+  val gTableStats: Entry = Entry("g_table_stats",
+    (s, d) => {
+      val o = ord(s, d)
+      val agg = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_cust"),
+        countDistinct(col("o_custkey")).as("nd_cust"),
+        min(col("o_custkey")).cast("double").as("min_cust"),
+        max(col("o_custkey")).cast("double").as("max_cust"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_price"),
+        countDistinct(col("o_totalprice")).as("nd_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nn_pri"),
+        countDistinct(col("o_orderpriority")).as("nd_pri"))
+      def row(nm: String, nn: String, nd: String,
+          mn: org.apache.spark.sql.Column, mx: org.apache.spark.sql.Column) =
+        agg.select(lit(nm).as("column_name"), col("n_rows"),
+          col(nn).as("n_null"), col(nd).as("n_distinct"),
+          mn.as("min_num"), mx.as("max_num"))
+      row("o_custkey", "nn_cust", "nd_cust", col("min_cust"), col("max_cust"))
+        .unionByName(row("o_orderpriority", "nn_pri", "nd_pri",
+          lit(null).cast("double"), lit(null).cast("double")))
+        .unionByName(row("o_totalprice", "nn_price", "nd_price",
+          col("min_price"), col("max_price")))
+        .orderBy("column_name")
+    },
+    Some("""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_cust,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+      |  CAST(min(o_custkey) AS DOUBLE) AS min_cust,
+      |  CAST(max(o_custkey) AS DOUBLE) AS max_cust,
+      |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_price,
+      |  CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price,
+      |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_pri,
+      |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_pri
+      | FROM orders)
+      |SELECT 'o_custkey' AS column_name, n_rows, nn_cust AS n_null,
+      |  nd_cust AS n_distinct, min_cust AS min_num, max_cust AS max_num FROM a
+      |UNION ALL
+      |SELECT 'o_orderpriority', n_rows, nn_pri, nd_pri,
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+      |UNION ALL
+      |SELECT 'o_totalprice', n_rows, nn_price, nd_price,
+      |  min_price, max_price FROM a
+      |ORDER BY column_name""".stripMargin))
+
   /** Partition-skew audit — the diagnostics pass an ops team runs
     * BEFORE choosing a skew mitigation (the j_skew_salted /
     * operators.Skew machinery this library already carries): per-key
@@ -1788,7 +1851,7 @@ object QueriesAggWindow {
 
   val all: Seq[Entry] = Seq(
     gCube, gRollup, gUnpivot, gCorrRegr, oExcept, oIntersect, oUpsert,
-    oSnapshotDiff, gSkewAudit, gIntegrityAudit, oZorder, oDistinct, gApproxDistinct,
+    oSnapshotDiff, gSkewAudit, gIntegrityAudit, gTableStats, oZorder, oDistinct, gApproxDistinct,
     gApproxPercentile, gSampleStrat,
     g1FoldAssign, g1FoldAssignHash, wRunningSum, gGroupingSets, gCollectSet,
     gPercentile, wRangeFrame, wDistribution, wFunnel, wScd2, gHistogram,
