@@ -583,7 +583,7 @@ object QueriesAggWindow {
   val gTableStats: Entry = Entry("g_table_stats",
     (s, d) => {
       val o = ord(s, d)
-      val agg = o.agg(
+      val agg0 = o.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_cust"),
         countDistinct(col("o_custkey")).as("nd_cust"),
@@ -595,6 +595,11 @@ object QueriesAggWindow {
         round(max(col("o_totalprice")), 2).as("max_price"),
         sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nn_pri"),
         countDistinct(col("o_orderpriority")).as("nd_pri"))
+      // pin the 1-row aggregate BEFORE the union-of-projections: each
+      // branch prunes different columns, so an unpinned agg loses plan
+      // canonicality and re-executes — three full scans where the whole
+      // point is one (the tx_tfidf reuse lesson, caught by the plan pin)
+      val agg = agg0.localCheckpoint(true)
       def row(nm: String, nn: String, nd: String,
           mn: org.apache.spark.sql.Column, mx: org.apache.spark.sql.Column) =
         agg.select(lit(nm).as("column_name"), col("n_rows"),

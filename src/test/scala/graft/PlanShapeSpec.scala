@@ -525,6 +525,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("g_table_stats: one scan per stats row family, single-row aggs, no join") {
+    val p = staticPlan(QueriesAggWindow.gTableStats.fn(spark, sf))
+    withClue(p) {
+      // the union re-projects one PINNED 1-row aggregate — unpinned,
+      // column pruning de-canonicalizes the branches and the stats agg
+      // re-executes per branch (three scans; caught by this pin): the
+      // final plan must carry NO parquet scan, no join, and only the
+      // output-contract sort exchange
+      p should not include "Join"
+      "Scan parquet".r.findAllIn(p).size shouldBe 0
+      // the 3-row frame may not even need a sort exchange
+      "Exchange rangepartitioning".r.findAllIn(p).size should be <= 1
+      hashEx(p) shouldBe 0
+    }
+  }
+
   test("w_drawdown: equity/peak windows + groupBy share ONE custkey exchange") {
     val p = staticPlan(QueriesAggWindow.wDrawdown.fn(spark, sf))
     withClue(p) {
