@@ -381,10 +381,15 @@ object Queries {
     * during setup so the ENTRY times the co-located join, not two
     * table writes (pass 1 of a fresh process otherwise paid both). */
   private def bucketed(s: SparkSession, d: String,
-      name: String, df: => DataFrame): DataFrame = {
+      name: String, srcTable: String, df: => DataFrame): DataFrame = {
     val suffix = d.replaceAll("[^0-9a-zA-Z]", "_")
     val pid = ProcessHandle.current().pid()
-    val t = s"graft_bkt_${name}_v1_${suffix}_p$pid"
+    // dataVer in the version segment (r9 advice): this was the one
+    // derived fixture whose key ignored the source bytes, so a testdata
+    // regen during a long-lived process kept serving the stale catalog
+    // table — the exact r8 stale-fixture failure class
+    val ver = "v2" + Tables.dataVer(d, srcTable)
+    val t = s"graft_bkt_${name}_${ver}_${suffix}_p$pid"
     if (!s.catalog.tableExists(t)) {
       val wh = s.conf.get("spark.sql.warehouse.dir")
       val whDir = new java.io.File(java.net.URI.create(wh).getPath)
@@ -393,8 +398,10 @@ object Queries {
         f.delete(): Unit
       }
       val staleMs = System.currentTimeMillis() - 3600L * 1000
+      // family-wide reap (any version incl. legacy v1): our own exact
+      // name (a partial write) plus hour-cold dirs from dead processes
       Option(whDir.listFiles()).foreach(_.filter(f =>
-        f.getName.startsWith(s"graft_bkt_${name}_v1_${suffix}_p") &&
+        f.getName.startsWith(s"graft_bkt_${name}_") &&
           (f.getName == t || f.lastModified() < staleMs))
         .foreach(rm))
       df.write.bucketBy(8, "k").sortBy("k").saveAsTable(t)
@@ -403,10 +410,10 @@ object Queries {
   }
 
   private def bucketedOrders(s: SparkSession, d: String): DataFrame =
-    bucketed(s, d, "orders", ord(s, d).select(col("o_orderkey").as("k"),
+    bucketed(s, d, "orders", "orders", ord(s, d).select(col("o_orderkey").as("k"),
       col("o_orderpriority")))
   private def bucketedLineitem(s: SparkSession, d: String): DataFrame =
-    bucketed(s, d, "lineitem", li(s, d).select(col("l_orderkey").as("k"),
+    bucketed(s, d, "lineitem", "lineitem", li(s, d).select(col("l_orderkey").as("k"),
       col("l_quantity"), col("l_extendedprice")))
 
   /** Harness-setup hook (Bench/Verify, untimed): build the bucketed

@@ -599,7 +599,7 @@ object QueriesAggWindow {
       // branch prunes different columns, so an unpinned agg loses plan
       // canonicality and re-executes — three full scans where the whole
       // point is one (the tx_tfidf reuse lesson, caught by the plan pin)
-      val agg = agg0.localCheckpoint(true)
+      val agg = Graft.pin(agg0)
       def row(nm: String, nn: String, nd: String,
           mn: org.apache.spark.sql.Column, mx: org.apache.spark.sql.Column) =
         agg.select(lit(nm).as("column_name"), col("n_rows"),

@@ -51,6 +51,17 @@ object QueriesEnsemble {
     (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
   }
 
+  /** family-first fixture dir (<family>_<dirslug>_<ver>, r9 advice):
+    * version LAST so [[Tables.reapStaleSiblings]] can reap the dirs a
+    * testdata regen or formula bump orphans — the old ver-first names
+    * (`part_sink_<ver>_<dir>`) had no stable prefix to reap by. */
+  private def fixtureDir(family: String, d: String): String = {
+    val fam = family + "_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_"
+    val name = fam + fixtureVer(d)
+    Tables.reapStaleSiblings(fam, name)
+    "target/tmp/" + name
+  }
+
   /** J1/P5: three per-model frames joined N-way on the key, then the
     * preds array column (the reference's concat-on-index, P4/P5). */
   private def predsFrame(s: SparkSession, d: String): DataFrame = {
@@ -157,7 +168,7 @@ object QueriesEnsemble {
     * the table. */
   val s5PartitionedPrune: Entry = Entry("s5_partitioned_prune",
     (s, d) => {
-      val out = s"target/tmp/part_sink_${fixtureVer(d)}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      val out = fixtureDir("part_sink", d)
       if (!new java.io.File(s"$out/_SUCCESS").isFile)
         tbl(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
@@ -194,7 +205,7 @@ object QueriesEnsemble {
     * (the merge IS the evolved schema here: 2 footers). */
   val s6SchemaEvolution: Entry = Entry("s6_schema_evolution",
     (s, d) => {
-      val out = s"target/tmp/schema_evo_${fixtureVer(d)}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      val out = fixtureDir("schema_evo", d)
       val tier = when(col("c_acctbal") >= 5000, "gold")
         .when(col("c_acctbal") >= 0, "std").otherwise("neg")
       if (!new java.io.File(s"$out/v1/_SUCCESS").isFile)
@@ -225,7 +236,7 @@ object QueriesEnsemble {
     * oracle checks the full sink→scan loop including the formatting. */
   val s4CsvRoundtrip: Entry = Entry("s4_csv_roundtrip",
     (s, d) => {
-      val out = s"target/tmp/csv_rt_${fixtureVer(d)}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      val out = fixtureDir("csv_rt", d)
       // S5 load-if-exists (main.py:93): the submission CSV is a pure
       // function of (d); once a complete write exists (_SUCCESS), later
       // runs — the second bench pass, repeated verifies — time the
@@ -259,7 +270,7 @@ object QueriesEnsemble {
     * lost or doubled through the sink→scan loop — both oracle-stable. */
   val s3Provenance: Entry = Entry("s3_provenance",
     (s, d) => {
-      val out = s"target/tmp/csv_prov_${fixtureVer(d)}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+      val out = fixtureDir("csv_prov", d)
       // S5 load-if-exists: input fixture, same rationale as s4CsvRoundtrip
       if (!new java.io.File(s"$out/_SUCCESS").isFile)
         tbl(s, d, "nation").select(col("n_nationkey"), col("n_name"))
@@ -301,7 +312,7 @@ object QueriesEnsemble {
     }
     Entry("ens_fold_dirs",
       (s, d) => {
-        val base = s"target/tmp/fold_stack_${fixtureVer(d)}_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+        val base = fixtureDir("fold_stack", d)
         // SETUP — the upstream per-fold submission writers the reference
         // assumes already ran: fold_<f>/m<i> member CSVs, 6-dp formatted.
         // S5 load-if-exists (main.py:93): each member is a pure function

@@ -204,9 +204,9 @@ object QueriesGraph {
       // pin the built edge set once: it feeds hopDistances' own pin,
       // the node census, AND the seed agg — unpinned, each of those
       // re-executes the lineitem ⨝ orders build from the scan
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(true)
+      val edges = Graft.pin(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
       val nodes = edges.select(col("src").as("node")).distinct()
       val seed = nodes.agg(min(col("node")).as("node"))
       nodes.join(operators.Bfs.hopDistances(edges, seed, Hops), Seq("node"), "left")
@@ -308,7 +308,7 @@ object QueriesGraph {
         .groupBy("u", "v").agg(count(lit(1)).as("n_pair"))
         .where(col("n_pair") >= 2)
         .select(col("u"), col("v"))
-        .localCheckpoint(true) // 3 consumers: degrees + both join sides
+        .transform(Graft.pin) // 3 consumers: degrees + both join sides
       val deg = ep.select(col("u").as("node")).union(ep.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val nEdges = ep.agg(count(lit(1)).as("n_edges"))

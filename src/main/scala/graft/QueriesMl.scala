@@ -134,16 +134,37 @@ object QueriesMl {
       // single cached relation — O(1) storage for a frame of a few MB —
       // and the returned plan's LR/GBT transforms re-score over the
       // still-live cache (scoring is cheap; the fits below stay eager).
-      val frame = featureFrame(s, d).cache()
-      val lrPred = Model.prob1(Model.pipeline(featureCols).fit(frame).transform(frame))
-        .select(col("id"), col("pred").as("m_lr"))
-      val asm = new VectorAssembler().setInputCols(featureCols.toArray)
-        .setOutputCol("features").setHandleInvalid("keep")
-      val gbt = new GBTClassifier().setLabelCol("label").setFeaturesCol("features")
-        .setMaxIter(10).setMaxDepth(3).setSeed(16)
-      val gbtModel = new Pipeline().setStages(Array(asm, gbt)).fit(frame)
-      val gbtPred = Model.prob1(gbtModel.transform(frame))
-        .select(col("id"), col("pred").as("m_gbt"))
+      // coalesce(8) BEFORE the cache, the Model.crossValidate sizing
+      // rule (r9 verdict #3): every LBFGS/GBT iteration is one Spark
+      // job whose task count = the frame's partition count, and the
+      // two fits below run ~20 such jobs — at the session-wide 32 that
+      // is pure scheduling overhead on near-empty tasks at fixture
+      // scale (at 100 TB the same knob is sized UP to the data)
+      val frame = featureFrame(s, d).coalesce(8).cache()
+      frame.count() // materialize once before the concurrent fits race
+      // the two model-family fits are independent driver-side job
+      // sequences — overlap them (the crossValidate technique) instead
+      // of serializing their scheduling latency
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val (lrPred, gbtPred) = try {
+        val lrF = Future {
+          Model.prob1(Model.pipeline(featureCols).fit(frame).transform(frame))
+            .select(col("id"), col("pred").as("m_lr"))
+        }
+        val gbtF = Future {
+          val asm = new VectorAssembler().setInputCols(featureCols.toArray)
+            .setOutputCol("features").setHandleInvalid("keep")
+          val gbt = new GBTClassifier().setLabelCol("label").setFeaturesCol("features")
+            .setMaxIter(10).setMaxDepth(3).setSeed(16)
+          val gbtModel = new Pipeline().setStages(Array(asm, gbt)).fit(frame)
+          Model.prob1(gbtModel.transform(frame))
+            .select(col("id"), col("pred").as("m_gbt"))
+        }
+        (Await.result(lrF, Duration.Inf), Await.result(gbtF, Duration.Inf))
+      } finally pool.shutdown()
       val joined = lrPred.join(gbtPred, "id")
         .withColumn("preds", array(col("m_lr"), col("m_gbt")))
       val stacked = Ensemble.stack("minmax_median", col("preds"), col("m_lr"))

@@ -425,7 +425,7 @@ object QueriesPipeline {
       val pass1 = words.as[String].mapPartitions { it =>
         val (cands, n) = HeavyHitters.mgPass(it, k)
         cands.iterator.map(t => (0, t, 0L)) ++ Iterator((1, "", n))
-      }.toDF("tag", "w", "c").localCheckpoint(true)
+      }.toDF("tag", "w", "c").transform(Graft.pin)
       val cands = pass1.where(col("tag") === 0).select(col("w")).distinct()
       val total = pass1.where(col("tag") === 1)
         .agg(sum(col("c")).as("n_total"))
@@ -1910,7 +1910,11 @@ object QueriesPipeline {
           .otherwise(1024L))
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("total_tokens"),
+        // clamp to the context budget (r9 advice): a doc longer than the
+        // top bucket would otherwise sum unclamped tokens against a
+        // 1024-clamped pad, driving pad_waste negative — where Spark's
+        // `div` (truncate) and DuckDB's `//` (floor) disagree
+        sum(least(col("n_tok"), lit(1024L))).as("total_tokens"),
         sum(col("bucket")).as("padded_tokens"))
       .withColumn("n_batches", expr("(padded_tokens + 16383) div 16384"))
       .withColumn("pad_waste_ppm",
@@ -1927,7 +1931,7 @@ object QueriesPipeline {
       |   ELSE 1024 END AS BIGINT) AS bucket
       | FROM tok),
       |g AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(least(n_tok, 1024)) AS BIGINT) AS total_tokens,
       |  CAST(sum(bucket) AS BIGINT) AS padded_tokens
       | FROM b GROUP BY 1, 2)
       |SELECT lang, bucket, n_docs, total_tokens, padded_tokens,
@@ -1956,8 +1960,12 @@ object QueriesPipeline {
       .select(col("vec_id"),
         (col("label") >= 5).cast("long").as("label"))
       .withColumn("score_ppm",
+        // mod BEFORE the Knuth-multiply (the pl_hash_features
+        // hardening, r9 advice): vec_id * 2654435761 wraps silently in
+        // Spark past ~3.47e9 ids and errors in DuckDB; reducing first
+        // keeps the product < 2^52 for any id
         col("label") * 600000L +
-          expr("vec_id * 2654435761 % 1000003 % 400001"))
+          expr("vec_id % 1000003 * 2654435761 % 1000003 % 400001"))
       .withColumn("bin", expr("score_ppm * 10 div 1000001"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
@@ -1974,7 +1982,7 @@ object QueriesPipeline {
       | FROM embeddings),
       |s AS (SELECT
       |  label * 600000
-      |    + vec_id * 2654435761 % 1000003 % 400001 AS score_ppm,
+      |    + vec_id % 1000003 * 2654435761 % 1000003 % 400001 AS score_ppm,
       |  label
       | FROM s0),
       |b AS (SELECT score_ppm * 10 // 1000001 AS bin, score_ppm, label FROM s),

@@ -76,8 +76,30 @@ object Tables {
       f.delete(): Unit
     }
     Option(base.listFiles()).foreach(_.filter(f =>
-      f.getName.startsWith(prefix) && f.getName != keep &&
-        f.lastModified() < staleMs)
+      // the pre-dataVer generation named dirs exactly the family (no
+      // version suffix) — `startsWith(prefix)` alone never matched
+      // them (r9 advice), leaking one dir per family forever
+      (f.getName.startsWith(prefix) || f.getName == prefix.stripSuffix("_")) &&
+        f.getName != keep && f.lastModified() < staleMs)
+      .foreach(rm))
+  }
+
+  /** One-time reap of LEGACY fixture layouts that no current prefix can
+    * match: the ensemble family's pre-r10 ver-FIRST names
+    * (`part_sink_<8hex>_<dirslug>`; r10 renamed them family-first so
+    * [[reapStaleSiblings]] works). Same hour-cold guard. Called from
+    * Verify/Bench setup (untimed); cheap no-op once clean. */
+  private[graft] def reapLegacyFixtures(): Unit = {
+    val base = new java.io.File("target/tmp")
+    val staleMs = System.currentTimeMillis() - 3600L * 1000
+    val legacy =
+      "^(part_sink|schema_evo|csv_rt|csv_prov|fold_stack)_[0-9a-f]{1,8}_.*".r
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    Option(base.listFiles()).foreach(_.filter(f =>
+      legacy.matches(f.getName) && f.lastModified() < staleMs)
       .foreach(rm))
   }
 

@@ -30,16 +30,15 @@ object Bfs {
     * sentinel. `edges` is directed (src, dst); pass both directions
     * for an undirected traversal. */
   def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
-    var dist = seeds.select(col("node").cast("long").as("node"), lit(0).as("dist"))
-      .distinct().localCheckpoint(true)
+    val e = graft.Graft.pin(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    var dist = graft.Graft.pin(seeds.select(col("node").cast("long").as("node"), lit(0).as("dist"))
+      .distinct())
     for (_ <- 1 to maxHops) {
       val relaxed = e.join(dist, e("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.union(relaxed)
-        .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+      dist = graft.Graft.pin(dist.union(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist")))
     }
     dist
   }

@@ -77,7 +77,9 @@ object Bpe {
     while (i < n && !done) bestPair(syms) match {
       case Some((a, b)) =>
         merges += ((a, b))
-        syms = applyMerge(syms, a, b).localCheckpoint() // truncate iterative lineage
+        // truncate iterative lineage (pin is eager; the next round's
+        // bestPair collect would materialize the frame anyway)
+        syms = graft.Graft.pin(applyMerge(syms, a, b))
         i += 1
       case None => done = true
     }

@@ -80,17 +80,16 @@ object Components {
       r
     }
 
-    var cur = edges
+    var cur = graft.Graft.pin(edges
       .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var curChk = checksum(cur)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = graft.Graft.pin(smallStar(largeStar(cur)))
       val nextChk = checksum(next)
       converged = nextChk == curChk
       cur = next

@@ -40,10 +40,9 @@ object LabelProp {
       assumeDistinct: Boolean = false): DataFrame = {
     val e0 = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    val e = (if (assumeDistinct) e0 else e0.distinct())
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val e = graft.Graft.pin(if (assumeDistinct) e0 else e0.distinct())
+    val nodes = graft.Graft.pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
 
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
@@ -53,11 +52,11 @@ object LabelProp {
         .groupBy(col("dst").as("node"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-      labels = nodes.join(adopted.select(col("node").as("anode"), col("label")),
+      labels = graft.Graft.pin(
+        nodes.join(adopted.select(col("node").as("anode"), col("label")),
           nodes("node") === col("anode"), "left")
         .select(nodes("node"),
-          coalesce(col("label"), nodes("node")).as("label"))
-        .localCheckpoint(true)
+          coalesce(col("label"), nodes("node")).as("label")))
     }
     labels
   }

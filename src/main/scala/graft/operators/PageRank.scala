@@ -82,12 +82,12 @@ object PageRank {
     // Edge list with out-degrees attached, computed once: every
     // iteration re-reads this frame, so pin it (localCheckpoint in
     // local mode; a cluster run would persist/bucket the edge table).
-    val ed = e.join(outdeg, "src").localCheckpoint(true)
+    val ed = graft.Graft.pin(e.join(outdeg, "src"))
     // Node set from the PINNED edge frame — deriving it from `e` would
     // re-execute the whole edge-build lineage (scan + distinct) a
     // second time; scanning the checkpointed frame costs its size only.
-    val nodes = ed.select(col("src").as("node"))
-      .union(ed.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val nodes = graft.Graft.pin(ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct())
 
     val sc = if (scale > 0) scale else safeScale(nodes.count())
     val teleport = (sc / dampDen) * (dampDen - dampNum)
@@ -96,12 +96,12 @@ object PageRank {
       val contrib = ed.join(rank, ed("src") === rank("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("csum"))
-      rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      rank = graft.Graft.pin(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"($dampNum * coalesce(csum, CAST(0 AS BIGINT))) div $dampDen"))
-            .as("rank"))
-        .localCheckpoint(true)
+            .as("rank")))
     }
     rank
   }
