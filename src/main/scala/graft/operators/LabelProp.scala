@@ -35,9 +35,12 @@ object LabelProp {
     * with no in-edges keep their own id (feed a bidirected graph if
     * every node must hear its neighbors, as the gate entry does).
     * `assumeDistinct` as in [[PageRank.pageRank]]: an already-deduped
-    * edge frame skips the defensive full-edge shuffle. */
+    * edge frame skips the defensive full-edge shuffle. `pinEvery` as in
+    * [[PageRank.pageRank]]: the label lineage is linear (each round
+    * references the previous labels once), so a few rounds chain into
+    * one job; the last round always pins. */
   def labelPropagate(edges: DataFrame, rounds: Int,
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false, pinEvery: Int = 6): DataFrame = {
     val e0 = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
     val e = graft.Graft.pin(if (assumeDistinct) e0 else e0.distinct())
@@ -45,18 +48,18 @@ object LabelProp {
       .union(e.select(col("dst").as("node"))).distinct())
 
     var labels = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val counts = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
       val adopted = counts
         .groupBy(col("dst").as("node"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-      labels = graft.Graft.pin(
-        nodes.join(adopted.select(col("node").as("anode"), col("label")),
+      val next = nodes.join(adopted.select(col("node").as("anode"), col("label")),
           nodes("node") === col("anode"), "left")
         .select(nodes("node"),
-          coalesce(col("label"), nodes("node")).as("label")))
+          coalesce(col("label"), nodes("node")).as("label"))
+      labels = if (i % pinEvery == 0 || i == rounds) graft.Graft.pin(next) else next
     }
     labels
   }

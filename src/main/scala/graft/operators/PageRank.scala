@@ -28,12 +28,10 @@ import org.apache.spark.sql.functions._
   * degrees pre-attached) is checkpointed once and re-read each round —
   * on a cluster this is the cached/bucketed edge table every production
   * PageRank keeps pinned. The rank frame (one row per NODE — orders of
-  * magnitude smaller than the edge set) is checkpointed per round, the
-  * [[Components]] discipline: plans stay shallow at any iteration
-  * count (measured: lazy 5-round chaining re-planned+re-codegen'd the
-  * whole 10-join tree at ~1.7 s per run at sf0.1, while materializing
-  * the 16k-row rank costs microseconds), and the known size keeps the
-  * per-round edges ⨝ ranks join reliably BROADCAST on the rank side.
+  * magnitude smaller than the edge set) broadcasts into each round's
+  * join and pins on the `pinEvery` cadence (see [[pageRank]]): its
+  * lineage is linear, so a handful of rounds chain into one job, and
+  * the final round always pins so callers get a shallow frame.
   */
 object PageRank {
 
@@ -70,11 +68,22 @@ object PageRank {
     * `assumeDistinct`: callers whose edge frame is already deduped (the
     * gate's S5-cached trading-pairs fixture materializes the distinct)
     * skip the defensive full-edge-set shuffle — at 100 TB that is a
-    * whole extra pass over the fact-scale frame for a no-op. */
+    * whole extra pass over the fact-scale frame for a no-op.
+    *
+    * `pinEvery`: rank-frame pin cadence. The rank lineage is LINEAR
+    * (each round references the previous rank once), so chaining a few
+    * rounds into one job is safe; with the rank side broadcast, the
+    * r10 measurement at sf0.1 flipped the r6 one — fully-lazy 5 rounds
+    * run 1.6× faster than per-round pinning (one job vs five
+    * materializations; AQE absorbs the deeper plan's planning cost).
+    * The LAST round always pins so callers get a shallow frame. Deep
+    * runs (tens of rounds) should pass a small cadence to bound
+    * re-planning depth. */
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 0L,
                dampNum: Long = 85, dampDen: Long = 100,
-               assumeDistinct: Boolean = false): DataFrame = {
+               assumeDistinct: Boolean = false,
+               pinEvery: Int = 6): DataFrame = {
     val e0 = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
     val e = if (assumeDistinct) e0 else e0.distinct()
@@ -92,16 +101,16 @@ object PageRank {
     val sc = if (scale > 0) scale else safeScale(nodes.count())
     val teleport = (sc / dampDen) * (dampDen - dampNum)
     var rank = nodes.select(col("node"), lit(sc).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed.join(rank, ed("src") === rank("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("csum"))
-      rank = graft.Graft.pin(
-        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      val next = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"($dampNum * coalesce(csum, CAST(0 AS BIGINT))) div $dampDen"))
-            .as("rank")))
+            .as("rank"))
+      rank = if (i % pinEvery == 0 || i == iters) graft.Graft.pin(next) else next
     }
     rank
   }
