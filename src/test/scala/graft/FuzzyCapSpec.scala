@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The FastSS fuzzy self-join's enforced volume bound (r9 verdict #5):
+  * heavy deletion keys are dropped from blocking, so one
+  * mass-duplication bomb can't go quadratic — and on gate-shaped data
+  * the cap must be IDLE (the j_fuzzy_edit oracle is the exact cross
+  * join; a binding cap would fail the hash). */
+class FuzzyCapSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pairs(rows: Seq[(Long, String)], cap: Long) =
+    Dedup.fuzzyEditPairs(rows.toDF("id", "s"), cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+
+  test("finds substitution / insertion / deletion neighbors, rejects ED 2") {
+    val got = pairs(Seq(
+      1L -> "abcd", // vs 2: substitution; vs 3: deletion; vs 4: ED 2
+      2L -> "abXd", // vs 3: deletion of the X
+      3L -> "abd",
+      4L -> "aXYd", // ED 2 from everything present
+      5L -> "abcd" // exact dup of 1 (ED 0)
+    ), cap = 64)
+    got shouldBe Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 5L, 0L),
+      (2L, 3L, 1L), (2L, 5L, 1L), (3L, 5L, 1L))
+  }
+
+  test("cap idle on gate-shaped data: padded-id names stay under 64 per key") {
+    // the j_fuzzy_edit shape: fixed prefix + zero-padded sequential id.
+    // Every deletion key's frequency is bounded by the ~10 strings one
+    // digit substitution can reach, far below the 64 cap — capped and
+    // uncapped runs must agree exactly.
+    val names = (1 to 300).map(i => (i.toLong, f"Customer#$i%09d"))
+    pairs(names, cap = 64) shouldBe pairs(names, cap = Long.MaxValue)
+  }
+
+  test("cap binds on a planted mass-duplication bomb and drops only its pairs") {
+    // 100 strings sharing every deletion key (all identical) — the
+    // quadratic bomb. With cap 64 the bomb's keys all exceed the cap,
+    // so its 4950 pairs vanish; the disjoint well-behaved pair (with
+    // keys shared by 2 strings only) must survive untouched.
+    val bomb = (1 to 100).map(i => (i.toLong, "zzzzzzzz"))
+    val good = Seq(1000L -> "abcdef", 1001L -> "abcXef")
+    val got = pairs(bomb ++ good, cap = 64)
+    got shouldBe Seq((1000L, 1001L, 1L))
+  }
+}
