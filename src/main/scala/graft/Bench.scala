@@ -115,6 +115,22 @@ object Bench {
       else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(t))
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val nErr = results.count(_._2._2.isDefined)
+    // Host-drift controls (VERDICT r9 #2): three stable queries spanning
+    // the suite's shapes (cube agg / window / broadcast semi-join) whose
+    // code hasn't changed since r7, pinned to their r7 idle-host minima.
+    // host_factor = current min-sum / pinned sum ≈ how much slower THIS
+    // host is than the r7 record's — carried in the record so a round
+    // verdict can separate code from VM weather mechanically (r9 did it
+    // with ad-hoc worktree A/Bs). 1.0 = r7-idle-parity; r9's record
+    // measured ~1.75 on these three, matching the judge's ~1.9 band.
+    val controlRef = Map(
+      "g_cube" -> 0.925, "w_distribution" -> 0.746, "j2_semi_join" -> 0.228)
+    val resultMap = results.toMap
+    val ctl = controlRef.keys.toSeq.sorted
+      .flatMap(k => resultMap.get(k).map(_._1).filter(_ >= 0).map(k -> _))
+    val hostFactor: Option[Double] =
+      if (ctl.size == controlRef.size) Some(ctl.map(_._2).sum / controlRef.values.sum)
+      else None
     val errs = results.collect { case (k, (_, Some(e))) => s"${q(k)}:${q(e)}" }
       .mkString("{", ",", "}")
     def passTotal(p: Map[String, (Double, Option[String])]) =
@@ -126,7 +142,12 @@ object Bench {
       val qs = results.map { case (k, (t, _)) => s"${q(k)}:${fmt(t, dec)}" }
         .mkString("{", ",", "}")
       val extra = (if (nErr > 0 || full) s""","errors":$errs""" else "") +
-        (if (full) s""","passes":[${passTotal(pass1)},${passTotal(pass2)}]""" else "")
+        (if (full) s""","passes":[${passTotal(pass1)},${passTotal(pass2)}]""" else "") +
+        (if (full) hostFactor.fold("") { h =>
+          val cs = ctl.map { case (k, t) => s"${q(k)}:${fmt(t, 3)}" }
+            .mkString("{", ",", "}")
+          s""","host_factor":${fmt(h, 2)},"host_controls":$cs"""
+        } else hostFactor.fold("")(h => s""","host_factor":${fmt(h, 2)}"""))
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr$extra,"sf":"$sfDir"}"""
     }
     try {
@@ -150,7 +171,8 @@ object Bench {
         val qs = slowest.take(k)
           .map { case (n, (t, _)) => s"${q(n)}:${fmt(t, 1)}" }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"queries_shown":$k,"n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}"""
+        val hf = hostFactor.fold("")(h => s""","host_factor":${fmt(h, 2)}""")
+        s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"queries_shown":$k,"n_queries":${results.size},"n_errors":$nErr$hf,"sf":"$sfDir"}"""
       }
       (40 to 0 by -1).map(lineK).find(_.length <= 1900).getOrElse(lineK(0))
     }

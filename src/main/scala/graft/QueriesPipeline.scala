@@ -1312,6 +1312,81 @@ object QueriesPipeline {
       |SELECT pair, pair_count FROM a
       |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin))
 
+  /** BPE ENCODE — the other half of the tokenizer story: apply the
+    * [[Bpe.learn]]-trained merge list to segment the corpus vocabulary
+    * (tx_bpe_pairs computes the pair statistics; this entry runs the
+    * full train→encode path). Plan shape at 100 TB: training runs on a
+    * frequency-capped basis (top-32 words here; vocabulary-capped
+    * always — Zipf makes the tail irrelevant to merge choice), and
+    * ENCODING happens once per DISTINCT word — the vocab table, pinned
+    * from one corpus scan — never per token occurrence; a real
+    * pipeline then broadcast-joins the (word → subtokens) map back to
+    * the token stream (tx_tokens' shape). The merge application is 6
+    * sequential map-side regexp rewrites — no shuffle after the vocab
+    * aggregation. Oracle: DuckDB replays the ENTIRE iterative training
+    * (pair-count → argmax → greedy rewrite, 6 chained CTE rounds) plus
+    * the vocab encode, so the merge ORDER and the greedy left-to-right
+    * overlap semantics are both hash-pinned, not just the final
+    * segmentation. (Reference analogue: the tokenizer/preprocessing
+    * stage of the training pipeline, SURVEY §2.11 text family.) */
+  val txBpeEncode: Entry = Entry("tx_bpe_encode",
+    (s, d) => {
+      val words = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word").rlike("^[a-z]+$"))
+      // vocab pinned once: basis selection, every learn iteration, and
+      // the encode all derive from it without re-scanning the corpus
+      val wf = graft.Graft.pin(
+        words.groupBy("word").agg(count(lit(1)).as("freq")).coalesce(1))
+      val basis = wf.orderBy(col("freq").desc, col("word").asc).limit(32)
+      val (merges, _) = Bpe.learn(basis, 6)
+      var enc = Bpe.initSymbols(wf)
+      for ((a, b) <- merges) enc = Bpe.applyMerge(enc, a, b)
+      enc.select(col("word"), col("freq"), col("syms").as("encoded"),
+          size(split(col("syms"), " ")).cast("long").as("n_sub"))
+        .orderBy("word")
+    },
+    Some(bpeEncodeOracle(6)))
+
+  /** DuckDB replay of train(n merges on the top-32 basis) + vocab
+    * encode. RE2 has no lookaround, so the greedy boundary-safe merge
+    * uses the doubled-separator rewrite (pad ' ', double interior
+    * spaces, replace ' a  b ' → ' ab ', collapse): non-overlapping
+    * left-to-right global replace over doubled separators is exactly
+    * Java's lookaround-anchored greedy rewrite — each boundary space
+    * is consumed at most once per side. Symbols are [a-z]+ by the
+    * basis filter, so concatenated patterns are regex-literal-safe. */
+  private def bpeEncodeOracle(n: Int): String = {
+    val init = """trim(regexp_replace(word, '(.)', '\1 ', 'g'))"""
+    def rewrite(src: String, p: String) =
+      s"trim(regexp_replace(regexp_replace(' ' || replace($src.syms, ' ', '  ') || ' ', " +
+        s"' ' || $p.a || '  ' || $p.b || ' ', ' ' || $p.a || $p.b || ' ', 'g'), ' +', ' ', 'g'))"
+    def pairCte(k: Int, src: String) =
+      s"p$k AS (SELECT lst[i] AS a, lst[i + 1] AS b " +
+        s"FROM (SELECT string_split(syms, ' ') AS lst, freq FROM $src) t, " +
+        s"unnest(range(1, len(lst))) AS r(i) " +
+        s"GROUP BY 1, 2 ORDER BY sum(freq) DESC, a, b LIMIT 1)"
+    val train = (1 to n).flatMap { k =>
+      val src = if (k == 1) "s0" else s"s${k - 1}"
+      Seq(pairCte(k, src)) ++
+        (if (k < n) Seq(s"s$k AS (SELECT freq, ${rewrite(src, s"p$k")} AS syms FROM $src, p$k)")
+         else Nil)
+    }
+    val encode = (1 to n).map { k =>
+      val src = s"v${k - 1}"
+      s"v$k AS (SELECT word, freq, ${rewrite(src, s"p$k")} AS syms FROM $src, p$k)"
+    }
+    (Seq(
+      "WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)",
+      "wf AS (SELECT word, count(*) AS freq FROM w0 WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1)",
+      "basis AS (SELECT word, freq FROM wf ORDER BY freq DESC, word LIMIT 32)",
+      s"s0 AS (SELECT freq, $init AS syms FROM basis)") ++ train ++
+      Seq(s"v0 AS (SELECT word, freq, $init AS syms FROM wf)") ++ encode)
+      .mkString("", ",\n", "\n") +
+      s"SELECT word, freq, syms AS encoded, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_sub " +
+      s"FROM v$n ORDER BY word"
+  }
+
   /** Domain-mixture rebalancing — the sampling-weight computation every
     * pretraining data recipe runs before training: per-language corpus
     * sizes → an upsampling repeat factor per language (here: match the
@@ -1998,8 +2073,8 @@ object QueriesPipeline {
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
-    txRedactPii, txBigramLm, txBpePairs, txInvertedIndex, txHeavyHitters,
-    txKeyphrases,
+    txRedactPii, txBigramLm, txBpePairs, txBpeEncode, txInvertedIndex,
+    txHeavyHitters, txKeyphrases,
     plCleanCorpus, plCanonical, plPack,
     plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,

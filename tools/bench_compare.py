@@ -12,12 +12,31 @@ def load(path):
     return json.loads(line[line.index("{"):])
 
 
+# r7 idle-host minima of the pinned control queries (Bench.controlRef);
+# a record's host_factor is its control min-sum over this sum.
+CONTROL_REF = {"g_cube": 0.925, "w_distribution": 0.746, "j2_semi_join": 0.228}
+
+
+def host_factor(rec):
+    if "host_factor" in rec:
+        return rec["host_factor"]
+    q = rec["queries"]
+    if all(k in q for k in CONTROL_REF):
+        return sum(q[k] for k in CONTROL_REF) / sum(CONTROL_REF.values())
+    return None
+
+
 def main():
     a, b = load(sys.argv[1]), load(sys.argv[2])
     print(f"total: {a['value']:.1f} s -> {b['value']:.1f} s | "
           f"queries: {a.get('n_queries', len(a['queries']))} -> "
           f"{b.get('n_queries', len(b['queries']))} | "
           f"errors: {a.get('n_errors', '?')} -> {b.get('n_errors', '?')}")
+    ha, hb = host_factor(a), host_factor(b)
+    if ha and hb:
+        print(f"host_factor (vs r7 idle): {ha:.2f} -> {hb:.2f} | "
+              f"raw ratio {b['value'] / a['value']:.2f}x, "
+              f"control-normalized {b['value'] / hb * ha / a['value']:.2f}x")
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb), key=lambda k: qa[k] - qb[k])
     regressions = [(qb[k] - qa[k], k) for k in common if qb[k] > qa[k] * 1.3 and qb[k] - qa[k] > 0.3]
