@@ -32,6 +32,12 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // STATIC conf; default 100. The suite compiles several hundred
+      // distinct whole-stage-codegen units (180 plans × 2-5 units), so
+      // the default LRU thrashes and even pass 2 recompiles ~every
+      // unit — per-query mins were carrying janino time, not query
+      // time. Sized to hold the whole suite's units once.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // overridable for local A/B profiling only (the driver never sets it)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))

@@ -86,6 +86,9 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // static conf, sized to hold every suite plan's codegen units
+      // (default-100 LRU thrashes across 180 entries — see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.enabled", "true")
       // Non-ANSI: cast yields null on garbage (pandas to_numeric coerce
       // semantics, P2) and matches the oracle's TRY_CAST spelling.
