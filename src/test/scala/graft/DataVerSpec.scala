@@ -44,6 +44,24 @@ class DataVerSpec extends SparkSpec {
     }
   }
 
+  test("tbl relation cache retargets on data regen, hits on identity") {
+    val dir = java.nio.file.Files.createTempDirectory("tblc").toFile
+    import spark.implicits._
+    Seq((1, "x")).toDF("k", "v").write.mode("overwrite")
+      .parquet(s"${dir.getPath}/t.parquet")
+    val d1 = Tables.tbl(spark, dir.getPath, "t")
+    // same (session, dir, name, dataVer) → the SAME resolved plan object
+    Tables.tbl(spark, dir.getPath, "t") should be theSameInstanceAs d1
+    d1.columns.toSeq shouldBe Seq("k", "v")
+    // regen with a different schema: the cache must serve the NEW
+    // relation, not the stale analyzed plan (the r8 stale-fixture class)
+    Seq((1, "x", 9L)).toDF("k", "v", "w").write.mode("overwrite")
+      .parquet(s"${dir.getPath}/t.parquet")
+    val f = new java.io.File(dir, "t.parquet")
+    f.setLastModified(f.lastModified() + 60000): Unit
+    Tables.tbl(spark, dir.getPath, "t").columns.toSeq shouldBe Seq("k", "v", "w")
+  }
+
   test("a touched or resized source changes the token (forces recompute)") {
     val dir = java.nio.file.Files.createTempDirectory("dv").toFile
     tmpTable(dir, "a", Array[Byte](1, 2, 3))
