@@ -122,15 +122,20 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val nErr = results.count(_._2._2.isDefined)
     // Host-drift controls (VERDICT r9 #2): three stable queries spanning
-    // the suite's shapes (cube agg / window / broadcast semi-join) whose
-    // code hasn't changed since r7, pinned to their r7 idle-host minima.
-    // host_factor = current min-sum / pinned sum ≈ how much slower THIS
-    // host is than the r7 record's — carried in the record so a round
+    // the suite's shapes (cube agg / window / broadcast semi-join),
+    // pinned to their idle minima under THIS harness. host_factor =
+    // current min-sum / pinned sum ≈ how much slower this run's host is
+    // than the pin-time idle host — carried in the record so a round
     // verdict can separate code from VM weather mechanically (r9 did it
-    // with ad-hoc worktree A/Bs). 1.0 = r7-idle-parity; r9's record
-    // measured ~1.75 on these three, matching the judge's ~1.9 band.
+    // with ad-hoc worktree A/Bs). RE-PIN POLICY: the pins are only
+    // comparable while measurement mechanics stay fixed — any harness
+    // change that speeds the controls up for non-host reasons (r10:
+    // codegen-cache sizing + relation cache) requires re-pinning to
+    // fresh idle minima, or the factor launders harness wins into
+    // "weather". Pinned r10 post-cache idle (sum 2.165 s); MUST match
+    // tools/bench_compare.py CONTROL_REF.
     val controlRef = Map(
-      "g_cube" -> 0.925, "w_distribution" -> 0.746, "j2_semi_join" -> 0.228)
+      "g_cube" -> 0.912, "w_distribution" -> 0.988, "j2_semi_join" -> 0.265)
     val resultMap = results.toMap
     val ctl = controlRef.keys.toSeq.sorted
       .flatMap(k => resultMap.get(k).map(_._1).filter(_ >= 0).map(k -> _))
@@ -159,7 +164,12 @@ object Bench {
     try {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve("bench_last.json"),
+      // a SPARK_GRAFT_ONLY profiling run must never clobber the
+      // full-suite record (the r10 near-miss: BENCH_LOCAL_r10 briefly
+      // checked in a 4-query subset because a later profiling run had
+      // overwritten bench_last.json before the copy)
+      val out = if (only.isDefined) "bench_only.json" else "bench_last.json"
+      java.nio.file.Files.write(dir.resolve(out),
         line(3, full = true).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     // Last-resort fallback (r6 defect: at 119 queries even the 1-dp line

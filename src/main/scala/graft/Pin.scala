@@ -23,14 +23,25 @@ import org.apache.spark.storage.StorageLevel
   *   deep traversals on a cluster should set a checkpoint dir.
   */
 object Graft {
-  def pin(df: DataFrame): DataFrame = {
+  /** Pin `df`; `release` is the frame this pin SUPERSEDES (the previous
+    * round's pin) — iterative callers pass it so the persist-mode
+    * fallback unpersists superseded rounds instead of accumulating one
+    * DISK_ONLY frame per round for the session lifetime. Released only
+    * AFTER the new pin materializes (the new round reads the old one).
+    * In the localCheckpoint/checkpoint modes `DataFrame.unpersist` is a
+    * CacheManager no-op (the frame was never plan-cached) and the
+    * checkpointed RDDs stay with the ContextCleaner — harmless. */
+  def pin(df: DataFrame, release: Option[DataFrame] = None): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (sc.isLocal) df.localCheckpoint(eager = true)
-    else if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else {
-      val p = df.persist(StorageLevel.DISK_ONLY)
-      p.count()
-      p
-    }
+    val pinned =
+      if (sc.isLocal) df.localCheckpoint(eager = true)
+      else if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else {
+        val p = df.persist(StorageLevel.DISK_ONLY)
+        p.count()
+        p
+      }
+    release.foreach(_.unpersist(blocking = false))
+    pinned
   }
 }

@@ -399,10 +399,23 @@ object Queries {
       }
       val staleMs = System.currentTimeMillis() - 3600L * 1000
       // family-wide reap (any version incl. legacy v1): our own exact
-      // name (a partial write) plus hour-cold dirs from dead processes
+      // name (a partial write) plus dirs whose OWNING PROCESS is dead —
+      // the name embeds _p<pid>, so liveness is checkable directly. An
+      // hour-cold mtime is NOT proof of death (a table dir's mtime
+      // freezes at creation, so a >1h suite's live table looks cold);
+      // age only decides for legacy names with no parseable pid.
+      def ownerDead(n: String): Boolean =
+        "_p(\\d+)$".r.findFirstMatchIn(n) match {
+          case Some(m) => m.group(1).toLongOption.exists { p =>
+            val h = ProcessHandle.of(p)
+            p != pid && !(h.isPresent && h.get.isAlive)
+          }
+          case None => true // legacy no-pid name: fall through to age
+        }
       Option(whDir.listFiles()).foreach(_.filter(f =>
         f.getName.startsWith(s"graft_bkt_${name}_") &&
-          (f.getName == t || f.lastModified() < staleMs))
+          (f.getName == t ||
+            (ownerDead(f.getName) && f.lastModified() < staleMs)))
         .foreach(rm))
       df.write.bucketBy(8, "k").sortBy("k").saveAsTable(t)
     }

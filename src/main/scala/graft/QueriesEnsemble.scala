@@ -55,12 +55,8 @@ object QueriesEnsemble {
     * version LAST so [[Tables.reapStaleSiblings]] can reap the dirs a
     * testdata regen or formula bump orphans — the old ver-first names
     * (`part_sink_<ver>_<dir>`) had no stable prefix to reap by. */
-  private def fixtureDir(family: String, d: String): String = {
-    val fam = family + "_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_"
-    val name = fam + fixtureVer(d)
-    Tables.reapStaleSiblings(fam, name)
-    "target/tmp/" + name
-  }
+  private def fixtureDir(family: String, d: String): String =
+    Tables.fixturePath(family, d, fixtureVer(d))
 
   /** J1/P5: three per-model frames joined N-way on the key, then the
     * preds array column (the reference's concat-on-index, P4/P5). */

@@ -62,10 +62,8 @@ object QueriesGraph {
     * stack keeps next to its facts. */
   private def grFixture(d: String, family0: String, tables: Seq[String])(
       compute: => org.apache.spark.sql.DataFrame) = {
-    val family = family0 + "_" + d.replaceAll("[^0-9a-zA-Z]", "_")
-    val name = family + "_" + Tables.dataVer(d, tables: _*)
-    Tables.reapStaleSiblings(family + "_", name)
-    Features.cached(compute, "target/tmp/" + name)
+    Features.cached(compute,
+      Tables.fixturePath(family0, d, Tables.dataVer(d, tables: _*)))
   }
 
   /** S5-materialized distinct trading pairs (customer, offset

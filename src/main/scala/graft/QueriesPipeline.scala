@@ -208,10 +208,7 @@ object QueriesPipeline {
     (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
   }
   private def componentAssignCached(s: SparkSession, d: String): DataFrame = {
-    val family = "comp_assign_" + d.replaceAll("[^0-9a-zA-Z]", "_")
-    val name = family + "_" + compAssignVer(d)
-    Tables.reapStaleSiblings(family + "_", name)
-    val out = "target/tmp/" + name
+    val out = Tables.fixturePath("comp_assign", d, compAssignVer(d))
     if (!new java.io.File(s"$out/_SUCCESS").isFile)
       componentAssign(s, d).write.mode("overwrite").parquet(out)
     s.read.parquet(out)
@@ -425,7 +422,7 @@ object QueriesPipeline {
       val pass1 = words.as[String].mapPartitions { it =>
         val (cands, n) = HeavyHitters.mgPass(it, k)
         cands.iterator.map(t => (0, t, 0L)) ++ Iterator((1, "", n))
-      }.toDF("tag", "w", "c").transform(Graft.pin)
+      }.toDF("tag", "w", "c").transform(Graft.pin(_))
       val cands = pass1.where(col("tag") === 0).select(col("w")).distinct()
       val total = pass1.where(col("tag") === 1)
         .agg(sum(col("c")).as("n_total"))
@@ -1361,11 +1358,23 @@ object QueriesPipeline {
     def rewrite(src: String, p: String) =
       s"trim(regexp_replace(regexp_replace(' ' || replace($src.syms, ' ', '  ') || ' ', " +
         s"' ' || $p.a || '  ' || $p.b || ' ', ' ' || $p.a || $p.b || ' ', 'g'), ' +', ' ', 'g'))"
+    // The sentinel ('', '', -1) keeps p_k NON-EMPTY when the basis has
+    // no adjacent pair left (training converged before n merges): an
+    // empty p_k would annihilate every downstream cross join and the
+    // oracle would return zero rows while Spark (Bpe.learn stops early)
+    // returns the k<n-merge encoding. The sentinel loses every ORDER BY
+    // to a real pair (count -1), and as a merge it is a no-op: its
+    // pattern ' ' || '' || '  ' || '' || ' ' is a 4-space run, which
+    // the doubled-separator form (exactly 2 interior, 1 edge space)
+    // never contains — so converged rounds rewrite nothing, matching
+    // Spark's absent rounds exactly.
     def pairCte(k: Int, src: String) =
-      s"p$k AS (SELECT lst[i] AS a, lst[i + 1] AS b " +
+      s"p$k AS (SELECT a, b FROM (" +
+        s"SELECT lst[i] AS a, lst[i + 1] AS b, sum(freq) AS c " +
         s"FROM (SELECT string_split(syms, ' ') AS lst, freq FROM $src) t, " +
-        s"unnest(range(1, len(lst))) AS r(i) " +
-        s"GROUP BY 1, 2 ORDER BY sum(freq) DESC, a, b LIMIT 1)"
+        s"unnest(range(1, len(lst))) AS r(i) GROUP BY 1, 2 " +
+        s"UNION ALL SELECT '', '', -1" +
+        s") ORDER BY c DESC, a, b LIMIT 1)"
     val train = (1 to n).flatMap { k =>
       val src = if (k == 1) "s0" else s"s${k - 1}"
       Seq(pairCte(k, src)) ++

@@ -148,10 +148,8 @@ object QueriesStreaming {
   private[graft] def stagedEventsStream(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val family = "stream_src_" + d.replaceAll("[^0-9a-zA-Z]", "_")
-    val stageName = family + "_" + Tables.dataVer(d, "events")
-    Tables.reapStaleSiblings(family + "_", stageName)
-    val stage = java.nio.file.Paths.get("target/tmp/" + stageName)
+    val stage = java.nio.file.Paths.get(
+      Tables.fixturePath("stream_src", d, Tables.dataVer(d, "events")))
     java.nio.file.Files.createDirectories(stage)
     val dst = stage.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dst)) {
@@ -305,13 +303,10 @@ object QueriesStreaming {
     * exists behind a _READY marker (S5 semantics); parts are written to
     * temp dirs and atomically moved, marker last, so a killed run can't
     * leave a half-staged dir that later exists()-checks trust. */
-  private def stageBatchFiles(family: String, ver: String,
+  private def stageBatchFiles(family: String, d: String, ver: String,
       parts: => Seq[(String, org.apache.spark.sql.DataFrame)]): String = {
-    val stageName = family + "_" + ver
-    // a regen/bump orphans the previous version's dir — reap it here so
-    // target/tmp doesn't leak a fixture footprint per testdata epoch
-    Tables.reapStaleSiblings(family + "_", stageName)
-    val stage = java.nio.file.Paths.get("target/tmp/" + stageName)
+    // naming + superseded-version reap owned by the shared contract
+    val stage = java.nio.file.Paths.get(Tables.fixturePath(family, d, ver))
     val ready = stage.resolve("_READY")
     if (!java.nio.file.Files.exists(ready)) {
       java.nio.file.Files.createDirectories(stage)
@@ -351,8 +346,7 @@ object QueriesStreaming {
     * so the dedup state genuinely crosses a batch boundary. */
   private def stagedDocBatches(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stageBatchFiles(
-      "stream_docs_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
+    stageBatchFiles("stream_docs", d,
       docStreamVer + "_" + Tables.dataVer(d, "documents"), {
         val docs = textDistinctDocs(s, d)
         Seq(
@@ -438,8 +432,7 @@ object QueriesStreaming {
   }
   private def stagedEventHalves(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stageBatchFiles(
-      "stream_ev2_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
+    stageBatchFiles("stream_ev2", d,
       eventHalvesVer + "_" + Tables.dataVer(d, "events"), {
         val raw = tbl(s, d, "events")
         val us = raw.withColumn("us", unix_micros(col("ts")))
@@ -657,8 +650,7 @@ object QueriesStreaming {
       // literals — a java.sql.Timestamp literal would parse in the
       // JVM-default zone instead
       def at(t: String) = lit(s"2030-01-01 $t").cast("timestamp")
-      val stage = stageBatchFiles(
-        "stream_wmdd_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
+      val stage = stageBatchFiles("stream_wmdd", d,
         wmDedupVer + "_" + Tables.dataVer(d, "documents"), {
           val ids = tbl(outer, d, "documents").select(col("doc_id"))
           val driver = ids.limit(1)
@@ -723,8 +715,7 @@ object QueriesStreaming {
       import graft.operators.KllSketch.stateEncoder
       val eps = 0.02
       val qs = Seq(0.25, 0.5, 0.75, 0.95)
-      val stage = stageBatchFiles(
-        "stream_qdoc_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
+      val stage = stageBatchFiles("stream_qdoc", d,
         "v1_" + Tables.dataVer(d, "documents"), {
           val docs = tbl(outer, d, "documents")
             .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -796,8 +787,7 @@ object QueriesStreaming {
     (outer, d) => {
       val s = sizedStreamSession(outer, 2)
       def at(t: String) = lit(s"2031-01-01 $t").cast("timestamp")
-      val stage = stageBatchFiles(
-        "stream_sesswin_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
+      val stage = stageBatchFiles("stream_sesswin", d,
         "v1_" + Tables.dataVer(d, "events"), {
           val base = tbl(outer, d, "events")
             .select(col("event_id"), col("user_id"), col("ts"))
@@ -861,8 +851,7 @@ object QueriesStreaming {
       val s = sizedStreamSession(outer, 2)
       import s.implicits._
       import graft.operators.HeavyHitters.ssStateEncoder
-      val stage = stageBatchFiles(
-        "stream_topk_" + d.replaceAll("[^0-9a-zA-Z]", "_"),
+      val stage = stageBatchFiles("stream_topk", d,
         "v1_" + Tables.dataVer(d, "documents"), {
           val docs = tbl(outer, d, "documents").select(col("doc_id"),
             col("lang"), col("source"))

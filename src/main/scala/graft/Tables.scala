@@ -42,22 +42,31 @@ object Tables {
       case _ => df
     }
 
-  /** Analyzed-relation cache: `spark.read.parquet` re-lists the path
-    * and re-reads footers on EVERY call, and the suite resolves each
-    * base table hundreds of times per bench run (179 entries × 2
-    * passes × 1-3 tables). The resolved DataFrame is an immutable lazy
-    * plan — perfectly reusable. Key folds in [[dataVer]] (a testdata
-    * regen retargets instead of serving a stale schema) and the
-    * session by identity (isolated streaming sessions never share).
-    * Bounded: one entry per (session, dir, table, version) per JVM. */
-  private val tblCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String, String), DataFrame]()
+  /** Base-table SCHEMA cache: `spark.read.parquet` re-reads footers to
+    * infer the schema on EVERY call, and the suite resolves each base
+    * table hundreds of times per bench run (180 entries × 2 passes ×
+    * 1-3 tables). Caching the inferred StructType — keyed (dir, table),
+    * value REPLACED when [[dataVer]] changes so a testdata regen
+    * retargets — lets every later call resolve via `read.schema(...)`
+    * with zero footer IO. Deliberately NOT a DataFrame cache: a
+    * plan-valued cache would strongly retain every session that ever
+    * resolved a table (each per-entry isolated streaming session, each
+    * superseded version) for the JVM lifetime; a schema is a few
+    * hundred bytes with no session reference. Schemas are JVM-stable
+    * across sessions here because every builder pins the same parquet
+    * confs (nanosAsLong, session TZ). */
+  private val tblSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, org.apache.spark.sql.types.StructType)]()
 
-  def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    tblCache.computeIfAbsent((spark, dir, name, dataVer(dir, name)), k => {
-      val df = k._1.read.parquet(s"${k._2}/${k._3}.parquet")
-      if (k._3 == "events") normalizeTs(df) else df
-    })
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val ver = dataVer(dir, name)
+    val path = s"$dir/$name.parquet"
+    val schema = tblSchemaCache.compute((dir, name), (_, cur) =>
+      if (cur != null && cur._1 == ver) cur
+      else (ver, spark.read.parquet(path).schema))._2
+    val df = spark.read.schema(schema).parquet(path)
+    if (name == "events") normalizeTs(df) else df
+  }
 
   /** Data-version token for derived-fixture cache keys: mtime+length of
     * the source parquet files. Folding this into every `target/tmp`
@@ -80,6 +89,20 @@ object Tables {
     * CONCURRENT process on the same key set writes the same new name,
     * and nothing legitimately reads an hour-cold dir whose source
     * changed. Call right before using `keep`. */
+  /** THE derived-fixture path contract, in one place (r10 review: four
+    * near-identical inline copies meant a layout change needed four
+    * edits): `target/tmp/<family>_<dirslug>_<ver>` — family-first so
+    * superseded versions share a stable reapable prefix, version LAST
+    * so a testdata regen / formula bump orphans (and [[reapStaleSiblings]]
+    * reaps) the old dir. Callers own the build/load step; this owns
+    * naming + reap. */
+  private[graft] def fixturePath(family: String, d: String, ver: String): String = {
+    val fam = family + "_" + d.replaceAll("[^0-9a-zA-Z]", "_") + "_"
+    val name = fam + ver
+    reapStaleSiblings(fam, name)
+    "target/tmp/" + name
+  }
+
   private[graft] def reapStaleSiblings(prefix: String, keep: String): Unit = {
     val base = new java.io.File("target/tmp")
     val staleMs = System.currentTimeMillis() - 3600L * 1000

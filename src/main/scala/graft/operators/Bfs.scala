@@ -38,7 +38,7 @@ object Bfs {
       val relaxed = e.join(dist, e("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
       dist = graft.Graft.pin(dist.union(relaxed)
-        .groupBy("node").agg(min(col("dist")).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist")), release = Some(dist))
     }
     dist
   }

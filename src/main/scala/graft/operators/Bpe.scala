@@ -79,7 +79,7 @@ object Bpe {
         merges += ((a, b))
         // truncate iterative lineage (pin is eager; the next round's
         // bestPair collect would materialize the frame anyway)
-        syms = graft.Graft.pin(applyMerge(syms, a, b))
+        syms = graft.Graft.pin(applyMerge(syms, a, b), release = Some(syms))
         i += 1
       case None => done = true
     }

@@ -89,7 +89,7 @@ object Components {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = graft.Graft.pin(smallStar(largeStar(cur)))
+      val next = graft.Graft.pin(smallStar(largeStar(cur)), release = Some(cur))
       val nextChk = checksum(next)
       converged = nextChk == curChk
       cur = next

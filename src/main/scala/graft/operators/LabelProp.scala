@@ -48,6 +48,7 @@ object LabelProp {
       .union(e.select(col("dst").as("node"))).distinct())
 
     var labels = nodes.select(col("node"), col("node").as("label"))
+    var lastPin: Option[DataFrame] = None // superseded-round release (persist mode)
     for (i <- 1 to rounds) {
       val counts = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
@@ -59,7 +60,10 @@ object LabelProp {
           nodes("node") === col("anode"), "left")
         .select(nodes("node"),
           coalesce(col("label"), nodes("node")).as("label"))
-      labels = if (i % pinEvery == 0 || i == rounds) graft.Graft.pin(next) else next
+      labels = if (i % pinEvery == 0 || i == rounds) {
+        val p = graft.Graft.pin(next, release = lastPin)
+        lastPin = Some(p); p
+      } else next
     }
     labels
   }

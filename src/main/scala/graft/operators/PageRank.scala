@@ -101,6 +101,7 @@ object PageRank {
     val sc = if (scale > 0) scale else safeScale(nodes.count())
     val teleport = (sc / dampDen) * (dampDen - dampNum)
     var rank = nodes.select(col("node"), lit(sc).as("rank"))
+    var lastPin: Option[DataFrame] = None // superseded-round release (persist mode)
     for (i <- 1 to iters) {
       val contrib = ed.join(rank, ed("src") === rank("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
@@ -110,7 +111,10 @@ object PageRank {
           (lit(teleport) +
             expr(s"($dampNum * coalesce(csum, CAST(0 AS BIGINT))) div $dampDen"))
             .as("rank"))
-      rank = if (i % pinEvery == 0 || i == iters) graft.Graft.pin(next) else next
+      rank = if (i % pinEvery == 0 || i == iters) {
+        val p = graft.Graft.pin(next, release = lastPin)
+        lastPin = Some(p); p
+      } else next
     }
     rank
   }

@@ -44,17 +44,17 @@ class DataVerSpec extends SparkSpec {
     }
   }
 
-  test("tbl relation cache retargets on data regen, hits on identity") {
+  test("tbl schema cache retargets on data regen") {
     val dir = java.nio.file.Files.createTempDirectory("tblc").toFile
     import spark.implicits._
     Seq((1, "x")).toDF("k", "v").write.mode("overwrite")
       .parquet(s"${dir.getPath}/t.parquet")
-    val d1 = Tables.tbl(spark, dir.getPath, "t")
-    // same (session, dir, name, dataVer) → the SAME resolved plan object
-    Tables.tbl(spark, dir.getPath, "t") should be theSameInstanceAs d1
-    d1.columns.toSeq shouldBe Seq("k", "v")
+    Tables.tbl(spark, dir.getPath, "t").columns.toSeq shouldBe Seq("k", "v")
+    // second resolve serves the cached schema (and stays correct)
+    Tables.tbl(spark, dir.getPath, "t").as[(Int, String)].collect()
+      .toSeq shouldBe Seq((1, "x"))
     // regen with a different schema: the cache must serve the NEW
-    // relation, not the stale analyzed plan (the r8 stale-fixture class)
+    // schema, not the stale one (the r8 stale-fixture failure class)
     Seq((1, "x", 9L)).toDF("k", "v", "w").write.mode("overwrite")
       .parquet(s"${dir.getPath}/t.parquet")
     val f = new java.io.File(dir, "t.parquet")

@@ -12,9 +12,12 @@ def load(path):
     return json.loads(line[line.index("{"):])
 
 
-# r7 idle-host minima of the pinned control queries (Bench.controlRef);
-# a record's host_factor is its control min-sum over this sum.
-CONTROL_REF = {"g_cube": 0.925, "w_distribution": 0.746, "j2_semi_join": 0.228}
+# Idle minima of the pinned control queries under the r10 harness
+# (MUST match Bench.controlRef — see its re-pin policy comment). Used
+# only as a fallback for records that predate the host_factor field;
+# a record's own host_factor always wins. Records from before the r10
+# harness change (codegen/relation caches) are not factor-comparable.
+CONTROL_REF = {"g_cube": 0.912, "w_distribution": 0.988, "j2_semi_join": 0.265}
 
 
 def host_factor(rec):
