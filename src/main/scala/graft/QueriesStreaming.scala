@@ -903,8 +903,90 @@ object QueriesStreaming {
       |FROM r JOIN t ON r.lang = t.lang
       |WHERE r.rank <= 3 ORDER BY r.lang, r.rank""".stripMargin))
 
+  /** INCREMENTAL MinHash index maintenance under real micro-batch
+    * execution — the near-dup half of the ingestion-dedup story
+    * (st_stream_dedup is the exact half): the base corpus lands in
+    * batch 0 and builds the LSH band index in bucket state; the
+    * planted near-dup variants (the dd_minhash_lsh corpus: ' qq17'
+    * suffix at Jaccard ≤ 0.15) land in batch 1 and are verified
+    * against state from a DIFFERENT micro-batch, so every emitted
+    * pair crosses the state-store boundary. The emitted pair set over
+    * the finite stream equals the batch operator's output on the full
+    * corpus ([[StreamingOps.minHashIndexPairs]]), so the entry shares
+    * dd_minhash_lsh's brute-force oracle — recall is provable on this
+    * corpus (nearest non-qualifying pair beyond 0.6; banded catch
+    * probability at the frontier effectively 1, verified
+    * bit-identical), and precision is the in-state exact-Jaccard
+    * verify. Scale shape: band explode is map-side in the source
+    * stage; the only shuffle is the bucket groupBy; state per bucket
+    * is bucketCap-bounded with an audit count. */
+  val stStreamMinhash: Entry = Entry("st_stream_minhash",
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 2)
+      import s.implicits._
+      val stage = stageBatchFiles("stream_mh", d,
+        "v1_" + Tables.dataVer(d, "documents"), {
+          val base = tbl(outer, d, "documents")
+            .select(col("doc_id").as("id"), col("text"))
+          Seq(
+            "b0" -> base,
+            "b1" -> base.where(col("id") % 11 === 0)
+              .select((col("id") + 100000).as("id"),
+                concat(col("text"), lit(" qq17")).as("text")))
+        })
+      val name = s"st_mh_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val incoming = s.readStream
+        .schema(s.read.parquet(s"$stage/b0.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .select(col("id"), col("text"),
+          explode(graft.operators.Dedup.bandKeysUdf(
+            col("text"), lit(6), lit(3))).as("bk"))
+        .select(concat_ws(":", col("bk._1"), col("bk._2")).as("bucket"),
+          col("id"), col("text"))
+        .as[(String, Long, String)]
+      val q = StreamingOps.minHashIndexPairs(incoming,
+          threshold = 0.4, bucketCap = 64)
+        .toDF("id_a", "id_b", "jaccard_dist")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"expected >=2 data micro-batches (cross-batch index state), saw $fed")
+      } finally {
+        q.stop()
+        deleteRecursively(new java.io.File(s"target/tmp/ckpt_$name"))
+      }
+      // a pair can collide in >1 band (distinct groups emit the same
+      // pair with the same dist) — same dedup as the batch operator
+      s.table(name).dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard_dist"), 6).as("jaccard_dist"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH corpus AS (
+      | SELECT doc_id AS id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS id, text || ' qq17' AS text
+      | FROM documents WHERE doc_id % 11 = 0),
+      |sh AS (
+      | SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+      |     i -> array_to_string(w[i:i+2], ' '))) AS s
+      | FROM (SELECT id, string_split(text, ' ') AS w FROM corpus)
+      | WHERE len(w) >= 3),
+      |p AS (
+      | SELECT a.id AS id_a, b.id AS id_b,
+      |   1.0 - (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |          len(list_distinct(list_concat(a.s, b.s)))) AS dist
+      | FROM sh a JOIN sh b ON a.id < b.id)
+      |SELECT id_a, id_b, round(dist, 6) AS jaccard_dist
+      |FROM p WHERE dist <= 0.4 ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom,
     stStreamExec, stStreamSessionExec, stStreamDedup, stStreamJoin,
     stStreamRecovery, stStreamWmDedup, stStreamQuantile, stStreamTopK,
-    stStreamSessionWindow)
+    stStreamSessionWindow, stStreamMinhash)
 }

@@ -154,13 +154,18 @@ object Dedup {
     * interpreted evaluation would dominate. */
   def jaccardText(a: Column, b: Column): Column = jaccardTextUdf(a, b)
 
-  private val jaccardTextUdf = udf((a: String, b: String) => {
+  /** Raw-JVM twin for callers outside Column reach (the streaming
+    * index's in-state candidate verification). Same integer set sizes
+    * → bit-identical quotient with the UDF/HOF spellings. */
+  private[graft] def jaccardSim(a: String, b: String): Double = {
     val sa = shingleSet(a).toSet
     val sb = shingleSet(b).toSet
     val inter = sa.intersect(sb).size // the hot-loop cost — compute once
     val union = sa.size + sb.size - inter
     if (union == 0) 0.0 else inter.toDouble / union
-  })
+  }
+
+  private val jaccardTextUdf = udf(jaccardSim _)
 
   /** 64-bit SimHash of the word tokens: per token a stable 64-bit hash
     * (xxhash64); bit i votes +1/-1 weighted by token occurrence; the

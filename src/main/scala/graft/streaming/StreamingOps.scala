@@ -203,4 +203,64 @@ object StreamingOps {
           (key, st.total, top.map(_._1), top.map(_._2), top.map(_._3))
       }
   }
+
+  /** Per-band-bucket index state for [[minHashIndexPairs]]: the docs
+    * (id, text) that have landed in this LSH bucket so far, plus an
+    * audit count of docs the cap refused. At 100 TB the state would
+    * hold (id, shingle sketch) and verification would be a lookup
+    * join; texts are kept here because fixture buckets are tiny and
+    * the verify stays inside the state update. */
+  final case class MhBucket(ids: Seq[Long], texts: Seq[String], dropped: Long)
+
+  /** INCREMENTAL MinHash-LSH index maintenance — the streaming half of
+    * [[graft.operators.Dedup.minHashPairs]]: documents arrive in
+    * micro-batches, each doc joins its LSH band buckets
+    * (state-store-backed), is VERIFIED by exact 3-shingle Jaccard
+    * against the bucket's existing members, and every qualifying pair
+    * is emitted exactly once — when its LATER member arrives. Because
+    * bucket state accumulates across batches, the emitted pair SET
+    * over a finite stream equals the batch operator's output on the
+    * full corpus regardless of how arrivals are split into batches
+    * (pairs may repeat across bands, as in the batch operator —
+    * callers dropDuplicates). Within a batch, bucket rows are folded
+    * in id order, so emission is deterministic.
+    *
+    * Scale shape: state per bucket is bounded by `bucketCap` (LSH
+    * banding keeps true buckets tiny; one mass-duplication key can't
+    * grow state unboundedly — refused docs are counted in the state's
+    * audit field, the dd_minhash/domain-cap discipline). Input rows
+    * are (bucketKey, id, text) — the map-side band explode stays in
+    * the source stage; only the bucketed shuffle carries payloads. */
+  def minHashIndexPairs(rows: Dataset[(String, Long, String)],
+      threshold: Double, bucketCap: Int)(
+      implicit encS: org.apache.spark.sql.Encoder[MhBucket],
+      encU: org.apache.spark.sql.Encoder[(Long, Long, Double)])
+      : Dataset[(Long, Long, Double)] = {
+    rows.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[MhBucket, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, vs: Iterator[(String, Long, String)],
+            state: GroupState[MhBucket]) =>
+          val st0 = state.getOption.getOrElse(MhBucket(Nil, Nil, 0L))
+          var ids = st0.ids.toVector
+          var texts = st0.texts.toVector
+          var dropped = st0.dropped
+          val out = Vector.newBuilder[(Long, Long, Double)]
+          vs.toSeq.sortBy(_._2).foreach { case (_, id, text) =>
+            var i = 0
+            while (i < ids.length) {
+              if (ids(i) != id) {
+                val dist = 1.0 - graft.operators.Dedup.jaccardSim(texts(i), text)
+                if (dist <= threshold)
+                  out += ((math.min(ids(i), id), math.max(ids(i), id), dist))
+              }
+              i += 1
+            }
+            if (ids.length < bucketCap) { ids :+= id; texts :+= text }
+            else dropped += 1
+          }
+          state.update(MhBucket(ids, texts, dropped))
+          out.result().iterator
+      }
+  }
 }

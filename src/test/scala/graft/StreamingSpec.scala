@@ -328,4 +328,73 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r._1, r._2, r._3)).toSeq.sortBy(_._1)
     got shouldBe Seq(("a", 4L, Seq(3.0, 7.0)), ("b", 2L, Seq(10.0, 20.0)))
   }
+
+  private def mhBucketed(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("id"), col("text"),
+      explode(graft.operators.Dedup.bandKeysUdf(col("text"), lit(6), lit(3))).as("bk"))
+    .select(concat_ws(":", col("bk._1"), col("bk._2")).as("bucket"),
+      col("id"), col("text"))
+    .as[(String, Long, String)]
+
+  test("incremental minhash index: pair set is batch-split-invariant and equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    // tiny corpus: two near-dup pairs (one-token suffix edits), one far doc
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta qq"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven extra"),
+      (5L, "completely different tokens here entirely unrelated"))
+    val batch = graft.operators.Dedup
+      .minHashPairs(docs.toDF("id", "text"), threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    batch shouldBe Set((1L, 2L), (3L, 4L))
+
+    // stream the SAME corpus in an adversarial split: each pair's two
+    // members arrive in DIFFERENT batches, so every emission crosses
+    // the state-store boundary
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.minHashIndexPairs(
+      mhBucketed(mem.toDF().toDF("id", "text")), threshold = 0.4, bucketCap = 64)
+    val q = out.toDF("id_a", "id_b", "jaccard_dist")
+      .writeStream.format("memory").queryName("mh_idx_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs.filter(d => d._1 % 2 == 1).map(d => (d._1, d._2)): _*)
+      q.processAllAvailable()
+      mem.addData(docs.filter(d => d._1 % 2 == 0).map(d => (d._1, d._2)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mh_idx_test")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
+  test("incremental minhash index: bucketCap bounds state and counts refusals") {
+    implicit val sqlCtx = spark.sqlContext
+    // identical texts all collide into the same buckets; cap 2 admits
+    // the first two per bucket, refuses the third (audit, not OOM)
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.minHashIndexPairs(
+      mhBucketed(mem.toDF().toDF("id", "text")), threshold = 0.4, bucketCap = 2)
+    val q = out.toDF("id_a", "id_b", "jaccard_dist")
+      .writeStream.format("memory").queryName("mh_cap_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t = "same exact duplicated text tokens here"
+      mem.addData((1L, t), (2L, t), (3L, t))
+      q.processAllAvailable()
+      val pairs = spark.table("mh_cap_test")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // doc 3 was refused from state AFTER being verified against the
+      // admitted members, so its pairs with 1 and 2 still emit; a
+      // LATER arrival must not pair with the refused doc 3
+      pairs shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+      mem.addData((4L, t))
+      q.processAllAvailable()
+      val pairs2 = spark.table("mh_cap_test")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      pairs2 shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    } finally q.stop()
+  }
 }
