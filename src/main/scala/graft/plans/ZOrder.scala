@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Native Catalyst expression computing a 2-D Z-order (Morton) key:
   * the low 16 bits of each long input are bit-interleaved into a
@@ -25,19 +25,29 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class ZOrder2(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Any integral type is accepted and read as long (SQL users write
+  // zorder2(3, 5) with INT literals; ImplicitCastInputTypes is
+  // unavailable outside org.apache.spark — AbstractDataType is
+  // private[sql] — so widen the check instead; the codegen's
+  // `& 0xffffL` promotes int operands for free).
+  private def integral(t: DataType): Boolean = t match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) if integral(l) && integral(r) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"zorder2 expects (bigint, bigint), got (${l.sql}, ${r.sql})")
+        s"zorder2 expects integral inputs, got (${l.sql}, ${r.sql})")
     }
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "zorder2"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[Long] & 0xffffL
-    val y = b.asInstanceOf[Long] & 0xffffL
+    val x = a.asInstanceOf[Number].longValue & 0xffffL
+    val y = b.asInstanceOf[Number].longValue & 0xffffL
     var z = 0L
     var i = 0
     while (i < 16) {

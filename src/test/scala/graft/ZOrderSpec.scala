@@ -26,6 +26,19 @@ class ZOrderSpec extends SparkSpec {
       Seq(5L, 10L, 0xffffffffL, 0L /* bit 16 masked */, model(5, 5))
   }
 
+  test("integral coercion: INT literals from SQL (and both eval paths) work") {
+    // a SQL user writes zorder2(3, 5) — INT literals, interpreted path
+    spark.sql("SELECT zorder2(3, 5) AS z").as[Long].head() shouldBe model(3, 5)
+    // mixed int/long columns through the codegen path
+    Seq((3, 5L)).toDF("x", "y")
+      .select(call_function("zorder2", col("x"), col("y")).as("z"))
+      .as[Long].head() shouldBe model(3, 5)
+    // non-integral still rejected
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT zorder2(1.5, 2)").collect()
+    }
+  }
+
   test("matches the bit model on random 16-bit pairs") {
     val rnd = new scala.util.Random(11)
     val pairs = Seq.fill(200)((rnd.nextLong().abs % 65536, rnd.nextLong().abs % 65536))
