@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, NumericType}
 
 /** Native Catalyst expression for cosine similarity over two
   * array<double> columns — the (b) tier of the custom-operator
@@ -96,6 +96,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * (`SELECT cosine_sim(a, b)`) and the Column API via
   * `call_function("cosine_sim", a, b)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Registration-boundary coercion — the role ImplicitCastInputTypes
+    * plays for built-ins (unavailable outside org.apache.spark:
+    * AbstractDataType is private[sql]): a SQL user writes
+    * `cosine_sim(array(1, 0), emb)` with an int-array literal; wrap
+    * any other NUMERIC array in a Cast to array<double> so the strict
+    * expressions stay strict (and their hot-path eval monomorphic).
+    * Unresolved or non-array children pass through — the expression's
+    * own checkInputDataTypes reports those. */
+  private def asDoubleArray(e: Expression): Expression =
+    if (!e.resolved) e
+    else e.dataType match {
+      case ArrayType(DoubleType, _) => e
+      case ArrayType(_: NumericType, cn) => Cast(e, ArrayType(DoubleType, cn))
+      case _ => e
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator surface: per-group top-k (LogicalPlan + Strategy
     // + bounded-heap SparkPlan — see TopKPerGroup.scala) plus the
@@ -108,21 +125,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim expects exactly 2 arguments")
-        CosineSimilarity(children.head, children(1))
+        CosineSimilarity(asDoubleArray(children.head), asDoubleArray(children(1)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("array_stats"),
       new ExpressionInfo(classOf[ArrayStats].getName, "array_stats"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "array_stats expects exactly 1 argument")
-        ArrayStats(children.head)
+        ArrayStats(asDoubleArray(children.head))
       }))
     ext.injectFunction((
       new FunctionIdentifier("minmax_norm"),
       new ExpressionInfo(classOf[MinMaxNormalize].getName, "minmax_norm"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "minmax_norm expects exactly 1 argument")
-        MinMaxNormalize(children.head)
+        MinMaxNormalize(asDoubleArray(children.head))
       }))
     ext.injectFunction((
       new FunctionIdentifier("zorder2"),

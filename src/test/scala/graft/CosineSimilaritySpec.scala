@@ -50,4 +50,21 @@ class CosineSimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     on shouldBe (10.0 / (math.sqrt(14.0) * math.sqrt(14.0))) +- 1e-15
   }
+
+  test("registration-boundary coercion: numeric (non-double) arrays from SQL") {
+    // int-array literals — the spelling a SQL user actually types
+    spark.sql("SELECT cosine_sim(array(1, 0), array(1, 1)) AS c")
+      .as[Double].head() shouldBe (1.0 / math.sqrt(2.0)) +- 1e-15
+    spark.sql("SELECT array_stats(array(1, 2, 3)).sum AS s")
+      .as[Double].head() shouldBe 6.0
+    spark.sql("SELECT minmax_norm(array(1, 2, 3)) AS m")
+      .as[Seq[Double]].head() shouldBe Seq(0.0, 0.5, 1.0)
+    // float arrays (the embeddings-at-rest type) coerce too
+    spark.sql("SELECT array_stats(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))).mean AS s")
+      .as[Double].head() shouldBe 1.5
+    // non-numeric arrays still rejected by the strict expression
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT array_stats(array('a', 'b'))").collect()
+    }
+  }
 }
