@@ -52,7 +52,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Verify.quietDeliberateWindowWarn()
 
+    // Untimed full GC before each query (JMH-style iteration hygiene;
+    // SPARK_GRAFT_GC=0 disables for A/B). Measured misattribution
+    // without it: ml_cv_logloss ran 4.4 s after a 26-entry prefix vs
+    // 1.9-2.1 s isolated OR with this GC — the driver-compute-heavy
+    // LBFGS loop was paying the garbage debt of earlier entries'
+    // localCheckpoint blocks (ContextCleaner frees them on GC of the
+    // pinned frames; a 32 GiB heap otherwise defers collection into
+    // whichever entry next stresses the driver). Per-query times
+    // should measure the QUERY, not its predecessors' garbage.
+    val gcBetween = !sys.env.get("SPARK_GRAFT_GC").contains("0")
     def runOnce(name: String): (Double, Option[String]) = {
+      if (gcBetween) { System.gc(); Thread.sleep(50) }
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
