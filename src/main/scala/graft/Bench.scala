@@ -144,7 +144,12 @@ object Bench {
     // codegen-cache sizing + relation cache) requires re-pinning to
     // fresh idle minima, or the factor launders harness wins into
     // "weather". Pinned r10 post-cache idle (sum 2.165 s); MUST match
-    // tools/bench_compare.py CONTROL_REF.
+    // tools/bench_compare.py CONTROL_REF. The later r10 GC-hygiene
+    // default did NOT move these pins: the controlled 30-entry A/B
+    // measured the controls flat across it (g_cube 1.13→1.24,
+    // w_distribution 0.86→0.94, j2 ~flat — light scans carry no
+    // meaningful garbage debt; the GC effect is confined to
+    // driver-compute-heavy entries), so no re-base was owed.
     val controlRef = Map(
       "g_cube" -> 0.912, "w_distribution" -> 0.988, "j2_semi_join" -> 0.265)
     val resultMap = results.toMap

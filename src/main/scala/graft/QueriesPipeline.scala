@@ -32,13 +32,44 @@ object QueriesPipeline {
   }
 
   /** documents ∪ planted near-dup variants (appended token). */
+  /** The planted near-dup variants of a (id, text) base frame — ONE
+    * definition of the plant rule (+100000 / %11 / ' qq17'), shared by
+    * dd_minhash_lsh and st_stream_minhash so the two entries' recall
+    * argument can never silently de-couple. */
+  private[graft] def nearDupVariants(base: DataFrame): DataFrame =
+    base.where(col("id") % 11 === 0)
+      .select((col("id") + 100000).as("id"),
+        concat(col("text"), lit(" qq17")).as("text"))
+
   private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id").as("id"), col("text"))
-    base.unionByName(
-      base.where(col("id") % 11 === 0)
-        .select((col("id") + 100000).as("id"),
-          concat(col("text"), lit(" qq17")).as("text")))
+    base.unionByName(nearDupVariants(base))
   }
+
+  /** Brute-force ground truth over the planted corpus (threshold 0.4)
+    * — the shared oracle of dd_minhash_lsh (batch) and
+    * st_stream_minhash (incremental): both operators' pair sets equal
+    * this all-pairs Jaccard by construction, so one SQL constant
+    * serves both (a copy would let a plant/threshold change de-couple
+    * them silently). */
+  private[graft] val minhashLshOracle: String =
+    """WITH corpus AS (
+      | SELECT doc_id AS id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS id, text || ' qq17' AS text
+      | FROM documents WHERE doc_id % 11 = 0),
+      |sh AS (
+      | SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+      |     i -> array_to_string(w[i:i+2], ' '))) AS s
+      | FROM (SELECT id, string_split(text, ' ') AS w FROM corpus)
+      | WHERE len(w) >= 3),
+      |p AS (
+      | SELECT a.id AS id_a, b.id AS id_b,
+      |   1.0 - (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |          len(list_distinct(list_concat(a.s, b.s)))) AS dist
+      | FROM sh a JOIN sh b ON a.id < b.id)
+      |SELECT id_a, id_b, round(dist, 6) AS jaccard_dist
+      |FROM p WHERE dist <= 0.4 ORDER BY id_a, id_b""".stripMargin
 
   /** documents ∪ planted word-order-REVERSED variants: different text,
     * identical token multiset — the planted case whose SimHash recovery
@@ -113,23 +144,7 @@ object QueriesPipeline {
     (s, d) => Dedup.minHashPairs(nearDupCorpus(s, d), threshold = 0.4)
       .select(col("id_a"), col("id_b"), round(col("jaccard_dist"), 6).as("jaccard_dist"))
       .orderBy("id_a", "id_b"),
-    Some("""WITH corpus AS (
-      | SELECT doc_id AS id, text FROM documents
-      | UNION ALL
-      | SELECT doc_id + 100000 AS id, text || ' qq17' AS text
-      | FROM documents WHERE doc_id % 11 = 0),
-      |sh AS (
-      | SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
-      |     i -> array_to_string(w[i:i+2], ' '))) AS s
-      | FROM (SELECT id, string_split(text, ' ') AS w FROM corpus)
-      | WHERE len(w) >= 3),
-      |p AS (
-      | SELECT a.id AS id_a, b.id AS id_b,
-      |   1.0 - (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-      |          len(list_distinct(list_concat(a.s, b.s)))) AS dist
-      | FROM sh a JOIN sh b ON a.id < b.id)
-      |SELECT id_a, id_b, round(dist, 6) AS jaccard_dist
-      |FROM p WHERE dist <= 0.4 ORDER BY id_a, id_b""".stripMargin))
+    Some(minhashLshOracle))
 
   /** SimHash near-dup detection, RECALL-PROOF on the provable slice.
     * The planted variants REVERSE the word order: different text (a

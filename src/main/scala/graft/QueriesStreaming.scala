@@ -928,11 +928,8 @@ object QueriesStreaming {
         "v1_" + Tables.dataVer(d, "documents"), {
           val base = tbl(outer, d, "documents")
             .select(col("doc_id").as("id"), col("text"))
-          Seq(
-            "b0" -> base,
-            "b1" -> base.where(col("id") % 11 === 0)
-              .select((col("id") + 100000).as("id"),
-                concat(col("text"), lit(" qq17")).as("text")))
+          // the SAME plant rule as dd_minhash_lsh, by reference
+          Seq("b0" -> base, "b1" -> QueriesPipeline.nearDupVariants(base))
         })
       val name = s"st_mh_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
       val incoming = s.readStream
@@ -960,30 +957,19 @@ object QueriesStreaming {
         q.stop()
         deleteRecursively(new java.io.File(s"target/tmp/ckpt_$name"))
       }
+      // the cap must not bind on gate data: a refusal would silently
+      // lose pairs vs the oracle — the operator emits it as a sentinel
+      // (id_a = -1), so assert loudly instead of hash-failing obscurely
+      val refused = s.table(name).where(col("id_a") < 0).count()
+      require(refused == 0, s"minhash bucketCap refused docs on gate data ($refused audit rows)")
       // a pair can collide in >1 band (distinct groups emit the same
       // pair with the same dist) — same dedup as the batch operator
-      s.table(name).dropDuplicates("id_a", "id_b")
+      s.table(name).where(col("id_a") >= 0).dropDuplicates("id_a", "id_b")
         .select(col("id_a"), col("id_b"),
           round(col("jaccard_dist"), 6).as("jaccard_dist"))
         .orderBy("id_a", "id_b")
     },
-    Some("""WITH corpus AS (
-      | SELECT doc_id AS id, text FROM documents
-      | UNION ALL
-      | SELECT doc_id + 100000 AS id, text || ' qq17' AS text
-      | FROM documents WHERE doc_id % 11 = 0),
-      |sh AS (
-      | SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
-      |     i -> array_to_string(w[i:i+2], ' '))) AS s
-      | FROM (SELECT id, string_split(text, ' ') AS w FROM corpus)
-      | WHERE len(w) >= 3),
-      |p AS (
-      | SELECT a.id AS id_a, b.id AS id_b,
-      |   1.0 - (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-      |          len(list_distinct(list_concat(a.s, b.s)))) AS dist
-      | FROM sh a JOIN sh b ON a.id < b.id)
-      |SELECT id_a, id_b, round(dist, 6) AS jaccard_dist
-      |FROM p WHERE dist <= 0.4 ORDER BY id_a, id_b""".stripMargin))
+    Some(QueriesPipeline.minhashLshOracle))
 
   val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom,
     stStreamExec, stStreamSessionExec, stStreamDedup, stStreamJoin,

@@ -227,8 +227,12 @@ object StreamingOps {
     *
     * Scale shape: state per bucket is bounded by `bucketCap` (LSH
     * banding keeps true buckets tiny; one mass-duplication key can't
-    * grow state unboundedly — refused docs are counted in the state's
-    * audit field, the dd_minhash/domain-cap discipline). Input rows
+    * grow state unboundedly). A batch that refuses docs EMITS the
+    * audit as a sentinel row (-1, cumulative refusals, -1.0) — the
+    * domain-cap discipline: a bound that throttles recall must be
+    * observable downstream, never a silent state field. Re-arrivals of
+    * an already-indexed id are skipped whole (no duplicate state, no
+    * double emission) — the upsert/replay-safe contract. Input rows
     * are (bucketKey, id, text) — the map-side band explode stays in
     * the source stage; only the bucketed shuffle carries payloads. */
   def minHashIndexPairs(rows: Dataset[(String, Long, String)],
@@ -244,22 +248,33 @@ object StreamingOps {
           val st0 = state.getOption.getOrElse(MhBucket(Nil, Nil, 0L))
           var ids = st0.ids.toVector
           var texts = st0.texts.toVector
-          var dropped = st0.dropped
+          val droppedBefore = st0.dropped
+          var dropped = droppedBefore
           val out = Vector.newBuilder[(Long, Long, Double)]
           vs.toSeq.sortBy(_._2).foreach { case (_, id, text) =>
-            var i = 0
-            while (i < ids.length) {
-              if (ids(i) != id) {
+            // an id already in the index is a re-arrival (replayed or
+            // upsert-style feed): skip it entirely — re-verifying would
+            // double-emit its pairs, re-admitting would duplicate state
+            // and burn cap slots
+            if (!ids.contains(id)) {
+              var i = 0
+              while (i < ids.length) {
                 val dist = 1.0 - graft.operators.Dedup.jaccardSim(texts(i), text)
                 if (dist <= threshold)
                   out += ((math.min(ids(i), id), math.max(ids(i), id), dist))
+                i += 1
               }
-              i += 1
+              if (ids.length < bucketCap) { ids :+= id; texts :+= text }
+              else dropped += 1
             }
-            if (ids.length < bucketCap) { ids :+= id; texts :+= text }
-            else dropped += 1
           }
           state.update(MhBucket(ids, texts, dropped))
+          // the refusal audit is EMITTED, not just kept in state: when
+          // this batch refused docs, a sentinel row (-1, cumulative
+          // refusals, -1.0) surfaces it — callers filter id_a >= 0 for
+          // pairs and can alert/require on the sentinel (a bound that
+          // throttles recall must be observable, never silent)
+          if (dropped > droppedBefore) out += ((-1L, dropped, -1.0))
           out.result().iterator
       }
   }

@@ -384,17 +384,27 @@ class StreamingSpec extends SparkSpec {
       val t = "same exact duplicated text tokens here"
       mem.addData((1L, t), (2L, t), (3L, t))
       q.processAllAvailable()
-      val pairs = spark.table("mh_cap_test")
+      def rows() = spark.table("mh_cap_test")
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       // doc 3 was refused from state AFTER being verified against the
       // admitted members, so its pairs with 1 and 2 still emit; a
       // LATER arrival must not pair with the refused doc 3
-      pairs shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+      rows().filter(_._1 >= 0) shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+      // the refusal is EMITTED as an audit sentinel, not silent state
+      rows().filter(_._1 < 0).map(_._2).max shouldBe 1L
       mem.addData((4L, t))
       q.processAllAvailable()
-      val pairs2 = spark.table("mh_cap_test")
-        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-      pairs2 shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      rows().filter(_._1 >= 0) shouldBe
+        Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      rows().filter(_._1 < 0).map(_._2).max shouldBe 2L // cumulative
+      // a RE-ARRIVAL of an indexed id is skipped whole: no new pair
+      // emission (pairs repeat per colliding band, so compare counts,
+      // not presence), no extra refusals
+      val nBefore = spark.table("mh_cap_test").count()
+      mem.addData((1L, t))
+      q.processAllAvailable()
+      spark.table("mh_cap_test").count() shouldBe nBefore
+      rows().filter(_._1 < 0).map(_._2).max shouldBe 2L // unchanged
     } finally q.stop()
   }
 }
