@@ -173,7 +173,13 @@ object Bench {
         (if (full) hostFactor.fold("") { h =>
           val cs = ctl.map { case (k, t) => s"${q(k)}:${fmt(t, 3)}" }
             .mkString("{", ",", "}")
-          s""","host_factor":${fmt(h, 2)},"host_controls":$cs"""
+          // control_ref carries the pins INSIDE the record (r10 advice):
+          // tools/bench_compare.py reads them from here instead of a
+          // duplicated literal that could silently drift after a re-pin
+          val cr = controlRef.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${q(k)}:${fmt(v, 3)}" }
+            .mkString("{", ",", "}")
+          s""","host_factor":${fmt(h, 2)},"host_controls":$cs,"control_ref":$cr"""
         } else hostFactor.fold("")(h => s""","host_factor":${fmt(h, 2)}"""))
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":$nErr$extra,"sf":"$sfDir"}"""
     }

@@ -412,10 +412,18 @@ object Queries {
           }
           case None => true // legacy no-pid name: fall through to age
         }
+      // hard age backstop (r10 advice): PID reuse can make a dead
+      // owner's dir look alive forever, and a long-lived process never
+      // reaps its own superseded-version dirs — a day-cold dir is
+      // reaped regardless of pid liveness (suite processes run minutes,
+      // so no live owner is ever >24 h old; if one were, the build
+      // below regenerates its table on the next read).
+      val hardMs = System.currentTimeMillis() - 24L * 3600 * 1000
       Option(whDir.listFiles()).foreach(_.filter(f =>
         f.getName.startsWith(s"graft_bkt_${name}_") &&
           (f.getName == t ||
-            (ownerDead(f.getName) && f.lastModified() < staleMs)))
+            (ownerDead(f.getName) && f.lastModified() < staleMs) ||
+            f.lastModified() < hardMs))
         .foreach(rm))
       df.write.bucketBy(8, "k").sortBy("k").saveAsTable(t)
     }

@@ -750,13 +750,17 @@ object QueriesAggWindow {
     Some("""SELECT DISTINCT o_custkey, o_orderstatus FROM orders
       |ORDER BY o_custkey, o_orderstatus""".stripMargin))
 
-  /** G-approx: HyperLogLog distinct (rows-only — sketch estimates are
-    * engine-specific by design; the exact twin is g_distinct_count).
-    * The in-result quality_ok gate makes the rows-only entry
-    * falsifiable: the HLL estimate must sit within 5% of the exact
-    * count computed in the same query (default rsd is 0.05), so the
-    * driver's rows check also asserts sketch accuracy, not just that
-    * rows came back. */
+  /** G-approx: HyperLogLog distinct. ORACLE-GREEN since r11 via the
+    * gate-literal pattern (VERDICT r10 #1): the HLL estimate itself is
+    * engine-internal (no DuckDB replay exists), so it is folded into
+    * the `quality_ok` boolean — the estimate must sit within 5% of the
+    * exact count computed in the same query (default rsd 0.05; HLL++
+    * at default p lands ~1.6% typical) — and the hashed result carries
+    * only the DETERMINISTIC spine (group, exact count, row count) plus
+    * that gate. The oracle recomputes the spine and asserts the gate
+    * LITERALLY true, so a drifted/broken sketch flips the boolean and
+    * hash-fails the round — the driver can now falsify what was
+    * previously a rows-only entry. */
   val gApproxDistinct: Entry = Entry("g_approx_distinct",
     (s, d) => li(s, d).groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
@@ -765,8 +769,14 @@ object QueriesAggWindow {
       .withColumn("quality_ok",
         abs(col("approx_parts") - col("exact_parts")).cast("double") /
           col("exact_parts") < 0.05)
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        col("quality_ok"))
       .orderBy("l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+      | count(DISTINCT l_partkey) AS exact_parts,
+      | count(*) AS n_rows,
+      | TRUE AS quality_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Approximate percentile sketch (the 100 TB path for quantiles —
     * Greenwald-Khanna with bounded accuracy, one pass, mergeable
@@ -779,9 +789,11 @@ object QueriesAggWindow {
     * (rows < it, rows ≤ it] must intersect [n/2 − n/1000, n/2 +
     * n/1000] (+1 slack for rank-convention off-by-one). Distribution-
     * free, and drops the exact-percentile twin (which buffers every
-    * group value — the thing the sketch exists to avoid). Rows-only
-    * like g_approx_distinct — the sketch is engine-internal — but
-    * falsifiable in-gate via quality_ok.
+    * group value — the thing the sketch exists to avoid). ORACLE-GREEN
+    * since r11 via the gate-literal pattern (see g_approx_distinct):
+    * the hashed result is the deterministic spine (group, n) plus
+    * quality_ok, which the oracle asserts literally true — the
+    * sketch-dependent estimate and rank counters fold into the gate.
     *
     * Scale: the rank count is a second scan joined to the O(groups)
     * sketch output via broadcast — both passes are map-side partial
@@ -803,9 +815,11 @@ object QueriesAggWindow {
         .withColumn("quality_ok",
           col("rank_at") >= col("n_rows") * 0.5 - col("n_rows") / 1000.0 - 1 &&
             col("rank_below") <= col("n_rows") * 0.5 + col("n_rows") / 1000.0 + 1)
+        .select(col("l_returnflag"), col("n_rows"), col("quality_ok"))
         .orderBy("l_returnflag")
     },
-    None)
+    Some("""SELECT l_returnflag, count(*) AS n_rows, TRUE AS quality_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Deterministic stratified sampling — the training-data primitive a
     * 100 TB pipeline needs where `rand()`-based `sample()` cannot
@@ -1275,12 +1289,22 @@ object QueriesAggWindow {
   /** Mergeable-sketch roll-up: per-quarter distinct customers via HLL,
     * computed BOTH ways — monthly sketches union-merged up to quarters
     * (`hll_union_agg`) and directly per quarter (`hll_sketch_agg`) —
-    * plus the exact count. The sketch algebra makes the two estimates
-    * IDENTICAL (registers are max-merged, so merge-then-estimate ≡
-    * estimate-over-union), which is the entry's falsifiable gate:
-    * `quality_ok` requires bit-equal estimates AND ≤5% relative error
-    * vs exact (default lgK=12 ⇒ ~1.6% typical). No DuckDB oracle can
-    * replay the estimator, so this is a rows-only entry — the sketch
+    * plus the exact count. GATE CORRECTED r11: the original claim that
+    * merge-then-estimate is BIT-IDENTICAL to direct estimation is
+    * false once sketches leave exact (SET/coupon) mode — DataSketches
+    * unions promote through an HLL_8 gadget, so at sf0.01 quarterly
+    * cardinalities (~460–500, past the estimation boundary) the two
+    * estimates drift by up to ~1.1% (measured; they ARE identical in
+    * the exact regime, which is why the sf0.001 spec and the 700-
+    * distinct slice test never caught it, and the rows-only driver
+    * check could not). This latent false gate is precisely what the
+    * r11 gate-literal conversion surfaced. The honest mergeability
+    * contract: merged and direct estimates within 2.5% of each other
+    * (2× the measured worst) AND both within 5% of exact (default
+    * lgK=12 ⇒ ~1.6% typical). The estimates fold into `quality_ok`
+    * and the hashed result is the deterministic spine (y, q, n_exact)
+    * plus the gate asserted literally true by the oracle —
+    * ORACLE-GREEN since r11 (see g_approx_distinct); the sketch
     * counterpart of `o_incremental_agg`'s exact state merge, and the
     * third corner of the sketch family (Bloom = membership,
     * Misra–Gries = frequency, HLL = cardinality).
@@ -1303,11 +1327,17 @@ object QueriesAggWindow {
           countDistinct(col("o_custkey")).as("n_exact"))
       direct.join(merged, Seq("y", "q"))
         .withColumn("quality_ok",
-          col("est_merged") === col("est_direct") &&
-            abs(col("est_direct") - col("n_exact")) * 20 <= col("n_exact"))
+          abs(col("est_merged") - col("est_direct")) * 40 <= col("est_direct") &&
+            abs(col("est_direct") - col("n_exact")) * 20 <= col("n_exact") &&
+            abs(col("est_merged") - col("n_exact")) * 20 <= col("n_exact"))
+        .select(col("y"), col("q"), col("n_exact"), col("quality_ok"))
         .orderBy("y", "q")
     },
-    None)
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS y,
+      | CAST(quarter(o_orderdate) AS INT) AS q,
+      | count(DISTINCT o_custkey) AS n_exact,
+      | TRUE AS quality_ok
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** Mergeable quantile-sketch roll-up ([[graft.operators.KllSketch]],
     * the custom-Aggregator counterpart of g_hll_mergeable): per-group
@@ -1315,14 +1345,17 @@ object QueriesAggWindow {
     * group partials MERGED (never re-scanning facts) into a corpus
     * sketch — the day → month percentile rollup Spark's own
     * approx_percentile cannot express because it exposes no storable
-    * partial. Rows-only entry (sketch content is arrival-order
-    * dependent — inherent to mergeable quantile sketches), gated by
-    * falsifiable in-result checks: every estimate must satisfy the
-    * exact ±2%-RANK bound (the guarantee KllSketchSpec proves at 50k
-    * values), verified by rank COUNTING — |{x<v̂}| may not overshoot
-    * (q+eps)·n and |{x≤v̂}| may not undershoot (q−eps)·n, tie-robust —
-    * and each sketch's count must equal the exact group count; a lost
-    * row or a broken merge flips quality_ok to false.
+    * partial. Sketch content is arrival-order dependent — inherent to
+    * mergeable quantile sketches — so the estimates fold into the
+    * falsifiable gate and the entry is ORACLE-GREEN since r11 via the
+    * gate-literal pattern (see g_approx_distinct): every estimate must
+    * satisfy the exact ±2%-RANK bound (the guarantee KllSketchSpec
+    * proves at 50k values), verified by rank COUNTING — |{x<v̂}| may
+    * not overshoot (q+eps)·n and |{x≤v̂}| may not undershoot (q−eps)·n,
+    * tie-robust — and each sketch's count must equal the exact group
+    * count; a lost row or a broken merge flips quality_ok to false,
+    * and the oracle asserts the gate literally true over the
+    * deterministic (group, count) spine.
     *
     * 100 TB plan shape: the sketch agg is a standard partial+final
     * ObjectHashAggregate — per-partition reduce, K·log(n/K)-double
@@ -1393,11 +1426,16 @@ object QueriesAggWindow {
               col(s"le$t") >= (lit(q - eps) * col("n_exact")) &&
                 col(s"lt$t") <= (lit(q + eps) * col("n_exact"))
             }.reduce(_ && _))
-        .select(col("g"), col("n_sketch"), col("e25"), col("e50"),
-          col("e75"), col("e95"), col("quality_ok"))
+        .select(col("g"), col("n_sketch"), col("quality_ok"))
         .orderBy("g")
     },
-    None)
+    Some("""SELECT l_returnflag AS g, count(*) AS n_sketch,
+      | TRUE AS quality_ok
+      |FROM lineitem GROUP BY 1
+      |UNION ALL
+      |SELECT 'ALL' AS g, count(*) AS n_sketch, TRUE AS quality_ok
+      |FROM lineitem
+      |ORDER BY g""".stripMargin))
 
   /** Incremental aggregate maintenance: merge of partial aggregation
     * states ≡ full recompute — the algebra behind every incremental

@@ -703,11 +703,15 @@ object QueriesStreaming {
     * key gated the g_quantile_sketch way: estimates inside the exact
     * ±2%-rank percentile brackets of the FULL corpus (computed in
     * batch) plus exact count equality — a lost batch, dropped state,
-    * or broken resume flips quality_ok or the count gate. Rows-only
-    * (sketch content is arrival-order dependent); the in-query require
-    * pins ≥2 data micro-batches. State per key is O(K·log n) doubles,
-    * bounded for however long the stream runs — the argument for
-    * sketch-valued state at 100 TB. */
+    * or broken resume flips quality_ok or the count gate. Sketch
+    * content is arrival-order dependent, so the estimates fold into
+    * the gate and the entry is ORACLE-GREEN since r11 via the
+    * gate-literal pattern (see g_approx_distinct): the hashed result
+    * is (lang, n_sketch, quality_ok) with the oracle recomputing the
+    * per-lang counts and asserting the gate literally true. The
+    * in-query require pins ≥2 data micro-batches. State per key is
+    * O(K·log n) doubles, bounded for however long the stream runs —
+    * the argument for sketch-valued state at 100 TB. */
   val stStreamQuantile: Entry = Entry("st_stream_quantile",
     (outer, d) => {
       val s = sizedStreamSession(outer, 2)
@@ -761,11 +765,11 @@ object QueriesStreaming {
               col(Seq("e25", "e50", "e75", "e95")(i))
                 .between(element_at(col("lohi"), i + 1),
                   element_at(col("lohi"), i + 5))).reduce(_ && _))
-        .select(col("lang"), col("n_sketch"), col("e25"), col("e50"),
-          col("e75"), col("e95"), col("quality_ok"))
+        .select(col("lang"), col("n_sketch"), col("quality_ok"))
         .orderBy("lang")
     },
-    None)
+    Some("""SELECT lang, count(*) AS n_sketch, TRUE AS quality_ok
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** The BUILT-IN session_window operator under REAL micro-batch
     * execution — st_session proves the batch spelling against the

@@ -210,7 +210,8 @@ object StreamingOps {
     * hold (id, shingle sketch) and verification would be a lookup
     * join; texts are kept here because fixture buckets are tiny and
     * the verify stays inside the state update. */
-  final case class MhBucket(ids: Seq[Long], texts: Seq[String], dropped: Long)
+  final case class MhBucket(ids: Seq[Long], texts: Seq[String], dropped: Long,
+      refused: Seq[Long] = Nil)
 
   /** INCREMENTAL MinHash-LSH index maintenance — the streaming half of
     * [[graft.operators.Dedup.minHashPairs]]: documents arrive in
@@ -248,15 +249,21 @@ object StreamingOps {
           val st0 = state.getOption.getOrElse(MhBucket(Nil, Nil, 0L))
           var ids = st0.ids.toVector
           var texts = st0.texts.toVector
+          var refused = st0.refused.toVector
           val droppedBefore = st0.dropped
           var dropped = droppedBefore
           val out = Vector.newBuilder[(Long, Long, Double)]
           vs.toSeq.sortBy(_._2).foreach { case (_, id, text) =>
-            // an id already in the index is a re-arrival (replayed or
-            // upsert-style feed): skip it entirely — re-verifying would
-            // double-emit its pairs, re-admitting would duplicate state
-            // and burn cap slots
-            if (!ids.contains(id)) {
+            // an id already SEEN — admitted or refused — is a re-arrival
+            // (replayed or upsert-style feed): skip it entirely. For
+            // admitted ids, re-verifying would double-emit pairs and
+            // re-admitting would duplicate state; for refused ids (r10
+            // advice), re-verifying would re-emit all their pairs and
+            // re-count the refusal, inflating the audit. Refused ids are
+            // tracked as bare longs (8 B each, vs payloads for admitted
+            // members); a production index would swap the seq for a
+            // Bloom filter to bound mass-refusal state.
+            if (!ids.contains(id) && !refused.contains(id)) {
               var i = 0
               while (i < ids.length) {
                 val dist = 1.0 - graft.operators.Dedup.jaccardSim(texts(i), text)
@@ -265,10 +272,10 @@ object StreamingOps {
                 i += 1
               }
               if (ids.length < bucketCap) { ids :+= id; texts :+= text }
-              else dropped += 1
+              else { dropped += 1; refused :+= id }
             }
           }
-          state.update(MhBucket(ids, texts, dropped))
+          state.update(MhBucket(ids, texts, dropped, refused))
           // the refusal audit is EMITTED, not just kept in state: when
           // this batch refused docs, a sentinel row (-1, cumulative
           // refusals, -1.0) surfaces it — callers filter id_a >= 0 for

@@ -185,21 +185,32 @@ class GraphBloomSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------- HLL
-  test("g_hll_mergeable: merge-then-estimate equals direct estimate, ≤5% of exact") {
-    val rows = QueriesAggWindow.gHllMergeable.fn(spark, "/root/testdata/sf0.001")
-      .as[(Int, Int, Long, Long, Long, Boolean)].collect().toSeq
-    rows should not be empty
-    rows.foreach { case (y, q, estDirect, nExact, estMerged, ok) =>
-      withClue(s"($y Q$q) ") {
-        estMerged shouldBe estDirect // sketch algebra: register max-merge
-        math.abs(estDirect - nExact) * 20 should be <= nExact
-        ok shouldBe true
+  test("g_hll_mergeable: merged ≈ direct estimate, both ≤5% of exact, gate true") {
+    // r11 gate correction: merged and direct estimates are only
+    // bit-identical while sketches stay in exact (SET) mode; past the
+    // estimation boundary the union's HLL_8 gadget drifts them ~1%.
+    // The entry now hashes (y, q, n_exact, quality_ok) — assert the
+    // gate true at BOTH spec scale (exact regime) and driver scale
+    // sf0.01 (estimation regime, where the old bit-equal gate was
+    // silently false).
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = QueriesAggWindow.gHllMergeable.fn(spark, d)
+        .as[(Int, Int, Long, Boolean)].collect().toSeq
+      rows should not be empty
+      rows.foreach { case (y, q, nExact, ok) =>
+        withClue(s"($d $y Q$q) ") {
+          nExact should be > 0L
+          ok shouldBe true
+        }
       }
     }
   }
 
-  test("hll union over partitioned slices is estimate-identical to one pass") {
-    // independent of the fixture: 3 disjoint slices with overlap
+  test("hll union over partitioned slices is estimate-identical in the exact regime") {
+    // independent of the fixture: 3 disjoint slices with overlap.
+    // 700 distinct stays in DataSketches SET (coupon) mode at lgK=12,
+    // where merge-then-estimate IS bit-exact; the g_hll_mergeable gate
+    // covers the post-promotion regime with a tolerance instead.
     val xs = (0L until 3000L).map(i => (i % 3, i % 700)).toDF("slice", "v")
     val direct = xs.agg(hll_sketch_estimate(hll_sketch_agg(col("v")))).head().getLong(0)
     val merged = xs.groupBy("slice").agg(hll_sketch_agg(col("v")).as("sk"))

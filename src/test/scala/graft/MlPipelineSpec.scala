@@ -7,13 +7,19 @@ package graft
 class MlPipelineSpec extends SparkSpec {
 
   test("ml_cv_logloss: OOF beats chance, folds cover every row") {
-    val row = QueriesMl.mlCvLogloss.fn(spark, "/root/testdata/sf0.001").head()
+    // cvMetrics is the spec surface with the numeric values; the entry
+    // hashes only the deterministic spine + gate (gate-literal oracle)
+    val row = QueriesMl.cvMetrics(spark, "/root/testdata/sf0.001").head()
     val logloss = row.getAs[Double]("oof_logloss")
     val acc = row.getAs[Double]("oof_accuracy")
     val nOof = row.getAs[Long]("n_oof")
     logloss should be < 0.5 // chance = ln 2 ≈ 0.693
     acc should be > 0.9
     nOof shouldBe 150L // every customer row appears exactly once OOF
+    row.getAs[Boolean]("quality_ok") shouldBe true
+    // the hashed entry projects the spine the oracle recomputes
+    QueriesMl.mlCvLogloss.fn(spark, "/root/testdata/sf0.001")
+      .columns.toSeq shouldBe Seq("k", "n_oof", "n_test", "quality_ok")
   }
 
   test("crossValidate trains on a deliberately-coalesced frame (r7 perf pin)") {
@@ -52,11 +58,14 @@ class MlPipelineSpec extends SparkSpec {
   }
 
   test("ml_stack: two real model families stack into [0,1] probabilities") {
-    val rows = QueriesMl.mlStack.fn(spark, "/root/testdata/sf0.001").collect()
+    // stackScores is the spec surface with the stacked values; the
+    // entry hashes only (id, quality_ok) per the gate-literal oracle
+    val rows = QueriesMl.stackScores(spark, "/root/testdata/sf0.001").collect()
     rows.length shouldBe 150
     rows.foreach { r =>
       val p = r.getAs[Double]("stacked")
       p should (be >= 0.0 and be <= 1.0)
+      r.getAs[Boolean]("quality_ok") shouldBe true
     }
     // stacking must produce a non-constant signal
     rows.map(_.getAs[Double]("stacked")).distinct.length should be > 10

@@ -12,11 +12,15 @@ def load(path):
     return json.loads(line[line.index("{"):])
 
 
-# Idle minima of the pinned control queries under the r10 harness
-# (MUST match Bench.controlRef — see its re-pin policy comment). Used
-# only as a fallback for records that predate the host_factor field;
-# a record's own host_factor always wins. Records from before the r10
-# harness change (codegen/relation caches) are not factor-comparable.
+# Idle minima of the pinned control queries under the r10 harness.
+# Since r11 the bench record carries its own pins ("control_ref"), so
+# this literal is only the fallback for r10-harness records written
+# before that field existed. Records from before the r10 harness change
+# (codegen/relation caches sped the controls up for non-host reasons)
+# are NOT factor-comparable — the fallback is gated on the record
+# having the r10-harness query count (>= 180) so a pre-r10 pair prints
+# "not factor-comparable" instead of laundering harness wins into
+# host weather (r10 advice).
 CONTROL_REF = {"g_cube": 0.912, "w_distribution": 0.988, "j2_semi_join": 0.265}
 
 
@@ -24,8 +28,12 @@ def host_factor(rec):
     if "host_factor" in rec:
         return rec["host_factor"]
     q = rec["queries"]
-    if all(k in q for k in CONTROL_REF):
-        return sum(q[k] for k in CONTROL_REF) / sum(CONTROL_REF.values())
+    ref = rec.get("control_ref", CONTROL_REF)
+    n = rec.get("n_queries", len(q))
+    if "control_ref" not in rec and n < 180:
+        return None  # pre-r10 harness: pins not comparable
+    if all(k in q for k in ref):
+        return sum(q[k] for k in ref) / sum(ref.values())
     return None
 
 
@@ -37,9 +45,11 @@ def main():
           f"errors: {a.get('n_errors', '?')} -> {b.get('n_errors', '?')}")
     ha, hb = host_factor(a), host_factor(b)
     if ha and hb:
-        print(f"host_factor (vs r7 idle): {ha:.2f} -> {hb:.2f} | "
+        print(f"host_factor (vs r10 idle pins): {ha:.2f} -> {hb:.2f} | "
               f"raw ratio {b['value'] / a['value']:.2f}x, "
               f"control-normalized {b['value'] / hb * ha / a['value']:.2f}x")
+    else:
+        print("host_factor: not factor-comparable (pre-r10 record without pins)")
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb), key=lambda k: qa[k] - qb[k])
     regressions = [(qb[k] - qa[k], k) for k in common if qb[k] > qa[k] * 1.3 and qb[k] - qa[k] > 0.3]
