@@ -119,6 +119,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // delete any PREVIOUS dump of this entry (r11 lesson: a rerun
+        // into a reused outDir otherwise compares the stale parquet and
+        // masks the failure as green)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -133,7 +141,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // filtered runs dump a filtered oracle map too, so verify_local's
+    // missing-dump check (oracle keys w/o parquet = failed queries)
+    // holds in both modes
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

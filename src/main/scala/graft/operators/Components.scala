@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   *    truncate it). Rounds are few (O(log n)) and edge rows tiny, so
   *    the handful of pinned checkpoint blocks per run is bounded; a
   *    cluster deployment would use reliable checkpoints instead. The
-  *    convergence probe is a single count+checksum aggregate.
+  *    convergence probe (count + order-insensitive checksum) rides
+  *    the pin's own materializing job via `observe()` — one job per
+  *    round, not pin + a separate aggregate.
   */
 object Components {
 
@@ -70,27 +72,53 @@ object Components {
     * appears in an edge, where component = the minimum vertex id of
     * its component. Isolated vertices don't appear (callers union
     * them back with component = id). */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
+  private val probeSeq = new java.util.concurrent.atomic.AtomicLong()
 
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)))
-        .as[(Long, Long)].collect()(0)
-      r
+  /** Pin a round frame AND collect its convergence probe (row count +
+    * order-insensitive xxhash64 sum) in the SAME materializing action
+    * (r10 verdict #2): `observe()` attaches a CollectMetrics node whose
+    * accumulators fill during the pin's own job, so each round runs ONE
+    * job instead of pin + a separate checksum aggregate.
+    *
+    * Deliberately the STRING-named observe overload, NOT an
+    * `Observation` object: the object overload lazily instantiates the
+    * session's non-serializable ObservationManager, and from then on
+    * ANY closure capturing the SparkSession fails Task-serialization —
+    * MLlib's LogisticRegressionModel.trainingSummary holds the session
+    * and rides the scoring UDF's closure, so one Observation here broke
+    * every later ml_* entry in the same session (found by the r11 full
+    * gate; the metrics come from `queryExecution.observedMetrics` after
+    * the eager pin action instead). The persist fallback pin mode runs
+    * its action on a DIFFERENT QueryExecution (count() re-plans), so
+    * its accumulators don't land here — that path falls back to the
+    * former separate aggregate (cluster-without-checkpoint-dir only;
+    * local and checkpoint-dir modes stay single-job). */
+  private[graft] def pinWithChecksum(df: DataFrame,
+      release: Option[DataFrame] = None): (DataFrame, (Long, Long)) = {
+    val name = s"cc_probe_${probeSeq.incrementAndGet()}"
+    val observed = df.observe(name, count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("chk"))
+    val pinned = graft.Graft.pin(observed, release)
+    observed.queryExecution.observedMetrics.get(name) match {
+      case Some(row) => (pinned, (row.getLong(0), row.getLong(1)))
+      case None =>
+        val r = pinned
+          .agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)))
+          .head()
+        (pinned, (r.getLong(0), r.getLong(1)))
     }
+  }
 
-    var cur = graft.Graft.pin(edges
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    var (cur, curChk) = pinWithChecksum(edges
       .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct())
-    var curChk = checksum(cur)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = graft.Graft.pin(smallStar(largeStar(cur)), release = Some(cur))
-      val nextChk = checksum(next)
+      val (next, nextChk) = pinWithChecksum(smallStar(largeStar(cur)), Some(cur))
       converged = nextChk == curChk
       cur = next
       curChk = nextChk

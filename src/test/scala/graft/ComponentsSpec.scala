@@ -62,4 +62,23 @@ class ComponentsSpec extends SparkSpec {
     val empty = spark.emptyDataset[(Long, Long)].toDF("u", "v")
     Components.connectedComponents(empty).count() shouldBe 0L
   }
+
+  test("observe-fused convergence probe equals a direct aggregate (r11)") {
+    // the probe rides the pin's materializing job; its values must
+    // match what the former separate count+checksum aggregate computed
+    import org.apache.spark.sql.functions._
+    val df = Seq((3L, 1L), (5L, 2L), (9L, 4L)).toDF("u", "v")
+    val (pinned, (n, chk)) = Components.pinWithChecksum(df)
+    val want = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)))
+      .as[(Long, Long)].head()
+    (n, chk) shouldBe want
+    pinned.as[(Long, Long)].collect().sorted shouldBe
+      Seq((3L, 1L), (5L, 2L), (9L, 4L))
+    // empty frame: count 0, checksum coalesces to 0 — the regime the
+    // convergence loop's first round can hit on a self-loop-only input
+    val empty = spark.emptyDataset[(Long, Long)].toDF("u", "v")
+    val (_, probe0) = Components.pinWithChecksum(empty)
+    probe0 shouldBe ((0L, 0L))
+  }
 }

@@ -88,6 +88,14 @@ def main():
         else:
             print(f"  [OK       ] {name}: {len(g)} rows")
             n_ok += 1
+    # entries with an oracle but NO dump are failed/missing queries —
+    # count them red instead of silently skipping (r11: a failed entry
+    # now deletes its stale dump, so absence is the failure signal)
+    dumped = {os.path.basename(q) for q in glob.glob(os.path.join(out_dir, "*"))
+              if os.path.isdir(q)}
+    for name in sorted(set(oracle) - dumped):
+        print(f"  [FAIL-miss] {name}: no spark dump (query failed?)")
+        n_fail += 1
     print(f"== {n_ok} ok, {n_fail} fail, {n_noracle} rows-only")
     sys.exit(1 if n_fail else 0)
 
