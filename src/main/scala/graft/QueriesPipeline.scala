@@ -914,6 +914,65 @@ object QueriesPipeline {
       |SELECT vec_id, cid AS cluster, round(sqrt(d2), 6) AS dist
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin))
 
+  /** One Lloyd iteration as oracle CTEs (E-step distances + argmin,
+    * M-step integer-mean update with empty-cluster carry) — the exact
+    * integer recurrence [[Similarity.kmeansLloyd]] runs: floor-div
+    * spelled as (s − pmod(s,n)) // n so the numerator is exactly
+    * divisible and any engine's integer division agrees with
+    * Math.floorDiv. */
+  private def lloydIterSql(i: Int): String =
+    s"""d$i AS (SELECT e.vec_id, c.cid,
+       |  list_sum(list_transform(list_zip(e.v, c.cv),
+       |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+       | FROM e, c${i - 1} c),
+       |a$i AS (SELECT vec_id, cid AS cluster, d2,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       | FROM d$i),
+       |s$i AS (SELECT a.cluster, t.p,
+       |  CAST(sum(e.v[t.p + 1]) AS BIGINT) AS s, count(*) AS n
+       | FROM a$i a JOIN e ON a.vec_id = e.vec_id AND a.rn = 1,
+       |  range(0, 64) t(p)
+       | GROUP BY 1, 2),
+       |u$i AS (SELECT cluster AS cid,
+       |  list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT) ORDER BY p) AS cv
+       | FROM s$i GROUP BY 1),
+       |c$i AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv
+       | FROM c${i - 1} c LEFT JOIN u$i u USING (cid))""".stripMargin
+
+  private val LloydIters = 2
+
+  /** Full Lloyd k-means training ([[Similarity.kmeansLloyd]]) — the
+    * iterative M-step the sim_kmeans_assign E-step was missing
+    * (VERDICT r10 #3): K=8 pinned seeds, 2 E+M rounds, then the final
+    * assignment — all in scaled-BIGINT arithmetic (floor(x·1e6 + 0.5)
+    * vectors, integer squared-L2, floorDiv centroid means) so the
+    * oracle replays every iteration bit-exactly in chained CTEs, the
+    * PageRank discipline applied to iterative ML. Per iteration: one
+    * broadcast-expand E-step scan (partial-agg argmin, one row per
+    * vector through the exchange) + one posexplode M-step (map-side
+    * combine to k·dim rows before the exchange, k·dim-long centroid
+    * state collected driver-side and re-broadcast — lineage stays
+    * flat without checkpoints). */
+  val simKmeansLloyd: Entry = Entry("sim_kmeans_lloyd",
+    (s, d) => Similarity.kmeansLloyd(emb(s, d), k = 8, iters = LloydIters)
+      .orderBy("vec_id"),
+    Some(s"""WITH e AS (SELECT vec_id,
+      |  list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+      | FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |${(1 to LloydIters).map(lloydIterSql).mkString(",\n")},
+      |df AS (SELECT e.vec_id, c.cid,
+      |  list_sum(list_transform(list_zip(e.v, c.cv),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      | FROM e, c$LloydIters c),
+      |af AS (SELECT vec_id, cid AS cluster, d2,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      | FROM df)
+      |SELECT vec_id, cluster,
+      | round(sqrt(CAST(d2 AS DOUBLE)) / 1000000, 6) AS dist
+      |FROM af WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+
   /** Embedding near-dup pairs via banded LSH. Random 64-dim vectors sit
     * ~1.3 L2 apart, so near-dups are planted: +0.001 on every component
     * (L2 ≈ 0.008) for vec_id % 13 == 0. The distance GAP (0.008 vs
@@ -2104,6 +2163,7 @@ object QueriesPipeline {
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
     plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,
     plSubstringDup, plHashFeatures, plLengthBuckets, plScoreCalibration,
-    simTopk, simAnnLsh, simAnnIvf, simAnnPq, simKmeans, simNearDup,
+    simTopk, simAnnLsh, simAnnIvf, simAnnPq, simKmeans, simKmeansLloyd,
+    simNearDup,
     mmDecode, mmResize, mmWav, mmVideoFrames)
 }

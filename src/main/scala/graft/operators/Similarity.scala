@@ -57,6 +57,80 @@ object Similarity {
         round(sqrt(col("m.d2")), 6).as("dist"))
   }
 
+  /** Full Lloyd k-means — iterated E (nearest-centroid assign) + M
+    * (centroid = per-dimension mean of members) — in BIT-EXACT integer
+    * arithmetic so every iteration replays in an external engine
+    * (the PageRank scaled-BIGINT discipline, see
+    * [[graft.operators.PageRank]]): vectors are scaled to longs via
+    * floor(x·scale + 0.5) (identical IEEE ops in any engine), squared
+    * L2 is an integer fold (commutative long adds — partial-agg order
+    * can never drift it), argmin ties break on (d2, cid) — a total
+    * order — and the M-step mean is floorDiv(sum, n) on exact integer
+    * sums. Initial centroids are pinned deterministically (the k
+    * lowest vec_ids); an empty cluster keeps its previous centroid.
+    *
+    * Plan shape per iteration: the E-step is the [[kmeansAssign]]
+    * broadcast-expand + partial-agg argmin (shuffle carries one row
+    * per vector regardless of k); the M-step posexplodes members to
+    * (cluster, dim, x) where map-side combine collapses to k·dim rows
+    * before ONE exchange, and the k·dim-long state frame is collected
+    * to the driver (the sketch-coordinator pattern — what crosses to
+    * the driver is centroids, never vectors), then re-broadcast as
+    * next round's literal frame, which also keeps lineage flat across
+    * iterations (no growing plan, no checkpoint needed). At 100 TB
+    * the same shape holds: per-iteration cost is two fact scans and
+    * two partial-agg exchanges; k·dim is metadata-sized.
+    *
+    * Overflow audit (embeddings testdata, |x| ≤ 0.53, scale 1e6):
+    * scaled |v| ≤ 5.3e5, diff² ≤ 1.2e12, d2 ≤ 7.2e13, per-dim member
+    * sums ≤ n·5.3e5 — all far inside Long. */
+  def kmeansLloyd(emb: DataFrame, k: Int, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val e = emb.select(col("vec_id"),
+      transform(ArrayOps.asDouble(col("embedding")),
+        x => floor(x * lit(scale.toDouble) + lit(0.5)).cast("long")).as("v"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), col("v"),
+          aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"))
+        .groupBy("vec_id")
+        // min(struct) argmin; first(v) is safe — v is functionally
+        // determined by the group key
+        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("v")).as("v"))
+        .select(col("vec_id"), col("m.cid").as("cluster"),
+          col("m.d2").as("d2"), col("v"))
+    // pinned initial centroids, k×dim longs driver-side
+    var cents: Map[Long, Array[Long]] = e.where(col("vec_id") < k)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    require(cents.size == k, s"k-means seed needs vec_ids 0..${k - 1}")
+    def centsDF: DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.toSeq.sortBy(_._1).map { case (c, a) => Row(c, a.toSeq) }, 1),
+      StructType(Seq(StructField("cid", LongType),
+        StructField("cv", ArrayType(LongType)))))
+    for (_ <- 1 to iters) {
+      val sums = assign(centsDF)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("cluster", "p")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val upd = sums.groupBy(_.getLong(0)).map { case (c, rs) =>
+        val dim = cents(c).length
+        val arr = new Array[Long](dim)
+        rs.foreach(r => arr(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+        c -> arr
+      }
+      cents = cents.map { case (c, old) => c -> upd.getOrElse(c, old) }
+    }
+    assign(centsDF).select(col("vec_id"), col("cluster"),
+      round(sqrt(col("d2").cast("double")) / lit(scale.toDouble), 6).as("dist"))
+  }
+
   /** Approximate nearest neighbours via random-projection LSH buckets.
     * Returns (vec_id, distCol) for the k nearest to the probe row. */
   def annTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {

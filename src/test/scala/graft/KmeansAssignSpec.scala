@@ -38,4 +38,57 @@ class KmeansAssignSpec extends SparkSpec {
       .select("cluster").as[Long].collect()
     r.toSeq shouldBe Seq(2L)
   }
+
+  test("kmeansLloyd matches a driver-side integer-Lloyd replay (r11)") {
+    // independent replay of the exact recurrence: scaled-long vectors,
+    // integer argmin with (d2, cid) tie-break, floorDiv centroid means,
+    // empty-cluster carry — over a deterministic 40-vector set
+    val scale = 1000000L
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => i -> Seq.fill(6)(rnd.nextFloat() - 0.5f))
+    val k = 3; val iters = 2
+    val sv: Map[Long, Array[Long]] = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * scale + 0.5).toLong).toArray
+    }.toMap
+    var cents: Map[Long, Array[Long]] =
+      (0L until k.toLong).map(c => c -> sv(c).clone()).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(): Map[Long, Long] = sv.map { case (id, v) =>
+      id -> cents.toSeq.map { case (c, cv) => (d2(v, cv), c) }.min._2
+    }
+    for (_ <- 1 to iters) {
+      val byC = assign().groupBy(_._2)
+      cents = cents.map { case (c, old) =>
+        c -> byC.get(c).fold(old) { members =>
+          val vs = members.keys.map(sv).toSeq
+          Array.tabulate(old.length)(p =>
+            Math.floorDiv(vs.map(_(p)).sum, vs.size.toLong))
+        }
+      }
+    }
+    val wantAssign = assign()
+    val got = Similarity.kmeansLloyd(df(vecs), k, iters, scale)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    got shouldBe wantAssign
+  }
+
+  test("kmeansLloyd: empty cluster keeps its previous centroid") {
+    // seed 2 duplicates seed 0, so every E-step tie sends its would-be
+    // members to the lower cid and cluster 2 never wins a member — its
+    // centroid must CARRY (1,1) through both M-steps. The carry is
+    // observable in the final assignment: c0 re-centers to the group
+    // mean (1, 1.0333…), so vec 0 at exactly (1,1) lands back on the
+    // carried c2 at distance 0. A broken carry (dropped or zeroed
+    // centroid) would put vec 0 on c0 at distance > 0 instead.
+    val vecs = df(Seq(
+      (0L, Seq(1.0f, 1.0f)), (1L, Seq(1.0f, 1.1f)), (2L, Seq(1.0f, 1.0f)),
+      (10L, Seq(5.0f, 5.0f)), (11L, Seq(5.0f, 5.1f))))
+    val out = Similarity.kmeansLloyd(vecs, k = 3, iters = 2)
+      .select("vec_id", "cluster", "dist")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out(0L) shouldBe ((2L, 0.0))
+    out(2L) shouldBe ((2L, 0.0))
+    out(10L)._1 shouldBe out(11L)._1
+  }
 }
