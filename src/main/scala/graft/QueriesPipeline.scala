@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Components, Decontaminate, Dedup, HeavyHitters, MultiModal, Similarity}
+import graft.operators.{Bpe, Components, Decontaminate, Dedup, HeavyHitters, MultiModal, Similarity, UnigramLm}
 import Queries.Entry
 import Tables.tbl
 
@@ -1470,6 +1470,129 @@ object QueriesPipeline {
       s"FROM v$n ORDER BY word"
   }
 
+  // ---------------------------------------------------------- unigram LM
+  /** Piece-score lookup as a correlated scalar subquery; a missing
+    * piece (pruned in round 2) scores the same never-wins sentinel
+    * [[UnigramLm.segment]] uses (Long.MinValue/4 = -2305843009213693952
+    * is not SQL-literal-friendly across engines, so both sides use a
+    * sentinel that merely needs to lose every comparison without
+    * overflowing: here the magnitudes are ≤ ~1e8 per step, so -1e15
+    * dominates; the Spark side's MinValue/4 likewise — the CHOICE both
+    * sides make is identical because any unreachable-piece path loses
+    * either way and chars are always present). */
+  private def ulmLp(sc: String, pieceExpr: String): String =
+    s"coalesce((SELECT lp FROM $sc WHERE piece = $pieceExpr), -1000000000000000)"
+
+  /** One Viterbi round as generated CTEs, one MATERIALIZED CTE per DP
+    * position and per backtrack step, with NO lateral column aliases:
+    * DuckDB forbids alias chains through subquery expressions, and
+    * even pure-arithmetic alias chains inline multiplicatively (the
+    * first spelling of this oracle planned for minutes — each level
+    * re-expands its predecessors, ~10^L nodes by the backtrack).
+    * Per-level CTEs keep every expression constant-sized and
+    * MATERIALIZED pins each level to one evaluation. Layout: g$r =
+    * per-position score lookups (scalar subqueries), d${r}_j = DP
+    * position j (ties prefer the 2-char piece), k${r}_s = backtrack
+    * step s, n$r = the freq-weighted piece census (the M-step). */
+  private def ulmRoundSql(r: Int, sc: String, tc: String): String = {
+    val L = UnigramLm.MaxWordLen
+    val lookupCols = ((1 to L).map { j =>
+      s"  ${ulmLp(sc, s"substring(word, $j, 1)")} AS q1_$j"
+    } ++ (2 to L).map { j =>
+      s"  ${ulmLp(sc, s"substring(word, ${j - 1}, 2)")} AS q2_$j"
+    }).mkString(",\n")
+    val dpCtes = (1 to L).map { j =>
+      val s1 = s"(dp${j - 1} + q1_$j - tt)"
+      if (j == 1)
+        s"""d${r}_1 AS MATERIALIZED (SELECT *,
+           |  CASE WHEN l >= 1 THEN $s1 ELSE NULL END AS dp1,
+           |  false AS ch1 FROM d${r}_0)""".stripMargin
+      else {
+        val s2 = s"(dp${j - 2} + q2_$j - tt)"
+        s"""d${r}_$j AS MATERIALIZED (SELECT *,
+           |  CASE WHEN l < $j THEN NULL
+           |       WHEN $s2 >= $s1 THEN $s2 ELSE $s1 END AS dp$j,
+           |  (l >= $j AND $s2 >= $s1) AS ch$j FROM d${r}_${j - 1})""".stripMargin
+      }
+    }.mkString(",\n")
+    def chAt(p: String) =
+      (2 to L).map(k => s"WHEN $k THEN ch$k").mkString(s"CASE $p ", " ", " ELSE false END")
+    val btCtes = (1 to L).map { st =>
+      val p = s"p${st - 1}"
+      s"""k${r}_$st AS MATERIALIZED (SELECT *,
+         |  CASE WHEN $p <= 0 THEN NULL WHEN ${chAt(p)}
+         |   THEN substring(word, $p - 1, 2) ELSE substring(word, $p, 1) END AS piece$st,
+         |  CASE WHEN $p <= 0 THEN 0 WHEN ${chAt(p)}
+         |   THEN $p - 2 ELSE $p - 1 END AS p$st FROM k${r}_${st - 1})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to L).map(st => s"SELECT piece$st AS piece, freq FROM k${r}_$L")
+      .mkString("\n  UNION ALL ")
+    s"""g$r AS MATERIALIZED (SELECT w.word, w.freq, len(w.word) AS l, tc.tt AS tt,
+       |$lookupCols
+       | FROM wf w, $tc tc),
+       |d${r}_0 AS (SELECT *, CAST(0 AS BIGINT) AS dp0 FROM g$r),
+       |$dpCtes,
+       |k${r}_0 AS (SELECT word, freq, l,
+       |  ${(2 to L).map(k => s"ch$k").mkString(", ")},
+       |  l AS p0 FROM d${r}_$L),
+       |$btCtes,
+       |n$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |  $unions
+       | ) WHERE piece IS NOT NULL GROUP BY 1)""".stripMargin
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer training
+    * ([[UnigramLm]], VERDICT r10 #4) — the second tokenizer family
+    * beside BPE: seed all 1–2-char substrings of the distinct-word
+    * table (freq-weighted, the Zipf compression), then two EM rounds —
+    * integer-scaled log scores floor(1e6·ln(cnt)) (Java/DuckDB parity
+    * cross-checked exhaustively to 6M), Viterbi E-step with the
+    * 2-char-on-tie rule, freq-weighted M-step census, pruning between
+    * rounds (chars kept at max(cnt,1) for coverage; unused 2-grams
+    * dropped). The oracle replays BOTH rounds bit-exactly: the DP is
+    * position-unrolled to MaxWordLen columns with lateral aliases, the
+    * backtrack is an unrolled walk, and every score is integer
+    * arithmetic — the tx_bpe_encode standard applied to EM training.
+    * Result: the final piece census (piece, cnt), a pure-integer
+    * frame.
+    *
+    * Plan shape at 100 TB: one token-stream shuffle builds the
+    * distinct-word table; everything downstream (seed census, both EM
+    * rounds) is vocabulary-bounded; the two driver-side collects are
+    * the ≤ alphabet+alphabet² score maps (sketch-coordinator
+    * pattern); the E-step UDF is a map-side per-word DP. */
+  val txUnigramLm: Entry = Entry("tx_unigram_lm",
+    (s, d) => {
+      val wf = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "" &&
+          length(col("word")) <= UnigramLm.MaxWordLen)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      UnigramLm.train(wf).orderBy(col("cnt").desc, col("piece"))
+    },
+    Some(s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+      | FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      |       FROM documents)
+      | WHERE len(word) <= ${UnigramLm.MaxWordLen} GROUP BY 1),
+      |pc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |  SELECT freq, substring(word, CAST(t.i AS INT), 1) AS piece
+      |   FROM wf, range(1, ${UnigramLm.MaxWordLen + 1}) t(i) WHERE t.i <= len(word)
+      |  UNION ALL
+      |  SELECT freq, substring(word, CAST(t.i AS INT), 2) AS piece
+      |   FROM wf, range(1, ${UnigramLm.MaxWordLen}) t(i) WHERE t.i <= len(word) - 1
+      | ) GROUP BY 1),
+      |sc1 AS (SELECT piece, CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS lp FROM pc),
+      |tc1 AS (SELECT CAST(floor(1000000 * ln(CAST(sum(cnt) AS DOUBLE))) AS BIGINT) AS tt FROM pc),
+      |${ulmRoundSql(1, "sc1", "tc1")},
+      |b2base AS (SELECT p.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt
+      | FROM (SELECT piece FROM pc WHERE len(piece) = 1) p
+      | LEFT JOIN n1 c USING (piece)
+      | UNION ALL SELECT piece, cnt FROM n1 WHERE len(piece) = 2),
+      |sc2 AS (SELECT piece, CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS lp FROM b2base),
+      |tc2 AS (SELECT CAST(floor(1000000 * ln(CAST(sum(cnt) AS DOUBLE))) AS BIGINT) AS tt FROM b2base),
+      |${ulmRoundSql(2, "sc2", "tc2")}
+      |SELECT piece, cnt FROM n2 ORDER BY cnt DESC, piece""".stripMargin))
+
   /** Domain-mixture rebalancing — the sampling-weight computation every
     * pretraining data recipe runs before training: per-language corpus
     * sizes → an upsampling repeat factor per language (here: match the
@@ -2156,8 +2279,8 @@ object QueriesPipeline {
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
-    txRedactPii, txBigramLm, txBpePairs, txBpeEncode, txInvertedIndex,
-    txHeavyHitters, txKeyphrases,
+    txRedactPii, txBigramLm, txBpePairs, txBpeEncode, txUnigramLm,
+    txInvertedIndex, txHeavyHitters, txKeyphrases,
     plCleanCorpus, plCanonical, plPack,
     plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer training (Kudo 2018,
+  * "Subword Regularization: Improving Neural Network Translation
+  * Models with Multiple Subword Candidates") — the second tokenizer
+  * family beside BPE ([[Bpe]]): seed a substring vocabulary, score
+  * pieces by corpus likelihood, Viterbi-segment every word under the
+  * current scores (E-step), re-estimate piece counts from the chosen
+  * segmentations (M-step), and prune pieces the model stopped using.
+  *
+  * Determinism contract (the oracle replays every step bit-exactly):
+  *  - piece scores are INTEGER log-likelihoods floor(1e6·ln(cnt)) —
+  *    Java Math.log and DuckDB ln were cross-checked to agree on
+  *    floor(1e6·ln(i)) for every i in 1..6,000,000 (r11), and all
+  *    downstream DP arithmetic is pure long math;
+  *  - a path's score is Σ lp(piece) − n_pieces·lp(total): maximizing
+  *    it is exactly maximizing Π cnt(piece)/total, the unigram-LM
+  *    objective, with no per-path float ops at all;
+  *  - Viterbi ties prefer the 2-char piece (s2 ≥ s1), a fixed rule
+  *    both engines spell identically;
+  *  - pruning keeps every single char (character coverage, as
+  *    SentencePiece does) at count max(cnt, 1) so all words stay
+  *    segmentable; multi-char pieces with zero E-step usage drop out.
+  *
+  * Scale shape (the [[Bpe]] Zipf argument): everything runs over the
+  * DISTINCT-WORD table — one partial-aggregating shuffle compresses
+  * the 100 TB token stream to a vocabulary-sized frame; the seed
+  * table is ≤ alphabet + alphabet² rows and each M-step output is
+  * vocabulary-bounded, so the driver-side score maps are
+  * metadata-sized by construction (the sketch-coordinator pattern);
+  * the E-step is a map-side scan-stage UDF over distinct words (a
+  * per-word DP no builtin expresses). Max piece length 2 keeps the
+  * seed quadratic-in-alphabet, the standard first rung of the
+  * SentencePiece seed lattice.
+  */
+object UnigramLm {
+
+  /** Max supported word length — the oracle unrolls the DP to this
+    * many positions; longer words must be filtered upstream. */
+  val MaxWordLen = 8
+
+  /** floor(1e6·ln(c)) — the integer-scaled log score (c ≥ 1). */
+  def lpScaled(c: Long): Long =
+    math.floor(1e6 * math.log(c.toDouble)).toLong
+
+  /** Seed piece counts from (word, freq): every overlapping substring
+    * of length 1 and 2, weighted by word frequency. Vocabulary-sized
+    * input, ≤ alphabet+alphabet² output. */
+  def seedCounts(wordFreq: DataFrame): DataFrame = {
+    val chars = wordFreq
+      .select(col("freq"), col("word"),
+        expr("explode(sequence(1, length(word)))").as("i"))
+      .select(expr("substring(word, i, 1)").as("piece"), col("freq"))
+    val grams = wordFreq.where(length(col("word")) >= 2)
+      .select(col("freq"), col("word"),
+        expr("explode(sequence(1, length(word) - 1))").as("i"))
+      .select(expr("substring(word, i, 2)").as("piece"), col("freq"))
+    chars.unionAll(grams).groupBy("piece").agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Sentinel for a piece absent from the score map: never wins a DP
+    * comparison, never overflows when summed with real scores. */
+  private val Neg = Long.MinValue / 4
+
+  /** Viterbi segmentation of one word under integer scores: maximize
+    * Σ (lp(piece) − t) over pieces of length 1–2; ties prefer the
+    * 2-char piece. Single chars must be scorable (the caller's
+    * character-coverage rule guarantees it). */
+  def segment(word: String, lp: String => Option[Long], t: Long): Seq[String] = {
+    val n = word.length
+    require(n <= MaxWordLen, s"word '$word' exceeds MaxWordLen $MaxWordLen")
+    val dp = new Array[Long](n + 1)
+    val chose2 = new Array[Boolean](n + 1)
+    var j = 1
+    while (j <= n) {
+      val s1 = dp(j - 1) + lp(word.substring(j - 1, j)).getOrElse(Neg) - t
+      val s2 =
+        if (j >= 2) dp(j - 2) + lp(word.substring(j - 2, j)).getOrElse(Neg) - t
+        else Neg
+      if (j >= 2 && s2 >= s1) { dp(j) = s2; chose2(j) = true }
+      else { dp(j) = s1; chose2(j) = false }
+      j += 1
+    }
+    var pos = n
+    var acc: List[String] = Nil
+    while (pos > 0) {
+      if (chose2(pos)) { acc = word.substring(pos - 2, pos) :: acc; pos -= 2 }
+      else { acc = word.substring(pos - 1, pos) :: acc; pos -= 1 }
+    }
+    acc
+  }
+
+  /** One E+M round: Viterbi-segment the distinct-word table under
+    * `scores`, then re-count pieces weighted by word frequency.
+    * `scores` rides the UDF closure (metadata-sized by the Zipf
+    * argument above). Output: (piece, cnt) for every USED piece. */
+  def emRound(wordFreq: DataFrame, scores: Map[String, Long], t: Long): DataFrame = {
+    val segU = udf((w: String) => segment(w, scores.get, t))
+    wordFreq
+      .select(explode(segU(col("word"))).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Full 2-round training over (word, freq): seed → E1/M1 → prune
+    * (chars kept at max(cnt,1), unused 2-grams dropped) → E2/M2.
+    * Returns the final (piece, cnt) census. The two collects are the
+    * seed table and the round-1 census — both vocabulary-bounded. */
+  def train(wordFreq: DataFrame): DataFrame = {
+    val seed: Map[String, Long] = seedCounts(wordFreq).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t1 = lpScaled(seed.values.sum)
+    val scores1 = seed.map { case (p, c) => p -> lpScaled(c) }
+    val cnt1: Map[String, Long] = emRound(wordFreq, scores1, t1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // prune: every seed CHAR survives at max(cnt,1); 2-grams only if used
+    val base2: Map[String, Long] =
+      seed.keysIterator.filter(_.length == 1)
+        .map(p => p -> math.max(cnt1.getOrElse(p, 0L), 1L)).toMap ++
+      cnt1.filter { case (p, _) => p.length == 2 }
+    val t2 = lpScaled(base2.values.sum)
+    val scores2 = base2.map { case (p, c) => p -> lpScaled(c) }
+    emRound(wordFreq, scores2, t2)
+  }
+}
