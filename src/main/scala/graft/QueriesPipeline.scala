@@ -1494,7 +1494,8 @@ object QueriesPipeline {
     * per-position score lookups (scalar subqueries), d${r}_j = DP
     * position j (ties prefer the 2-char piece), k${r}_s = backtrack
     * step s, n$r = the freq-weighted piece census (the M-step). */
-  private def ulmRoundSql(r: Int, sc: String, tc: String): String = {
+  private def ulmRoundSql(r: Int, sc: String, tc: String,
+      encode: Boolean = false): String = {
     val L = UnigramLm.MaxWordLen
     val lookupCols = ((1 to L).map { j =>
       s"  ${ulmLp(sc, s"substring(word, $j, 1)")} AS q1_$j"
@@ -1527,6 +1528,21 @@ object QueriesPipeline {
     }.mkString(",\n")
     val unions = (1 to L).map(st => s"SELECT piece$st AS piece, freq FROM k${r}_$L")
       .mkString("\n  UNION ALL ")
+    // census (n$r, the M-step) for training rounds; per-word
+    // segmentation (e$r) for the encode round. The backtrack fills
+    // piece1 with the word's LAST piece, so in-word order is the
+    // NULL-skipping concat of pieceL..piece1 (both engines' concat_ws
+    // drops NULL arguments).
+    val outCte =
+      if (encode)
+        s"""e$r AS (SELECT word, freq,
+           |  concat_ws(' ', ${(1 to L).reverse.map(st => s"piece$st").mkString(", ")}) AS encoded,
+           |  CAST(${(1 to L).map(st => s"CASE WHEN piece$st IS NULL THEN 0 ELSE 1 END").mkString(" + ")}
+           |    AS BIGINT) AS n_pieces FROM k${r}_$L)""".stripMargin
+      else
+        s"""n$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |  $unions
+           | ) WHERE piece IS NOT NULL GROUP BY 1)""".stripMargin
     s"""g$r AS MATERIALIZED (SELECT w.word, w.freq, len(w.word) AS l, tc.tt AS tt,
        |$lookupCols
        | FROM wf w, $tc tc),
@@ -1536,10 +1552,35 @@ object QueriesPipeline {
        |  ${(2 to L).map(k => s"ch$k").mkString(", ")},
        |  l AS p0 FROM d${r}_$L),
        |$btCtes,
-       |n$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-       |  $unions
-       | ) WHERE piece IS NOT NULL GROUP BY 1)""".stripMargin
+       |$outCte""".stripMargin
   }
+
+  /** The shared oracle prefix of both unigram-LM entries: distinct
+    * words → seed census → round 1 (E1/M1) → coverage prune → round 2,
+    * leaving `n2` = the final trained census. Kept as ONE generator so
+    * the train and encode oracles can never drift apart. */
+  private def ulmTrainSql: String =
+    s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+      | FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      |       FROM documents)
+      | WHERE len(word) <= ${UnigramLm.MaxWordLen} GROUP BY 1),
+      |pc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |  SELECT freq, substring(word, CAST(t.i AS INT), 1) AS piece
+      |   FROM wf, range(1, ${UnigramLm.MaxWordLen + 1}) t(i) WHERE t.i <= len(word)
+      |  UNION ALL
+      |  SELECT freq, substring(word, CAST(t.i AS INT), 2) AS piece
+      |   FROM wf, range(1, ${UnigramLm.MaxWordLen}) t(i) WHERE t.i <= len(word) - 1
+      | ) GROUP BY 1),
+      |sc1 AS (SELECT piece, CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS lp FROM pc),
+      |tc1 AS (SELECT CAST(floor(1000000 * ln(CAST(sum(cnt) AS DOUBLE))) AS BIGINT) AS tt FROM pc),
+      |${ulmRoundSql(1, "sc1", "tc1")},
+      |b2base AS (SELECT p.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt
+      | FROM (SELECT piece FROM pc WHERE len(piece) = 1) p
+      | LEFT JOIN n1 c USING (piece)
+      | UNION ALL SELECT piece, cnt FROM n1 WHERE len(piece) = 2),
+      |sc2 AS (SELECT piece, CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS lp FROM b2base),
+      |tc2 AS (SELECT CAST(floor(1000000 * ln(CAST(sum(cnt) AS DOUBLE))) AS BIGINT) AS tt FROM b2base),
+      |${ulmRoundSql(2, "sc2", "tc2")}""".stripMargin
 
   /** Unigram-LM (SentencePiece-style) tokenizer training
     * ([[UnigramLm]], VERDICT r10 #4) — the second tokenizer family
@@ -1570,28 +1611,45 @@ object QueriesPipeline {
         .groupBy("word").agg(count(lit(1)).as("freq"))
       UnigramLm.train(wf).orderBy(col("cnt").desc, col("piece"))
     },
-    Some(s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
-      | FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
-      |       FROM documents)
-      | WHERE len(word) <= ${UnigramLm.MaxWordLen} GROUP BY 1),
-      |pc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-      |  SELECT freq, substring(word, CAST(t.i AS INT), 1) AS piece
-      |   FROM wf, range(1, ${UnigramLm.MaxWordLen + 1}) t(i) WHERE t.i <= len(word)
-      |  UNION ALL
-      |  SELECT freq, substring(word, CAST(t.i AS INT), 2) AS piece
-      |   FROM wf, range(1, ${UnigramLm.MaxWordLen}) t(i) WHERE t.i <= len(word) - 1
-      | ) GROUP BY 1),
-      |sc1 AS (SELECT piece, CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS lp FROM pc),
-      |tc1 AS (SELECT CAST(floor(1000000 * ln(CAST(sum(cnt) AS DOUBLE))) AS BIGINT) AS tt FROM pc),
-      |${ulmRoundSql(1, "sc1", "tc1")},
-      |b2base AS (SELECT p.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt
-      | FROM (SELECT piece FROM pc WHERE len(piece) = 1) p
-      | LEFT JOIN n1 c USING (piece)
-      | UNION ALL SELECT piece, cnt FROM n1 WHERE len(piece) = 2),
-      |sc2 AS (SELECT piece, CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS lp FROM b2base),
-      |tc2 AS (SELECT CAST(floor(1000000 * ln(CAST(sum(cnt) AS DOUBLE))) AS BIGINT) AS tt FROM b2base),
-      |${ulmRoundSql(2, "sc2", "tc2")}
+    Some(s"""$ulmTrainSql
       |SELECT piece, cnt FROM n2 ORDER BY cnt DESC, piece""".stripMargin))
+
+  /** Unigram-LM ENCODE — tokenize the corpus with the model
+    * [[txUnigramLm]] trains: coverage-prune the round-2 census into
+    * the deployed piece table (chars at max(cnt,1), used 2-grams),
+    * then Viterbi-segment every DISTINCT word under the final integer
+    * scores — the [[txBpeEncode]] shape for the second tokenizer
+    * family. The oracle replays training (shared [[ulmTrainSql]]
+    * generator — the two oracles cannot drift) plus a THIRD unrolled
+    * Viterbi round whose output is the per-word segmentation rather
+    * than the piece census: the backtrack columns concat in reverse
+    * (piece1 = the word's last piece), NULL-skipping concat_ws in
+    * both engines.
+    *
+    * Plan shape at 100 TB: identical to tx_bpe_encode — one
+    * token-stream shuffle to the distinct-word table, training and
+    * the final model all vocabulary-bounded, the encode itself a
+    * map-side per-word DP over distinct words; a full corpus joins
+    * the result back by word via broadcast (the Zipf argument:
+    * |vocab| ≪ |corpus|). */
+  val txUnigramEncode: Entry = Entry("tx_unigram_encode",
+    (s, d) => {
+      val wf = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "" &&
+          length(col("word")) <= UnigramLm.MaxWordLen)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      UnigramLm.encode(wf).orderBy("word")
+    },
+    Some(s"""$ulmTrainSql,
+      |b3base AS (SELECT p.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt
+      | FROM (SELECT piece FROM pc WHERE len(piece) = 1) p
+      | LEFT JOIN n2 c USING (piece)
+      | UNION ALL SELECT piece, cnt FROM n2 WHERE len(piece) = 2),
+      |sc3 AS (SELECT piece, CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS lp FROM b3base),
+      |tc3 AS (SELECT CAST(floor(1000000 * ln(CAST(sum(cnt) AS DOUBLE))) AS BIGINT) AS tt FROM b3base),
+      |${ulmRoundSql(3, "sc3", "tc3", encode = true)}
+      |SELECT word, freq, encoded, n_pieces FROM e3 ORDER BY word""".stripMargin))
 
   /** Domain-mixture rebalancing — the sampling-weight computation every
     * pretraining data recipe runs before training: per-language corpus
@@ -2276,16 +2334,133 @@ object QueriesPipeline {
       | abs(sum_score // n - n_pos * 1000000 // n) AS gap_ppm
       |FROM g ORDER BY bin""".stripMargin))
 
+  /** SoftDeDup — duplicate-aware DOWN-WEIGHTING instead of removal:
+    * every exact-duplicate cluster keeps ALL members but each carries
+    * weight 1/n_copies, so the cluster contributes one document's
+    * worth of training mass (the soft alternative to dd_exact's
+    * keep-one; see Semenova et al.-style soft dedup / D4's
+    * reweighting discussion). Weights are integer ppm (1e6 div n) so
+    * both engines are bit-exact.
+    *
+    * Plan shape at 100 TB: project (doc_id, xxhash64(text), length)
+    * in the scan stage — payloads never shuffle — then ONE exchange:
+    * the window count over (digest, tlen) partitions. No join back,
+    * no second scan; the length column disambiguates a 64-bit digest
+    * collision exactly as dd_exact does. */
+  val plSoftDedup: Entry = Entry("pl_soft_dedup",
+    (s, d) => {
+      val c = dupCorpus(s, d)
+        .select(col("doc_id"), xxhash64(col("text")).as("digest"),
+          length(col("text")).as("tlen"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("digest", "tlen")
+      c.withColumn("n_copies", count(lit(1)).over(w))
+        .select(col("doc_id"), col("n_copies"),
+          expr("CAST(1000000 div n_copies AS BIGINT)").as("weight_ppm"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH all_docs AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+      |w AS (SELECT doc_id,
+      |  CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies
+      | FROM all_docs)
+      |SELECT doc_id, n_copies,
+      | CAST(1000000 // n_copies AS BIGINT) AS weight_ppm
+      |FROM w ORDER BY doc_id""".stripMargin))
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"):
+    * score each document by the log-likelihood ratio of a TARGET
+    * hashed-unigram bag-of-buckets model (here: the English slice)
+    * over the RAW corpus model — the classifier-free data-selection
+    * recipe. Laplace-smoothed bucket models over the
+    * [[plHashFeatures]] 1024-bucket hash; every log is the
+    * integer-scaled floor(1e6·ln(·)) (Java/DuckDB parity
+    * cross-checked exhaustively to 6M), so scores are pure BIGINT
+    * sums: score(doc) = Σ_tok [lp(ct_b+1) − lp(cr_b+1)] +
+    * n_tok·[lp(totR+1024) − lp(totT+1024)], i.e. the scaled
+    * log Π p_target/p_raw under the smoothed models. keep =
+    * score ≥ 0 (doc looks more target-like than raw).
+    *
+    * Plan shape at 100 TB: pass 1 aggregates token buckets to a
+    * ≤1024-row stats frame (ONE partial-agg exchange, counts only —
+    * target and raw counted in the same pass via a conditional agg);
+    * the per-bucket adjustment table is then BROADCAST to pass 2,
+    * which scores map-side and partial-aggregates per doc_id. Two
+    * fact scans total — the structural minimum for a
+    * corpus-statistics-dependent score — and nothing driver-side. */
+  val plDsir: Entry = Entry("pl_dsir",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "filter(split(coalesce(text, ''), ' '), t -> length(t) > 0)"))
+            .as("t"))
+        .withColumn("b", expr(
+          """(CAST(length(t) * 961 + ascii(substring(t, 1, 1)) * 31
+            |      + ascii(substring(t, length(t), 1)) AS BIGINT)
+            | % 1000003 * 2654435761) % 1000003 % 1024""".stripMargin))
+        .select(col("doc_id"), col("lang"), col("b"))
+      val st = toks.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      val tot = st.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
+      val adj = st.crossJoin(broadcast(tot)).select(col("b"), expr(
+        """CAST(floor(1000000 * ln(CAST(ct + 1 AS DOUBLE))) AS BIGINT)
+          | - CAST(floor(1000000 * ln(CAST(cr + 1 AS DOUBLE))) AS BIGINT)
+          | + CAST(floor(1000000 * ln(CAST(totr + 1024 AS DOUBLE))) AS BIGINT)
+          | - CAST(floor(1000000 * ln(CAST(tott + 1024 AS DOUBLE))) AS BIGINT)"""
+          .stripMargin).as("a"))
+      val agg = toks.join(broadcast(adj), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("a")).as("score"))
+      docs(s, d).select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("score"), lit(0L)).as("score"))
+        .withColumn("keep", col("score") >= 0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, lang,
+      |  unnest(string_split(text, ' ')) AS t FROM documents),
+      |f AS (SELECT doc_id, lang,
+      |  (CAST(length(t) * 961 + ascii(substr(t, 1, 1)) * 31
+      |        + ascii(substr(t, length(t), 1)) AS BIGINT)
+      |   % 1000003 * 2654435761) % 1000003 % 1024 AS b
+      | FROM tok WHERE t <> ''),
+      |st AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+      |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+      | FROM f GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS totr,
+      |  CAST(sum(ct) AS BIGINT) AS tott FROM st),
+      |adj AS (SELECT b,
+      |  CAST(floor(1000000 * ln(CAST(ct + 1 AS DOUBLE))) AS BIGINT)
+      |  - CAST(floor(1000000 * ln(CAST(cr + 1 AS DOUBLE))) AS BIGINT)
+      |  + CAST(floor(1000000 * ln(CAST(totr + 1024 AS DOUBLE))) AS BIGINT)
+      |  - CAST(floor(1000000 * ln(CAST(tott + 1024 AS DOUBLE))) AS BIGINT) AS a
+      | FROM st, tot),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(a) AS BIGINT) AS score
+      | FROM f JOIN adj USING (b) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+      | coalesce(score, 0) AS score, coalesce(score, 0) >= 0 AS keep
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, txBpePairs, txBpeEncode, txUnigramLm,
+    txUnigramEncode,
     txInvertedIndex, txHeavyHitters, txKeyphrases,
     plCleanCorpus, plCanonical, plPack,
     plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
     plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,
     plSubstringDup, plHashFeatures, plLengthBuckets, plScoreCalibration,
+    plSoftDedup, plDsir,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simKmeans, simKmeansLloyd,
     simNearDup,
     mmDecode, mmResize, mmWav, mmVideoFrames)

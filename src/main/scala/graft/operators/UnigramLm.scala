@@ -104,24 +104,61 @@ object UnigramLm {
       .groupBy("piece").agg(sum(col("freq")).as("cnt"))
   }
 
-  /** Full 2-round training over (word, freq): seed → E1/M1 → prune
-    * (chars kept at max(cnt,1), unused 2-grams dropped) → E2/M2.
-    * Returns the final (piece, cnt) census. The two collects are the
-    * seed table and the round-1 census — both vocabulary-bounded. */
-  def train(wordFreq: DataFrame): DataFrame = {
-    val seed: Map[String, Long] = seedCounts(wordFreq).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  private def collectMap(df: DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Coverage-preserving prune: every corpus CHAR survives at
+    * max(cnt, 1) (so all words stay segmentable, as SentencePiece's
+    * character coverage guarantees); 2-grams only at counted usage. */
+  private def prune(chars: Iterable[String], cnt: Map[String, Long]): Map[String, Long] =
+    chars.map(p => p -> math.max(cnt.getOrElse(p, 0L), 1L)).toMap ++
+      cnt.filter { case (p, _) => p.length == 2 }
+
+  /** Seed → E1/M1 → prune: the corpus char set and the round-2
+    * scoring basis that both [[train]] and [[encode]] start from.
+    * The two collects (seed table, round-1 census) are
+    * vocabulary-bounded. */
+  private def round2Basis(wordFreq: DataFrame): (Seq[String], Map[String, Long]) = {
+    val seed = collectMap(seedCounts(wordFreq))
+    val chars = seed.keysIterator.filter(_.length == 1).toSeq
     val t1 = lpScaled(seed.values.sum)
     val scores1 = seed.map { case (p, c) => p -> lpScaled(c) }
-    val cnt1: Map[String, Long] = emRound(wordFreq, scores1, t1).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // prune: every seed CHAR survives at max(cnt,1); 2-grams only if used
-    val base2: Map[String, Long] =
-      seed.keysIterator.filter(_.length == 1)
-        .map(p => p -> math.max(cnt1.getOrElse(p, 0L), 1L)).toMap ++
-      cnt1.filter { case (p, _) => p.length == 2 }
+    val cnt1 = collectMap(emRound(wordFreq, scores1, t1))
+    (chars, prune(chars, cnt1))
+  }
+
+  /** Full 2-round training over (word, freq): seed → E1/M1 → prune
+    * (chars kept at max(cnt,1), unused 2-grams dropped) → E2/M2.
+    * Returns the final (piece, cnt) census. */
+  def train(wordFreq: DataFrame): DataFrame = {
+    val (_, base2) = round2Basis(wordFreq)
     val t2 = lpScaled(base2.values.sum)
     val scores2 = base2.map { case (p, c) => p -> lpScaled(c) }
     emRound(wordFreq, scores2, t2)
+  }
+
+  /** Tokenize with the TRAINED model: run the full 2-round training,
+    * coverage-prune the final census into the deployed piece table,
+    * and Viterbi-segment every distinct word under it — the
+    * [[Bpe]]-encode shape (encode once per DISTINCT word map-side; a
+    * 100 TB corpus joins the result back by word via broadcast).
+    * Output: (word, freq, encoded, n_pieces) with `encoded` the
+    * space-joined piece sequence in word order. */
+  def encode(wordFreq: DataFrame): DataFrame = {
+    val (chars, base2) = round2Basis(wordFreq)
+    val t2 = lpScaled(base2.values.sum)
+    val scores2 = base2.map { case (p, c) => p -> lpScaled(c) }
+    val cnt2 = collectMap(emRound(wordFreq, scores2, t2))
+    val base3 = prune(chars, cnt2)
+    val t3 = lpScaled(base3.values.sum)
+    val scores3 = base3.map { case (p, c) => p -> lpScaled(c) }
+    val segU = udf { (w: String) =>
+      val ps = segment(w, scores3.get, t3)
+      (ps.mkString(" "), ps.length.toLong)
+    }
+    wordFreq
+      .select(col("word"), col("freq"), segU(col("word")).as("seg"))
+      .select(col("word"), col("freq"),
+        col("seg._1").as("encoded"), col("seg._2").as("n_pieces"))
   }
 }

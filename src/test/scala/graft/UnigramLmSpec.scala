@@ -54,6 +54,37 @@ class UnigramLmSpec extends SparkSpec {
     got shouldBe Map("ab" -> 3L, "b" -> 3L, "c" -> 1L)
   }
 
+  test("encode: the 3-word corpus segments under the FINAL model") {
+    // Final census ab=3, b=3, c=1; coverage prune re-adds a at
+    // max(0,1)=1 → basis a=1, b=3, c=1, ab=3; total=8, t=2079441;
+    // lp: a=0, b=1098612, c=0, ab=1098612.
+    // "ab" → [ab] (−980829 beats −4158882); "b" → [b];
+    // "abc" → dp2 via ab = −980829, char path −3060270 vs gram path
+    // "bc" unavailable (pruned) → ["ab","c"].
+    val wf = Seq(("ab", 2L), ("abc", 1L), ("b", 3L)).toDF("word", "freq")
+    val got = UnigramLm.encode(wf).as[(String, Long, String, Long)]
+      .collect().map(r => r._1 -> ((r._3, r._4))).toMap
+    got shouldBe Map(
+      "ab" -> (("ab", 1L)), "abc" -> (("ab c", 2L)), "b" -> (("b", 1L)))
+  }
+
+  test("encode on testdata: segmentations tile words; pieces are census pieces") {
+    val d = "/root/testdata/sf0.001"
+    val wf = Tables.tbl(spark, d, "documents")
+      .selectExpr("explode(split(text, ' ')) AS word")
+      .where("word <> '' AND length(word) <= 8")
+      .groupBy("word").count().withColumnRenamed("count", "freq")
+    val enc = UnigramLm.encode(wf)
+      .as[(String, Long, String, Long)].collect()
+    enc should not be empty
+    enc.foreach { case (w, _, e, n) =>
+      val ps = e.split(" ").toSeq
+      ps.length.toLong shouldBe n
+      ps.mkString shouldBe w // pieces tile the word exactly, in order
+      ps.foreach(p => p.length should (be >= 1 and be <= 2))
+    }
+  }
+
   test("trained census on testdata: mass conservation and coverage") {
     val d = "/root/testdata/sf0.001"
     val wf = Tables.tbl(spark, d, "documents")
