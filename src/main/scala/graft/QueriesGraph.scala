@@ -373,6 +373,58 @@ object QueriesGraph {
       | (3 * n_triangles * 1000000) // n_wedges AS clustering_ppm
       |FROM ne, nw, tr""".stripMargin))
 
+  private val CoreK = 8
+  private val CoreRounds = 4
+
+  private def kcIter(i: Int): String =
+    s""",d$i AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       | FROM a${i - 1} GROUP BY 1),
+       |k$i AS (SELECT src AS node FROM d$i WHERE deg >= $CoreK),
+       |a$i AS (SELECT t.src, t.dst FROM a${i - 1} t
+       | JOIN k$i x ON t.src = x.node
+       | JOIN k$i y ON t.dst = y.node)""".stripMargin
+
+  /** Iterative k-core peeling over the sparse strong-ties trading
+    * graph ([[graft.operators.KCore]]): 4 synchronous rounds at k=8
+    * (chosen so the peel genuinely CASCADES on this graph — each
+    * round's removals push more nodes under the threshold; a smaller
+    * k converges in one round and tests nothing iterative). Output is
+    * the per-round census (round, n_nodes, n_edges, max_deg) — the
+    * peel trajectory, non-empty at every SF even when the core
+    * empties. The oracle replays all 4 rounds as chained CTEs in pure
+    * BIGINT, the PageRank discipline.
+    *
+    * Plan shape: per round ONE partial-agg degree exchange plus two
+    * (long,long) semi-joins against the surviving node set; each
+    * round lineage-pinned with superseded-pin release. At 100 TB the
+    * node set is never collected and no payloads ride any exchange. */
+  val grKcore: Entry = Entry("gr_kcore",
+    (s, d) => {
+      val pairs = sparsePairs(s, d)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      operators.KCore.peelCensus(edges, CoreK, CoreRounds)
+    },
+    Some(s"""WITH e0 AS (SELECT DISTINCT o_custkey AS a,
+      |  l_suppkey + $SuppOffset AS b
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | WHERE l_quantity > 45),
+      |e AS (SELECT a AS src, b AS dst FROM e0
+      |      UNION ALL SELECT b, a FROM e0),
+      |a0 AS (SELECT src, dst FROM e)
+      |${(1 to CoreRounds + 1).map(i =>
+           if (i <= CoreRounds) kcIter(i)
+           else s""",d$i AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                   | FROM a${i - 1} GROUP BY 1)""".stripMargin).mkString("\n")}
+      |${(0 to CoreRounds).map(r =>
+           s"""c$r AS (SELECT CAST($r AS BIGINT) AS round,
+              |  CAST(count(*) AS BIGINT) AS n_nodes,
+              |  CAST(coalesce(sum(deg), 0) AS BIGINT) AS n_edges,
+              |  CAST(coalesce(max(deg), 0) AS BIGINT) AS max_deg
+              | FROM d${r + 1})""".stripMargin).mkString(",", ",\n", "")}
+      |${(0 to CoreRounds).map(r => s"SELECT * FROM c$r").mkString("\nUNION ALL ")}
+      |ORDER BY round""".stripMargin))
+
   val all: Seq[Entry] = Seq(grPageRank, grLabelProp, grBfsHops, grCopurchase,
-    grTriangles)
+    grTriangles, grKcore)
 }
