@@ -2386,11 +2386,13 @@ object QueriesPipeline {
     *
     * Plan shape at 100 TB: pass 1 aggregates token buckets to a
     * ≤1024-row stats frame (ONE partial-agg exchange, counts only —
-    * target and raw counted in the same pass via a conditional agg);
-    * the per-bucket adjustment table is then BROADCAST to pass 2,
-    * which scores map-side and partial-aggregates per doc_id. Two
-    * fact scans total — the structural minimum for a
-    * corpus-statistics-dependent score — and nothing driver-side. */
+    * target and raw counted in the same pass via a conditional agg,
+    * totals via an empty-frame window on the stats frame so nothing
+    * re-reads the corpus); the per-bucket adjustment table is then
+    * BROADCAST to pass 2, which scores map-side and
+    * partial-aggregates per doc_id. Two fact scans + the doc_id
+    * attach — the structural minimum for a corpus-statistics-
+    * dependent score — and nothing driver-side. */
   val plDsir: Entry = Entry("pl_dsir",
     (s, d) => {
       val toks = docs(s, d)
@@ -2406,12 +2408,16 @@ object QueriesPipeline {
       val st = toks.groupBy("b").agg(
         count(lit(1)).as("cr"),
         count(when(col("lang") === "en", 1)).as("ct"))
-      val tot = st.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
-      val adj = st.crossJoin(broadcast(tot)).select(col("b"), expr(
+      // totals via an empty-frame window over the ≤1024-row stats
+      // frame — NOT a separate aggregate: a second consumer of `st`
+      // would re-execute the whole stats pass (one extra corpus scan;
+      // the PlanShapeSpec pin caught exactly that on the first
+      // spelling). The single-partition exchange carries ≤1024 rows.
+      val adj = st.select(col("b"), expr(
         """CAST(floor(1000000 * ln(CAST(ct + 1 AS DOUBLE))) AS BIGINT)
           | - CAST(floor(1000000 * ln(CAST(cr + 1 AS DOUBLE))) AS BIGINT)
-          | + CAST(floor(1000000 * ln(CAST(totr + 1024 AS DOUBLE))) AS BIGINT)
-          | - CAST(floor(1000000 * ln(CAST(tott + 1024 AS DOUBLE))) AS BIGINT)"""
+          | + CAST(floor(1000000 * ln(CAST(sum(cr) OVER () + 1024 AS DOUBLE))) AS BIGINT)
+          | - CAST(floor(1000000 * ln(CAST(sum(ct) OVER () + 1024 AS DOUBLE))) AS BIGINT)"""
           .stripMargin).as("a"))
       val agg = toks.join(broadcast(adj), Seq("b"))
         .groupBy("doc_id")

@@ -525,6 +525,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pl_soft_dedup: digests in the scan stage, ONE cluster-window exchange") {
+    val p = staticPlan(QueriesPipeline.plSoftDedup.fn(spark, sf))
+    withClue(p) {
+      // xxhash64 + length are scan-stage projections; the only hash
+      // exchange carries (doc_id, digest, tlen) rows to the window —
+      // payloads never shuffle, nothing joins back
+      hashEx(p) shouldBe 1
+      p should not include "Join"
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
+  test("pl_dsir: stats pass -> broadcast adjustment table -> scoring pass") {
+    val p = staticPlan(QueriesPipeline.plDsir.fn(spark, sf))
+    withClue(p) {
+      // the ≤1024-row bucket-adjustment table must come back as a
+      // broadcast (the scoring join may NOT shuffle the token stream
+      // against it); totals ride an empty-frame window on the stats
+      // frame, not a second aggregate over the corpus
+      "BroadcastExchange".r.findAllIn(p).size should be >= 1
+      p should not include "CartesianProduct"
+      // three fact scans: stats pass, scoring pass, doc_id attach —
+      // the structural minimum for a corpus-stat-dependent score
+      "Scan parquet".r.findAllIn(p).size shouldBe 3
+      // hash exchanges: bucket stats agg + per-doc agg (+ possibly the
+      // final doc_id attach at scale); never more
+      hashEx(p) should be <= 3
+    }
+  }
+
   test("g_table_stats: one scan per stats row family, single-row aggs, no join") {
     val p = staticPlan(QueriesAggWindow.gTableStats.fn(spark, sf))
     withClue(p) {
