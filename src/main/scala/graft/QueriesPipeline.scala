@@ -129,6 +129,42 @@ object QueriesPipeline {
       |   0.0), 6) AS jac
       |FROM sh ORDER BY doc_id""".stripMargin))
 
+  /** Asymmetric shingle containment beside [[ddNgramJaccard]]'s
+    * symmetric resemblance ([[Dedup.containment3]]): each audited doc
+    * vs itself-with-an-appended-tail — containment(orig ⊆ padded)
+    * must be exactly 1.0 (every original shingle survives) while the
+    * reverse direction and Jaccard dilute, the doc-inside-doc
+    * signature an exact-substring audit keys on. Same per-candidate
+    * scan-stage shape as dd_ngram_jaccard: builtin array expressions,
+    * no shuffle beyond the output sort. */
+  val ddContainment: Entry = Entry("dd_containment",
+    (s, d) => docs(s, d).where(col("doc_id") % 11 === 0)
+      .select(col("doc_id"),
+        round(Dedup.containment3(col("text"),
+          concat(col("text"), lit(" qq17 qq18 qq19"))), 6).as("cont_fwd"),
+        round(Dedup.containment3(concat(col("text"), lit(" qq17 qq18 qq19")),
+          col("text")), 6).as("cont_rev"),
+        round(Dedup.jaccard3(col("text"),
+          concat(col("text"), lit(" qq17 qq18 qq19"))), 6).as("jac"))
+      .orderBy("doc_id"),
+    Some("""WITH v AS (
+      | SELECT doc_id, string_split(text, ' ') AS w,
+      |        string_split(text || ' qq17 qq18 qq19', ' ') AS wv
+      | FROM documents WHERE doc_id % 11 = 0),
+      |sh AS (SELECT doc_id,
+      | list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS sa,
+      | list_distinct(list_transform(range(1, len(wv) - 1), i -> array_to_string(wv[i:i+2], ' '))) AS sb
+      | FROM v)
+      |SELECT doc_id,
+      | round(CASE WHEN len(sa) = 0 THEN 0.0 ELSE
+      |   CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(sa) END, 6) AS cont_fwd,
+      | round(CASE WHEN len(sb) = 0 THEN 0.0 ELSE
+      |   CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(sb) END, 6) AS cont_rev,
+      | round(coalesce(
+      |   CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))),
+      |   0.0), 6) AS jac
+      |FROM sh ORDER BY doc_id""".stripMargin))
+
   /** MinHash+LSH near-dup pairs, RECALL-PROOF: the oracle is the
     * brute-force all-pairs 3-gram Jaccard truth over the same corpus
     * (an all-pairs join is fine at oracle scale — 546 docs; the banded
@@ -2334,6 +2370,57 @@ object QueriesPipeline {
       | abs(sum_score // n - n_pos * 1000000 // n) AS gap_ppm
       |FROM g ORDER BY bin""".stripMargin))
 
+  /** Per-language unigram Shannon entropy in integer MICRO-NATS — the
+    * corpus-diversity number a data-mixture recipe reads next to the
+    * [[plMixWeights]] sizes (a low-entropy slice is boilerplate even
+    * when it is large). H = Σ p·ln(1/p) restated sum-first so both
+    * engines stay in BIGINT: Σ cnt·(lp(tot) − lp(cnt)) div tot with
+    * lp = floor(1e6·ln(·)) (parity cross-checked to 6M). Exact while
+    * cnt·1e6·ln(tot) < 2^63 — ~3e11 occurrences of one token at web
+    * scale; past that a production run moves the term to
+    * DECIMAL(38,0), same shape.
+    *
+    * Plan shape at 100 TB: token stream → (lang, word) census in ONE
+    * partial-agg exchange (vocabulary-bounded output); per-lang
+    * totals via a lang-partitioned window over the census (second
+    * exchange, vocab-sized rows); the final per-lang rollup rides
+    * that same lang clustering. Nothing driver-side. */
+  val txEntropy: Entry = Entry("tx_entropy",
+    (s, d) => {
+      val census = docs(s, d)
+        .select(col("lang"),
+          explode(expr(
+            "filter(split(coalesce(text, ''), ' '), t -> length(t) > 0)"))
+            .as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      census
+        .withColumn("tot", sum(col("cnt")).over(byLang))
+        .withColumn("term", expr(
+          """cnt * (CAST(floor(1000000 * ln(CAST(tot AS DOUBLE))) AS BIGINT)
+            |     - CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE))) AS BIGINT))"""
+            .stripMargin))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("vocab"),
+          max(col("tot")).as("n_tokens"),
+          expr("CAST(sum(term) div max(tot) AS BIGINT)").as("entropy_unat"))
+        .orderBy("lang")
+    },
+    Some("""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+      | FROM tok WHERE w <> '' GROUP BY 1, 2),
+      |t AS (SELECT lang, cnt,
+      |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS tot FROM c),
+      |e AS (SELECT lang, tot,
+      |  cnt * (CAST(floor(1000000 * ln(CAST(tot AS DOUBLE))) AS BIGINT)
+      |       - CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE))) AS BIGINT)) AS term
+      | FROM t)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+      | CAST(max(tot) AS BIGINT) AS n_tokens,
+      | CAST(sum(term) // max(tot) AS BIGINT) AS entropy_unat
+      |FROM e GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** SoftDeDup — duplicate-aware DOWN-WEIGHTING instead of removal:
     * every exact-duplicate cluster keeps ALL members but each carries
     * weight 1/n_copies, so the cluster contributes one document's
@@ -2456,7 +2543,8 @@ object QueriesPipeline {
       |ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Entry] = Seq(
-    ddExact, ddNgramJaccard, ddMinhash, ddSimhash, ddComponents,
+    ddExact, ddNgramJaccard, ddContainment, ddMinhash, ddSimhash, ddComponents,
+    txEntropy,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, txBpePairs, txBpeEncode, txUnigramLm,
     txUnigramEncode,

@@ -33,6 +33,18 @@ object Dedup {
       size(array_union(sa, sb))
   }
 
+  /** Asymmetric shingle CONTAINMENT |A∩B| / |A| (Broder 1997's
+    * containment vs resemblance): a short document pasted inside a
+    * long one scores ~1.0 here while Jaccard dilutes toward
+    * |A|/|B| — the metric an exact-substring/quotation audit wants.
+    * Empty shingle sets score 0 (sub-3-word docs contain nothing). */
+  def containment3(a: Column, b: Column): Column = {
+    val sa = array_distinct(shingles3(a))
+    val sb = array_distinct(shingles3(b))
+    when(size(sa) === 0, lit(0.0)).otherwise(
+      size(array_intersect(sa, sb)).cast("double") / size(sa))
+  }
+
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band →
     * bucket-join → exact-Jaccard verify, with r-row banded signatures.
     *
