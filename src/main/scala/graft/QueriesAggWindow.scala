@@ -1845,6 +1845,53 @@ object QueriesAggWindow {
       | CAST(max(peak - equity) AS BIGINT) AS max_drawdown_cents
       |FROM c2 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
 
+  /** One-sided CUSUM change detection (Page 1954) over each user's
+    * event-value stream — the classic drift monitor a data-quality
+    * pipeline runs per source: S_i = max(0, S_{i−1} + (x_i − k)),
+    * alarm when S crosses h. The recursion is NOT a window frame, but
+    * the identity S_i = P_i − min(0, min_{j≤i} P_j) (P = prefix sums
+    * of x − k) makes it two stacked windows over ONE exchange — the
+    * [[wDrawdown]] discipline. Reference-plus-allowance k = 60.00 and
+    * threshold h = 200.00, both in exact BIGINT cents (DECIMAL(18,2)
+    * ·100, the engine-agreed integerization).
+    *
+    * Scale shape: ONE user_id exchange serves the prefix-sum window,
+    * the running-min window (same spec → same Window node), and the
+    * per-user rollup; series length is bounded per user, no global
+    * window. */
+  val wCusumDrift: Entry = Entry("w_cusum_drift",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ((col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            - 6000L).as("delta"))
+        .withColumn("p", sum(col("delta")).over(w))
+        .withColumn("cusum", col("p") - least(lit(0L), min(col("p")).over(w)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(col("cusum")).as("max_cusum_cents"),
+          sum(when(col("cusum") > 20000L, 1L).otherwise(0L)).as("n_alarms"))
+        .orderBy("user_id")
+    },
+    Some("""WITH x AS (SELECT user_id, ts, event_id,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 6000 AS delta
+      | FROM events),
+      |c1 AS (SELECT user_id, ts, event_id,
+      |  sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      | FROM x),
+      |c2 AS (SELECT user_id,
+      |  p - least(0, min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+      | FROM c1)
+      |SELECT user_id, count(*) AS n_events,
+      | CAST(max(cusum) AS BIGINT) AS max_cusum_cents,
+      | CAST(sum(CASE WHEN cusum > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+      |FROM c2 GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   /** Pareto / ABC classification — the 80-15-5 inventory cut every
     * curation or procurement pipeline runs: rank customers by revenue,
     * take the cumulative revenue share walking down the ranking, and
@@ -1902,5 +1949,5 @@ object QueriesAggWindow {
     gSampleWeighted, wAnomalyMad, wGapIslands, wSessionize, oIncrementalAgg,
     gHllMergeable, gQuantileSketch, gSimpson, wRollingMedian, oCdcApply,
     oCompactionPlan, wFirstLast, gCmsSketch, wRunningDistinct,
-    wDrawdown, wParetoAbc)
+    wDrawdown, wParetoAbc, wCusumDrift)
 }
