@@ -584,6 +584,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("w_cusum_drift: prefix-sum + running-min windows share ONE user exchange") {
+    val p = staticPlan(QueriesAggWindow.wCusumDrift.fn(spark, sf))
+    withClue(p) {
+      // the CUSUM identity stacks two same-spec windows, so both plus
+      // the per-user rollup ride one hash(user_id) exchange
+      hashEx(p) shouldBe 1
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+      p should not include "Join"
+    }
+  }
+
   test("w_pareto_abc: facts collapse in the agg BEFORE any window runs") {
     val p = staticPlan(QueriesAggWindow.wParetoAbc.fn(spark, sf))
     withClue(p) {
