@@ -545,6 +545,33 @@ object Queries {
       |  AND levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY akey, bkey""".stripMargin))
 
+  /** The [[jFuzzyEdit]] recall bound as a MONITORED number
+    * ([[operators.Dedup.fuzzyCapAudit]]): the blocking-key census at
+    * the entry's maxKeyFreq=64 — keys refused, key-row mass lost, max
+    * observed frequency. On the shipped testdata the cap never binds
+    * (max_kf 38 at sf0.1) so n_capped_keys hashes as 0; data drift
+    * that binds the cap (the r11 tripled-identity rehearsal: max 114,
+    * 1500 keys refused) turns this row red BEFORE anyone has to
+    * diagnose a fuzzy-join recall mystery. One vocabulary-sized
+    * exchange (the key census), then a 1-row rollup. */
+  val jFuzzyCapAudit: Entry = Entry("j_fuzzy_cap_audit",
+    (s, d) => {
+      val c = cust(s, d).select(col("c_custkey").as("id"), col("c_name").as("s"))
+      operators.Dedup.fuzzyCapAudit(c, maxKeyFreq = 64)
+    },
+    Some("""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+      |k AS (SELECT id, unnest(list_distinct(list_concat([s],
+      |  list_transform(range(1, len(s) + 1),
+      |    i -> substr(s, 1, CAST(i AS INT) - 1)
+      |      || substr(s, CAST(i AS INT) + 1, len(s)))))) AS k
+      | FROM c),
+      |f AS (SELECT k, CAST(count(*) AS BIGINT) AS kf FROM k GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      | CAST(sum(CASE WHEN kf > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_keys,
+      | CAST(sum(CASE WHEN kf > 64 THEN kf ELSE 0 END) AS BIGINT) AS capped_key_rows,
+      | CAST(max(kf) AS BIGINT) AS max_kf
+      |FROM f""".stripMargin))
+
   /** O-topk + 3-way join: TPC-H Q3-shaped revenue top-10 (tie-broken).
     * The segment-filtered customer side is ~1/5 of a dimension table —
     * explicitly broadcast so at 100 TB the orders⋈lineitem fact side
@@ -686,7 +713,7 @@ object Queries {
     q1PricingSummary, p1Projection, p2Coerce, p3ForwardFill, p4Rename,
     j1Multiway, j2Semi, j3Anti, jSkewSalted, jFullOuter, jAsof, jAsofForward,
     jRangeBucketed,
-    jBucketedColocate, jBloomPrune, jFuzzyEdit,
+    jBucketedColocate, jBloomPrune, jFuzzyEdit, jFuzzyCapAudit,
     o1TopK, w3RankLag, gDistinct,
     fDates, fDateSpine, fMath, fJson, fStrings, fContentHash) ++
     QueriesArrays.all ++ QueriesEnsemble.all ++

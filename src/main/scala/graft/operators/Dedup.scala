@@ -277,4 +277,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .distinct()
   }
+
+  /** The cap AUDIT for [[fuzzyEditPairs]] — "a bound that throttles
+    * recall must be observable, never silent": one row reporting the
+    * blocking-key census at `maxKeyFreq` — total keys, keys the cap
+    * refuses, the key-row mass they carry (the upper bound on lost
+    * candidate generation), and the observed max frequency. The r11
+    * sf0.3 rehearsal motivated this: verbatim-tripled identities
+    * pushed 1500 keys past the cap (max 114 vs 38 at sf0.1) and the
+    * recall trade bound for the first time — this audit makes that a
+    * monitored number instead of a post-hoc diagnosis. */
+  def fuzzyCapAudit(df: DataFrame, maxKeyFreq: Long): DataFrame = {
+    val keys = df.select(col("id"),
+      explode(expr(
+        """array_distinct(concat(array(s),
+          |  transform(sequence(1, length(s)),
+          |    i -> concat(substring(s, 1, i - 1),
+          |                substring(s, i + 1, length(s))))))""".stripMargin
+      )).as("k"))
+    keys.groupBy("k").agg(count(lit(1)).as("kf"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("kf") > maxKeyFreq, 1L).otherwise(0L)).as("n_capped_keys"),
+        sum(when(col("kf") > maxKeyFreq, col("kf")).otherwise(0L)).as("capped_key_rows"),
+        max(col("kf")).as("max_kf"))
+  }
 }
