@@ -1917,7 +1917,12 @@ object QueriesAggWindow {
           .cast("long").as("cents"))
         .withColumn("cum", sum(col("cents")).over(wCum))
         .withColumn("tot", sum(col("cents")).over(wTot))
-        .withColumn("cum_ppm", expr("cum * 1000000 div tot"))
+        // the share multiply runs in DECIMAL(38,0) (oracle: HUGEINT):
+        // cum·10^6 crosses 2^63 once cumulative revenue passes ~$92B —
+        // the r11 sf0.3 rehearsal hit exactly that; 128-bit headroom
+        // moves the bound past any conceivable corpus
+        .withColumn("cum_ppm",
+          expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)"))
         .withColumn("abc_class",
           when(col("cum_ppm") <= 800000L, "A")
             .when(col("cum_ppm") <= 950000L, "B")
@@ -1933,9 +1938,10 @@ object QueriesAggWindow {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
       |  CAST(sum(cents) OVER () AS BIGINT) AS tot
       | FROM rev)
-      |SELECT o_custkey, cents, cum * 1000000 // tot AS cum_ppm,
-      | CASE WHEN cum * 1000000 // tot <= 800000 THEN 'A'
-      |      WHEN cum * 1000000 // tot <= 950000 THEN 'B'
+      |SELECT o_custkey, cents,
+      | CAST(CAST(cum AS HUGEINT) * 1000000 // tot AS BIGINT) AS cum_ppm,
+      | CASE WHEN CAST(cum AS HUGEINT) * 1000000 // tot <= 800000 THEN 'A'
+      |      WHEN CAST(cum AS HUGEINT) * 1000000 // tot <= 950000 THEN 'B'
       |      ELSE 'C' END AS abc_class
       |FROM c ORDER BY o_custkey""".stripMargin))
 

@@ -1771,7 +1771,8 @@ object QueriesPipeline {
     * collision-FREE keys, so the (epoch, skey) sort alone is a total
     * deterministic order — no tiebreak column, which is the proof the
     * key is doing its job. The fixture lifts doc_ids into a sparse
-    * 62-bit space (id·2^40 + id) to exercise the full width; the
+    * 62-bit space ((id mod 2^22)·2^40 + id — injective for any
+    * id < 2^40 since 2^40 ≡ 0 mod 2^22) to exercise the full width; the
     * 4-round Feistel network is restated move-for-move in the oracle
     * (generated from the same constants, Feistel.keySql — every
     * intermediate < 2^62 so DuckDB's checked BIGINT arithmetic
@@ -1782,9 +1783,15 @@ object QueriesPipeline {
     (s, d) => {
       import graft.functions.Feistel
       val lift = 1L << 40
+      // lift the HIGH bits from doc_id mod 2^22 so id62 < 2^62 for ANY
+      // doc_id < 2^40 (the unreduced doc_id·2^40 overflows int64 past
+      // doc_id ≈ 2^23 — the r11 sf0.3 rehearsal's offset ids hit it);
+      // at shipped SFs doc_id < 2^22, so the pmod is the identity and
+      // every recorded hash is unchanged
       docs(s, d).select(col("doc_id"), col("n_chars"),
           explode(sequence(lit(0L), lit(1L))).as("epoch"))
-        .withColumn("id62", col("doc_id") * lift + col("doc_id"))
+        .withColumn("id62",
+          pmod(col("doc_id"), lit(1L << 22)) * lift + col("doc_id"))
         .withColumn("skey", Feistel.key(col("id62") + col("epoch") * 2038074743L))
         .withColumn("shard", pmod(col("skey"), lit(64L)))
         .select(col("epoch"), col("shard"), col("skey"),
@@ -1795,7 +1802,7 @@ object QueriesPipeline {
       |  unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch
       |  FROM documents),
       |k AS (SELECT epoch, doc_id, n_chars,
-      |  ${graft.functions.Feistel.keySql(s"(doc_id * ${1L << 40} + doc_id + epoch * 2038074743)")} AS skey
+      |  ${graft.functions.Feistel.keySql(s"(doc_id % ${1L << 22} * ${1L << 40} + doc_id + epoch * 2038074743)")} AS skey
       | FROM e)
       |SELECT epoch, skey % 64 AS shard, skey, doc_id, n_chars
       |FROM k ORDER BY epoch, skey""".stripMargin))
