@@ -459,9 +459,16 @@ object QueriesAggWindow {
       cells.groupBy(col("nation"))
         .agg(count(lit(1)).as("n_prios"), sum(col("cnt")).as("tot"),
           sum(col("cnt") * col("cnt")).as("sumsq"))
+        // DECIMAL(38) headroom (oracle: HUGEINT): tot·tot alone crosses
+        // 2^63 past ~3e9 rows per group — certain at 100 TB (the
+        // w_pareto_abc overflow class the r11 sf0.3 rehearsal exposed)
         .select(col("nation"), col("n_prios"), col("tot"),
-          expr("sumsq * 1000000 div (tot * tot)").as("hhi_ppm"),
-          expr("1000000 - sumsq * 1000000 div (tot * tot)").as("simpson_ppm"))
+          expr("""CAST(CAST(sumsq AS DECIMAL(38,0)) * 1000000
+            | div (CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)"""
+            .stripMargin).as("hhi_ppm"),
+          expr("""1000000 - CAST(CAST(sumsq AS DECIMAL(38,0)) * 1000000
+            | div (CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)"""
+            .stripMargin).as("simpson_ppm"))
         .orderBy("nation")
     },
     Some("""WITH c AS (SELECT n_name AS nation, o_orderpriority AS prio, count(*) AS cnt
@@ -471,8 +478,10 @@ object QueriesAggWindow {
       |t AS (SELECT nation, count(*) AS n_prios, CAST(sum(cnt) AS BIGINT) AS tot,
       |  CAST(sum(cnt * cnt) AS BIGINT) AS sumsq FROM c GROUP BY 1)
       |SELECT nation, n_prios, tot,
-      | sumsq * 1000000 // (tot * tot) AS hhi_ppm,
-      | 1000000 - sumsq * 1000000 // (tot * tot) AS simpson_ppm
+      | CAST(CAST(sumsq AS HUGEINT) * 1000000
+      |   // (CAST(tot AS HUGEINT) * tot) AS BIGINT) AS hhi_ppm,
+      | 1000000 - CAST(CAST(sumsq AS HUGEINT) * 1000000
+      |   // (CAST(tot AS HUGEINT) * tot) AS BIGINT) AS simpson_ppm
       |FROM t ORDER BY nation""".stripMargin))
 
   /** Rolling (trailing-frame) median — the robust-smoothing window the

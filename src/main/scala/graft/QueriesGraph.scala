@@ -292,7 +292,9 @@ object QueriesGraph {
       t2.crossJoin(broadcast(nOrd))
         .select(col("p1"), col("p2"), col("n_pair"), col("n_p1"), col("n_p2"),
           col("n_orders"),
-          expr("(n_pair * n_orders * 1000000) div (n_p1 * n_p2)").as("lift_ppm"))
+          expr("""CAST(CAST(n_pair AS DECIMAL(38,0)) * n_orders * 1000000
+            | div (CAST(n_p1 AS DECIMAL(38,0)) * n_p2) AS BIGINT)"""
+            .stripMargin).as("lift_ppm"))
         .orderBy(col("n_pair").desc, col("p1"), col("p2"))
     },
     Some("""WITH a AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
@@ -303,7 +305,8 @@ object QueriesGraph {
       |m AS (SELECT p, count(*) AS n_p FROM a GROUP BY 1),
       |t AS (SELECT count(*) AS n_orders FROM (SELECT DISTINCT ok FROM a))
       |SELECT p1, p2, n_pair, m1.n_p AS n_p1, m2.n_p AS n_p2, n_orders,
-      | (n_pair * n_orders * 1000000) // (m1.n_p * m2.n_p) AS lift_ppm
+      | CAST(CAST(n_pair AS HUGEINT) * n_orders * 1000000
+      |   // (CAST(m1.n_p AS HUGEINT) * m2.n_p) AS BIGINT) AS lift_ppm
       |FROM top JOIN m m1 ON p1 = m1.p JOIN m m2 ON p2 = m2.p CROSS JOIN t
       |ORDER BY n_pair DESC, p1, p2""".stripMargin))
 
@@ -355,7 +358,8 @@ object QueriesGraph {
         .agg(count(lit(1)).as("n_triangles"))
       nEdges.crossJoin(nWedges).crossJoin(tri)
         .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-          expr("(3 * n_triangles * 1000000) div n_wedges").as("clustering_ppm"))
+          expr("""CAST(CAST(n_triangles AS DECIMAL(38,0)) * 3 * 1000000
+            | div n_wedges AS BIGINT)""".stripMargin).as("clustering_ppm"))
     },
     Some("""WITH a AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
       |  FROM lineitem),
@@ -370,7 +374,8 @@ object QueriesGraph {
       |  FROM ep e1 JOIN ep e2 ON e2.u = e1.u AND e2.v > e1.v
       |  JOIN ep e3 ON e3.u = e1.v AND e3.v = e2.v)
       |SELECT n_edges, n_wedges, n_triangles,
-      | (3 * n_triangles * 1000000) // n_wedges AS clustering_ppm
+      | CAST(CAST(n_triangles AS HUGEINT) * 3 * 1000000
+      |   // n_wedges AS BIGINT) AS clustering_ppm
       |FROM ne, nw, tr""".stripMargin))
 
   private val CoreK = 8

@@ -2299,8 +2299,12 @@ object QueriesPipeline {
         sum(least(col("n_tok"), lit(1024L))).as("total_tokens"),
         sum(col("bucket")).as("padded_tokens"))
       .withColumn("n_batches", expr("(padded_tokens + 16383) div 16384"))
-      .withColumn("pad_waste_ppm",
-        expr("(padded_tokens - total_tokens) * 1000000 div padded_tokens"))
+      // DECIMAL(38) headroom (oracle: HUGEINT): waste·10^6 crosses 2^63
+      // once one (lang, bucket) cell holds ~9e12 padded tokens — a
+      // 100 TB English corpus does (the w_pareto_abc overflow class)
+      .withColumn("pad_waste_ppm", expr(
+        """CAST(CAST(padded_tokens - total_tokens AS DECIMAL(38,0))
+          | * 1000000 div padded_tokens AS BIGINT)""".stripMargin))
       .orderBy("lang", "bucket"),
     Some("""WITH tok AS (SELECT lang,
       |  CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
@@ -2318,7 +2322,8 @@ object QueriesPipeline {
       | FROM b GROUP BY 1, 2)
       |SELECT lang, bucket, n_docs, total_tokens, padded_tokens,
       | (padded_tokens + 16383) // 16384 AS n_batches,
-      | (padded_tokens - total_tokens) * 1000000 // padded_tokens AS pad_waste_ppm
+      | CAST(CAST(padded_tokens - total_tokens AS HUGEINT)
+      |   * 1000000 // padded_tokens AS BIGINT) AS pad_waste_ppm
       |FROM g ORDER BY lang, bucket""".stripMargin))
 
   /** Quality-scorer calibration audit (reliability-diagram bins) — the
