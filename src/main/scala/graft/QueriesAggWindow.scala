@@ -648,9 +648,11 @@ object QueriesAggWindow {
     * operators.Skew machinery this library already carries): per-key
     * row counts, the 10 heaviest keys with their traffic share, and a
     * hotness ratio (max key vs the uniform-share baseline), all in
-    * exact integer ppm so rows hash. `(max·10^6 div total)·n_keys` is
-    * spelled in that order in BOTH engines: every intermediate stays
-    * under 2^63 even at 10^9-row keys × 10^7 keys.
+    * exact integer ppm so rows hash. The share multiplies run in
+    * DECIMAL(38,0)/HUGEINT (the w_pareto_abc overflow class, widened
+    * uniformly in r11); the ratio keeps its `(max·10^6 div total)·
+    * n_keys` order so the pre-widening spelling's values are
+    * preserved bit-for-bit.
     *
     * Plan: one partial-agg exchange builds the key census (the
     * exchange carries one row per key per partition, never facts); the
@@ -664,8 +666,10 @@ object QueriesAggWindow {
         count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
       counts.crossJoin(broadcast(tot))
         .select(col("key"), col("cnt"),
-          expr("cnt * 1000000 div total").as("share_ppm"),
-          expr("(max_cnt * 1000000 div total) * n_keys").as("hot_ratio_ppm"),
+          expr("""CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000
+            | div total AS BIGINT)""".stripMargin).as("share_ppm"),
+          expr("""CAST(CAST(max_cnt AS DECIMAL(38,0)) * 1000000
+            | div total AS BIGINT) * n_keys""".stripMargin).as("hot_ratio_ppm"),
           col("n_keys"), col("total"))
         .orderBy(col("cnt").desc, col("key"))
         .limit(10)
@@ -675,8 +679,9 @@ object QueriesAggWindow {
       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
       |  count(*) AS n_keys, max(cnt) AS max_cnt FROM c)
       |SELECT key, cnt,
-      | cnt * 1000000 // total AS share_ppm,
-      | (max_cnt * 1000000 // total) * n_keys AS hot_ratio_ppm,
+      | CAST(CAST(cnt AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
+      | CAST(CAST(max_cnt AS HUGEINT) * 1000000 // total AS BIGINT)
+      |   * n_keys AS hot_ratio_ppm,
       | n_keys, total
       |FROM c, t
       |ORDER BY cnt DESC, key LIMIT 10""".stripMargin))
