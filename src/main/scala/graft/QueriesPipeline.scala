@@ -138,14 +138,28 @@ object QueriesPipeline {
     * scan-stage shape as dd_ngram_jaccard: builtin array expressions,
     * no shuffle beyond the output sort. */
   val ddContainment: Entry = Entry("dd_containment",
+    // staged projections, NOT three metric-helper calls on raw text:
+    // each helper call builds its own shingle subtree with fresh
+    // lambda ids, which defeats codegen subexpression elimination —
+    // the one-select spelling carried 12 copies of the shingle
+    // pipeline per row (measured in the executed plan). Materializing
+    // (sa, sb) then (si) as columns leaves 2 shingle builds + 1
+    // intersection; CollapseProject keeps the stages apart because
+    // the aliases are non-cheap and multiply referenced.
     (s, d) => docs(s, d).where(col("doc_id") % 11 === 0)
       .select(col("doc_id"),
-        round(Dedup.containment3(col("text"),
-          concat(col("text"), lit(" qq17 qq18 qq19"))), 6).as("cont_fwd"),
-        round(Dedup.containment3(concat(col("text"), lit(" qq17 qq18 qq19")),
-          col("text")), 6).as("cont_rev"),
-        round(Dedup.jaccard3(col("text"),
-          concat(col("text"), lit(" qq17 qq18 qq19"))), 6).as("jac"))
+        array_distinct(Dedup.shingles3(col("text"))).as("sa"),
+        array_distinct(Dedup.shingles3(
+          concat(col("text"), lit(" qq17 qq18 qq19")))).as("sb"))
+      .select(col("doc_id"), col("sa"), col("sb"),
+        array_intersect(col("sa"), col("sb")).as("si"))
+      .select(col("doc_id"),
+        round(when(size(col("sa")) === 0, 0.0).otherwise(
+          size(col("si")).cast("double") / size(col("sa"))), 6).as("cont_fwd"),
+        round(when(size(col("sb")) === 0, 0.0).otherwise(
+          size(col("si")).cast("double") / size(col("sb"))), 6).as("cont_rev"),
+        round(size(col("si")).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 6).as("jac"))
       .orderBy("doc_id"),
     Some("""WITH v AS (
       | SELECT doc_id, string_split(text, ' ') AS w,
