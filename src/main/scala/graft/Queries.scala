@@ -390,9 +390,19 @@ object Queries {
     // table — the exact r8 stale-fixture failure class
     val ver = "v2" + Tables.dataVer(d, srcTable)
     val t = s"graft_bkt_${name}_${ver}_${suffix}_p$pid"
+    val wh0 = s.conf.get("spark.sql.warehouse.dir")
+    val whDir0 = new java.io.File(java.net.URI.create(wh0).getPath)
+    // self-heal (r11 review): tableExists consults the session's
+    // in-memory catalog, which stays true after ANOTHER process reaps
+    // the files (the 24 h backstop makes that legal even for a live
+    // owner under PID reuse) — without the file check the owner would
+    // serve FileNotFoundException forever instead of rebuilding
+    if (s.catalog.tableExists(t) &&
+        !new java.io.File(whDir0, t.toLowerCase).exists()) {
+      s.sql(s"DROP TABLE IF EXISTS $t"): Unit
+    }
     if (!s.catalog.tableExists(t)) {
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      val whDir = new java.io.File(java.net.URI.create(wh).getPath)
+      val whDir = whDir0
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit

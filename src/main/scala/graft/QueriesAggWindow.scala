@@ -1340,8 +1340,14 @@ object QueriesAggWindow {
         .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est_direct"),
           countDistinct(col("o_custkey")).as("n_exact"))
       direct.join(merged, Seq("y", "q"))
+        // merged-vs-direct bound = 6%: ABOVE the estimator's combined
+        // 1σ drift envelope (2·1.04/√4096 ≈ 3.2% at lgK=12 — the r11
+        // review flagged the earlier 2.5%, set from one measured
+        // datapoint, as falsely alarmable on a healthy sketch pair at
+        // another SF), while still far below what a broken merge
+        // produces; each estimate separately stays within 5% of exact
         .withColumn("quality_ok",
-          abs(col("est_merged") - col("est_direct")) * 40 <= col("est_direct") &&
+          abs(col("est_merged") - col("est_direct")) * 100 <= col("est_direct") * 6 &&
             abs(col("est_direct") - col("n_exact")) * 20 <= col("n_exact") &&
             abs(col("est_merged") - col("n_exact")) * 20 <= col("n_exact"))
         .select(col("y"), col("q"), col("n_exact"), col("quality_ok"))

@@ -34,18 +34,6 @@ object QueriesMl {
 
   private[graft] val featureCols = Seq("f_acctbal", "f_keymod", "f_namelen", "f_nation")
 
-  /** G1→J4→fit→G3→G2→G4/G11, K=3. Result: one row of run counts +
-    * gate. ORACLE-GREEN since r11 via the gate-literal pattern
-    * (VERDICT r10 #1; see g_approx_distinct): MLlib training is not
-    * SQL-expressible, so the trained metrics fold into `quality_ok` —
-    * the model must beat chance decisively (OOF log-loss < 0.5 vs
-    * ln 2 ≈ 0.693 for a coin; measured 0.13 / accuracy 0.993 at
-    * sf0.01) — and the hashed result is the deterministic spine: every
-    * row is OOF for exactly one fold, so n_oof = n_test = the customer
-    * count, which the oracle recomputes while asserting the gate
-    * literally true. A broken fold split, lost OOF scatter, or
-    * degraded model now hash-fails the round. The numeric metric
-    * values stay asserted in MlPipelineSpec. */
   /** The full CV metrics row (spec surface — MlPipelineSpec asserts
     * the numeric values the hashed entry folds into its gate). */
   private[graft] def cvMetrics(s: SparkSession, d: String): DataFrame = {
@@ -67,6 +55,18 @@ object QueriesMl {
           col("mean_test_pred").between(0.0, 1.0))
   }
 
+  /** G1→J4→fit→G3→G2→G4/G11, K=3. Result: one row of run counts +
+    * gate. ORACLE-GREEN since r11 via the gate-literal pattern
+    * (VERDICT r10 #1; see g_approx_distinct): MLlib training is not
+    * SQL-expressible, so the trained metrics fold into `quality_ok` —
+    * the model must beat chance decisively (OOF log-loss < 0.5 vs
+    * ln 2 ≈ 0.693 for a coin; measured 0.13 / accuracy 0.993 at
+    * sf0.01) — and the hashed result is the deterministic spine: every
+    * row is OOF for exactly one fold, so n_oof = n_test = the customer
+    * count, which the oracle recomputes while asserting the gate
+    * literally true. A broken fold split, lost OOF scatter, or
+    * degraded model now hash-fails the round. The numeric metric
+    * values stay asserted in MlPipelineSpec. */
   val mlCvLogloss: Entry = Entry("ml_cv_logloss",
     (s, d) => cvMetrics(s, d)
       .select(col("k"), col("n_oof"), col("n_test"), col("quality_ok")),

@@ -37,7 +37,15 @@ object Dedup {
     * containment vs resemblance): a short document pasted inside a
     * long one scores ~1.0 here while Jaccard dilutes toward
     * |A|/|B| — the metric an exact-substring/quotation audit wants.
-    * Empty shingle sets score 0 (sub-3-word docs contain nothing). */
+    * Empty shingle sets score 0 (sub-3-word docs contain nothing).
+    *
+    * For ONE metric per row this composes fine; computing SEVERAL
+    * metrics over the same pair must instead stage the distinct
+    * shingle sets (and their intersection) as projection columns and
+    * divide sizes directly — each helper call builds its own shingle
+    * subtree with fresh lambda ids, which codegen subexpression
+    * elimination cannot unify (the dd_containment entry documents the
+    * 12-copies plan the one-select spelling produced). */
   def containment3(a: Column, b: Column): Column = {
     val sa = array_distinct(shingles3(a))
     val sb = array_distinct(shingles3(b))

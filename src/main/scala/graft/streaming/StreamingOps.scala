@@ -253,17 +253,29 @@ object StreamingOps {
           val droppedBefore = st0.dropped
           var dropped = droppedBefore
           val out = Vector.newBuilder[(Long, Long, Double)]
+          // O(1) membership for the batch loop (r11 review: the
+          // Seq.contains scans were O(n) per arriving doc — quadratic
+          // over a hot bucket's feed); the canonical state stays the
+          // encoder-friendly Vectors
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          seen ++= ids; seen ++= refused
+          // bounded replay-dedup memory (r11 review): refused ids are
+          // 8 B each but were UNBOUNDED under a mass-refusal feed; past
+          // 16x bucketCap the tracking stops, so a REPLAYED
+          // long-refused id re-verifies — it re-counts the refusal
+          // (audit inflation bounded to the overflow regime) and its
+          // re-emitted pairs are absorbed by callers' dropDuplicates.
+          // A production index would swap this for a Bloom filter.
+          val refusedCap = bucketCap * 16
           vs.toSeq.sortBy(_._2).foreach { case (_, id, text) =>
             // an id already SEEN — admitted or refused — is a re-arrival
             // (replayed or upsert-style feed): skip it entirely. For
             // admitted ids, re-verifying would double-emit pairs and
             // re-admitting would duplicate state; for refused ids (r10
             // advice), re-verifying would re-emit all their pairs and
-            // re-count the refusal, inflating the audit. Refused ids are
-            // tracked as bare longs (8 B each, vs payloads for admitted
-            // members); a production index would swap the seq for a
-            // Bloom filter to bound mass-refusal state.
-            if (!ids.contains(id) && !refused.contains(id)) {
+            // re-count the refusal, inflating the audit.
+            if (!seen.contains(id)) {
+              seen += id
               var i = 0
               while (i < ids.length) {
                 val dist = 1.0 - graft.operators.Dedup.jaccardSim(texts(i), text)
@@ -272,7 +284,10 @@ object StreamingOps {
                 i += 1
               }
               if (ids.length < bucketCap) { ids :+= id; texts :+= text }
-              else { dropped += 1; refused :+= id }
+              else {
+                dropped += 1
+                if (refused.length < refusedCap) refused :+= id
+              }
             }
           }
           state.update(MhBucket(ids, texts, dropped, refused))

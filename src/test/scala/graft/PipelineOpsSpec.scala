@@ -27,6 +27,22 @@ class PipelineOpsSpec extends SparkSpec {
     approx(got(2), 1.0 / 3, 1e-6)
   }
 
+  test("containment3: asymmetric; substring side -> 1; empty side -> 0") {
+    val df = Seq(
+      ("a b c d", "a b c d e f"), // every {abc,bcd} shingle survives
+      ("a b c d e f", "a b c d"), // reverse dilutes: 2 of 4
+      ("a b", "a b c d")          // <3 words: empty set contains nothing
+    ).toDF("x", "y")
+    val got = df.select(
+      round(Dedup.containment3(col("x"), col("y")), 6).as("fwd"),
+      round(Dedup.jaccard3(col("x"), col("y")), 6).as("jac"))
+      .as[(Double, Double)].collect()
+    got(0)._1 shouldBe 1.0
+    got(0)._2 should be < 1.0 // Jaccard dilutes where containment is exact
+    approx(got(1)._1, 0.5, 1e-6)
+    got(2)._1 shouldBe 0.0
+  }
+
   test("simHash64: identical texts identical hash; near texts near") {
     val df = Seq(("t1", "the quick brown fox jumps over the lazy dog"),
       ("t2", "the quick brown fox jumps over the lazy dog"),

@@ -4,7 +4,10 @@ with or without sbt log prefixes): per-query deltas, regressions, and
 queries added/removed. Usage: python3 tools/bench_compare.py OLD NEW
 """
 import json
+import signal
 import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
 
 
 def load(path):
@@ -24,14 +27,18 @@ def load(path):
 CONTROL_REF = {"g_cube": 0.912, "w_distribution": 0.988, "j2_semi_join": 0.265}
 
 
-def host_factor(rec):
-    if "host_factor" in rec:
-        return rec["host_factor"]
+def host_factor(rec, ref):
+    """Control-min sum of `rec` against the pin set `ref`. The factor is
+    recomputed from the record's own control-query times rather than
+    trusting rec["host_factor"]: two records written under DIFFERENT
+    pin bases (a future re-pin) carry stored factors that are not
+    mutually comparable, so a comparison must rebase both on ONE ref
+    (r11 review: the stored-field shortcut made control_ref dead code
+    and would have laundered a re-pin into 'host weather')."""
     q = rec["queries"]
-    ref = rec.get("control_ref", CONTROL_REF)
     n = rec.get("n_queries", len(q))
-    if "control_ref" not in rec and n < 180:
-        return None  # pre-r10 harness: pins not comparable
+    if "control_ref" not in rec and "host_factor" not in rec and n < 180:
+        return None  # pre-r10 harness: controls not comparable
     if all(k in q for k in ref):
         return sum(q[k] for k in ref) / sum(ref.values())
     return None
@@ -43,7 +50,10 @@ def main():
           f"queries: {a.get('n_queries', len(a['queries']))} -> "
           f"{b.get('n_queries', len(b['queries']))} | "
           f"errors: {a.get('n_errors', '?')} -> {b.get('n_errors', '?')}")
-    ha, hb = host_factor(a), host_factor(b)
+    # one COMMON pin base for both records: prefer the newer record's
+    # in-record pins, then the older record's, then the r10 literal
+    ref = b.get("control_ref", a.get("control_ref", CONTROL_REF))
+    ha, hb = host_factor(a, ref), host_factor(b, ref)
     if ha and hb:
         print(f"host_factor (vs r10 idle pins): {ha:.2f} -> {hb:.2f} | "
               f"raw ratio {b['value'] / a['value']:.2f}x, "
