@@ -1912,6 +1912,50 @@ object QueriesAggWindow {
       | CAST(sum(CASE WHEN cusum > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
       |FROM c2 GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Day-of-week SEASONAL INDEX — the classical decomposition ratio a
+    * forecasting/anomaly pipeline computes before de-seasonalizing a
+    * metric: per ISO weekday, mean order value over the global mean,
+    * in integer ppm. Spelled engine-agnostically: Spark's
+    * `weekday()+1` = DuckDB's `isodow()` (Monday=1), cents via the
+    * DECIMAL(18,2)·100 integerization, and the ratio
+    * sum_cents·tot_n·10⁶ div (n·tot_cents) runs in DECIMAL(38)/
+    * HUGEINT (the r11 overflow-class rule: both cross-products pass
+    * 2^63 long before 100 TB).
+    *
+    * Plan shape: ONE partial-agg exchange to the 7-row weekday
+    * census; totals are single-partition windows over those 7 rows.
+    * The fact table is scanned once. */
+  val wSeasonalIndex: Entry = Entry("w_seasonal_index",
+    (s, d) => {
+      val day = ord(s, d).select(
+        expr("weekday(o_orderdate) + 1").cast("long").as("isodow"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+        .groupBy("isodow")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      val all = Window.partitionBy()
+      day
+        .withColumn("tot_n", sum(col("n_orders")).over(all))
+        .withColumn("tot_cents", sum(col("sum_cents")).over(all))
+        .select(col("isodow"), col("n_orders"), col("sum_cents"),
+          expr("""CAST(CAST(sum_cents AS DECIMAL(38,0)) * tot_n * 1000000
+            | div (CAST(n_orders AS DECIMAL(38,0)) * tot_cents) AS BIGINT)"""
+            .stripMargin).as("index_ppm"))
+        .orderBy("isodow")
+    },
+    Some("""WITH c AS (SELECT CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      | FROM orders),
+      |g AS (SELECT isodow, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents FROM c GROUP BY 1),
+      |w AS (SELECT isodow, n_orders, sum_cents,
+      |  CAST(sum(n_orders) OVER () AS BIGINT) AS tot_n,
+      |  CAST(sum(sum_cents) OVER () AS BIGINT) AS tot_cents FROM g)
+      |SELECT isodow, n_orders, sum_cents,
+      | CAST(CAST(sum_cents AS HUGEINT) * tot_n * 1000000
+      |   // (CAST(n_orders AS HUGEINT) * tot_cents) AS BIGINT) AS index_ppm
+      |FROM w ORDER BY isodow""".stripMargin))
+
   /** Pareto / ABC classification — the 80-15-5 inventory cut every
     * curation or procurement pipeline runs: rank customers by revenue,
     * take the cumulative revenue share walking down the ranking, and
@@ -1975,5 +2019,5 @@ object QueriesAggWindow {
     gSampleWeighted, wAnomalyMad, wGapIslands, wSessionize, oIncrementalAgg,
     gHllMergeable, gQuantileSketch, gSimpson, wRollingMedian, oCdcApply,
     oCompactionPlan, wFirstLast, gCmsSketch, wRunningDistinct,
-    wDrawdown, wParetoAbc, wCusumDrift)
+    wDrawdown, wParetoAbc, wCusumDrift, wSeasonalIndex)
 }

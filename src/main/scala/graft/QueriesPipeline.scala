@@ -2396,6 +2396,74 @@ object QueriesPipeline {
       | abs(sum_score // n - n_pos * 1000000 // n) AS gap_ppm
       |FROM g ORDER BY bin""".stripMargin))
 
+  /** PMI-scored bigram collocations (Church & Hanks 1990) — the
+    * phrase-mining pass a tokenizer/vocabulary pipeline runs to
+    * promote multi-word units: PMI(x,y) = ln p(x,y)/(p(x)p(y)),
+    * restated in integer-scaled logs so both engines agree bit-exactly
+    * — pmi_unat = lp(c_xy) + lp(N) − lp(c_x) − lp(c_y), lp =
+    * floor(1e6·ln(·)) (parity cross-checked to 6M), N = total bigram
+    * count. A min-count floor (≥ 3) kills the hapax noise PMI is
+    * notorious for; output = the top-50 collocations by (pmi, pair).
+    *
+    * Plan shape at 100 TB: bigram census in ONE partial-agg exchange
+    * (vocabulary²-bounded output); marginals and the total are
+    * windows OVER the census frame (x-, y-, and single-partition —
+    * all vocab-sized exchanges), so the corpus is scanned exactly
+    * once and nothing joins; top-50 via TakeOrderedAndProject. */
+  val txCollocations: Entry = Entry("tx_collocations",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), expr(
+          "filter(split(coalesce(text, ''), ' '), t -> length(t) > 0)")
+          .as("ws"))
+      // marginals and the total as WINDOWS over the census frame, not
+      // sibling aggregates: four consumers of the un-materialized
+      // census lineage would re-run the corpus scan four times (the
+      // pl_dsir lesson); the windows ride vocab²-bounded census rows
+      val big = toks.select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+            | i -> struct(element_at(ws, i) AS x, element_at(ws, i + 1) AS y))"""
+            .stripMargin)).as("b"))
+        .select(col("b.x").as("x"), col("b.y").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val byX = org.apache.spark.sql.expressions.Window.partitionBy("x")
+      val byY = org.apache.spark.sql.expressions.Window.partitionBy("y")
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      big
+        .withColumn("c_x", sum(col("c_xy")).over(byX))
+        .withColumn("c_y", sum(col("c_xy")).over(byY))
+        .withColumn("n", sum(col("c_xy")).over(all))
+        .where(col("c_xy") >= 3)
+        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+          expr("""CAST(floor(1000000 * ln(CAST(c_xy AS DOUBLE))) AS BIGINT)
+            | + CAST(floor(1000000 * ln(CAST(n AS DOUBLE))) AS BIGINT)
+            | - CAST(floor(1000000 * ln(CAST(c_x AS DOUBLE))) AS BIGINT)
+            | - CAST(floor(1000000 * ln(CAST(c_y AS DOUBLE))) AS BIGINT)"""
+            .stripMargin).as("pmi_unat"))
+        .orderBy(col("pmi_unat").desc, col("x"), col("y"))
+        .limit(50)
+    },
+    Some("""WITH ws AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), t -> t <> '') AS ws
+      | FROM documents),
+      |bg0 AS (SELECT unnest(list_transform(range(1, len(ws)),
+      |  i -> struct_pack(x := ws[CAST(i AS INT)],
+      |                   y := ws[CAST(i AS INT) + 1]))) AS b FROM ws),
+      |bg AS (SELECT b.x AS x, b.y AS y, CAST(count(*) AS BIGINT) AS c_xy
+      | FROM bg0 GROUP BY 1, 2),
+      |w AS (SELECT x, y, c_xy,
+      |  CAST(sum(c_xy) OVER (PARTITION BY x) AS BIGINT) AS c_x,
+      |  CAST(sum(c_xy) OVER (PARTITION BY y) AS BIGINT) AS c_y,
+      |  CAST(sum(c_xy) OVER () AS BIGINT) AS n
+      | FROM bg)
+      |SELECT x, y, c_xy, c_x, c_y,
+      | CAST(floor(1000000 * ln(CAST(c_xy AS DOUBLE))) AS BIGINT)
+      | + CAST(floor(1000000 * ln(CAST(n AS DOUBLE))) AS BIGINT)
+      | - CAST(floor(1000000 * ln(CAST(c_x AS DOUBLE))) AS BIGINT)
+      | - CAST(floor(1000000 * ln(CAST(c_y AS DOUBLE))) AS BIGINT) AS pmi_unat
+      |FROM w WHERE c_xy >= 3
+      |ORDER BY pmi_unat DESC, x, y LIMIT 50""".stripMargin))
+
   /** Per-language unigram Shannon entropy in integer MICRO-NATS — the
     * corpus-diversity number a data-mixture recipe reads next to the
     * [[plMixWeights]] sizes (a low-entropy slice is boilerplate even
@@ -2574,7 +2642,7 @@ object QueriesPipeline {
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, txBpePairs, txBpeEncode, txUnigramLm,
     txUnigramEncode,
-    txInvertedIndex, txHeavyHitters, txKeyphrases,
+    txInvertedIndex, txHeavyHitters, txKeyphrases, txCollocations,
     plCleanCorpus, plCanonical, plPack,
     plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
