@@ -907,6 +907,90 @@ object QueriesStreaming {
       |FROM r JOIN t ON r.lang = t.lang
       |WHERE r.rank <= 3 ORDER BY r.lang, r.rank""".stripMargin))
 
+  /** Streaming CDC apply under REAL micro-batch execution — the
+    * incremental twin of o_cdc_apply's batch latest-wins replay: the
+    * keyed change log streams across two genuine micro-batches (even
+    * event_ids then odd, so a key's winning change can arrive in
+    * either batch and the current row must round-trip the state
+    * store), mapGroupsWithState holds each key's latest
+    * (seq, value, tombstone) by monotone sequence number, and every
+    * batch emits the key's current materialized row (update mode).
+    * The final answer per key is the highest-seq emission; keys whose
+    * latest change is a tombstone ('error' events here) are absent —
+    * exactly the keyed-table semantics a streaming lakehouse MERGE
+    * maintains. Hash-compared against the plain latest-wins window
+    * oracle, so a lost batch, a state round-trip bug, or
+    * tombstone-resurrection fails the gate.
+    *
+    * Scale shape: state per key is ONE (long, long, bool) row no
+    * matter how long the log runs; the only shuffle is the keyed
+    * groupBy. */
+  val stStreamCdc: Entry = Entry("st_stream_cdc",
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 2)
+      import s.implicits._
+      val stage = stageBatchFiles("stream_cdc", d,
+        "v1_" + Tables.dataVer(d, "events"), {
+          val ev = tbl(outer, d, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          Seq("b0" -> ev.where(col("event_id") % 2 === 0),
+            "b1" -> ev.where(col("event_id") % 2 =!= 0))
+        })
+      val name = s"st_cdc_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val incoming = s.readStream
+        .schema(s.read.parquet(s"$stage/b0.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long"),
+          (col("event_type") === "error").as("del"))
+        .as[(Long, Long, Long, Boolean)]
+      val q = incoming.groupByKey(_._1)
+        .mapGroupsWithState[(Long, Long, Boolean), (Long, Long, Long, Boolean)](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+          (uid: Long, rows: Iterator[(Long, Long, Long, Boolean)],
+              state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Boolean)]) =>
+            var (seq, v, del) = state.getOption.getOrElse((-1L, 0L, false))
+            rows.foreach { case (_, e, c, dl) =>
+              if (e > seq) { seq = e; v = c; del = dl }
+            }
+            state.update((seq, v, del))
+            (uid, seq, v, del)
+        }
+        .toDF("user_id", "last_seq", "cents", "deleted")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"expected >=2 data micro-batches (cross-batch CDC state), saw $fed")
+      } finally {
+        q.stop()
+        deleteRecursively(new java.io.File(s"target/tmp/ckpt_$name"))
+      }
+      // update-mode memory sink keeps every per-batch emission; the
+      // final materialized row per key is the highest-seq one
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("last_seq").desc)
+      s.table(name)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && !col("deleted"))
+        .select(col("user_id"), col("last_seq"), col("cents"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |  event_type FROM events),
+      |r AS (SELECT user_id, event_id, cents, event_type,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      | FROM e)
+      |SELECT user_id, event_id AS last_seq, cents
+      |FROM r WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin))
+
   /** INCREMENTAL MinHash index maintenance under real micro-batch
     * execution — the near-dup half of the ingestion-dedup story
     * (st_stream_dedup is the exact half): the base corpus lands in
@@ -978,5 +1062,6 @@ object QueriesStreaming {
   val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom,
     stStreamExec, stStreamSessionExec, stStreamDedup, stStreamJoin,
     stStreamRecovery, stStreamWmDedup, stStreamQuantile, stStreamTopK,
+    stStreamCdc,
     stStreamSessionWindow, stStreamMinhash)
 }
