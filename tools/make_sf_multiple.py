@@ -11,18 +11,36 @@ binding, accumulation order, invariant drift) — the Spark/DuckDB
 compare runs on the same parquet either way, so synthetic provenance
 does not weaken it.
 
-Usage: python3 tools/make_sf_multiple.py [src_dir] [dst_dir] [copies]
+With --perturb, copies i > 0 also get PERTURBED identities (a
+per-copy suffix on documents.text and customer.c_name), separating
+"the corpus grew" from "the corpus mass-duplicated": verbatim mode
+(default) deliberately stresses dedup/cap regimes (it bound the
+fuzzy-join key cap in r11), while --perturb exercises clean 3x growth
+where content identities stay unique.
+
+Usage: python3 tools/make_sf_multiple.py [src_dir] [dst_dir] [copies] [--perturb]
 Defaults: /root/testdata/sf0.1 -> target/tmp/sf0.3 (untracked), 3.
 """
 import sys
 import duckdb
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "target/tmp/sf0.3"
-N = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+args = [a for a in sys.argv[1:] if a != "--perturb"]
+PERTURB = "--perturb" in sys.argv[1:]
+SRC = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+DST = args[1] if len(args) > 1 else "target/tmp/sf0.3"
+N = int(args[2]) if len(args) > 2 else 3
 
 SMALL = 1_000_000   # custkey / suppkey / partkey / user_id spacing
 BIG = 10_000_000    # orderkey / event_id / doc_id / vec_id spacing
+
+# identity columns perturbed per copy under --perturb (suffix ' cp<i>'
+# for text-like content, '~<i>' for names) — keeps content identities
+# unique across copies so dedup clusters and blocking-key frequencies
+# scale like a real 3x corpus instead of a mass-duplication regime
+PERTURB_COLS = {
+    "documents": {"text": " cp"},
+    "customer": {"c_name": "~"},
+}
 
 # per-table: {column: per-copy offset}; absent column -> unchanged
 OFFSETS = {
@@ -49,11 +67,16 @@ def main():
             q = f"SELECT * FROM {src}"
         else:
             cols = [c[0] for c in con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()]
+            pert = PERTURB_COLS.get(t, {}) if PERTURB else {}
             parts = []
             for i in range(N):
-                sel = ", ".join(
-                    f"{c} + {i * offs[c]} AS {c}" if c in offs and i > 0 else c
-                    for c in cols)
+                def sel_col(c):
+                    if i > 0 and c in offs:
+                        return f"{c} + {i * offs[c]} AS {c}"
+                    if i > 0 and c in pert:
+                        return f"{c} || '{pert[c]}{i}' AS {c}"
+                    return c
+                sel = ", ".join(sel_col(c) for c in cols)
                 parts.append(f"SELECT {sel} FROM {src}")
             q = " UNION ALL ".join(parts)
         con.execute(f"COPY ({q}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
