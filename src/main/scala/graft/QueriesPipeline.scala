@@ -2405,34 +2405,48 @@ object QueriesPipeline {
     * count. A min-count floor (≥ 3) kills the hapax noise PMI is
     * notorious for; output = the top-50 collocations by (pmi, pair).
     *
-    * Plan shape at 100 TB: bigram census in ONE partial-agg exchange
-    * (vocabulary²-bounded output); marginals and the total are
-    * windows OVER the census frame (x-, y-, and single-partition —
-    * all vocab-sized exchanges), so the corpus is scanned exactly
-    * once and nothing joins; top-50 via TakeOrderedAndProject. */
+    * Plan shape at 100 TB: bigram census in ONE partial-agg exchange;
+    * the x/y marginals are PARTITIONED windows over the census (vocab-
+    * keyed exchanges), but the grand total must NOT be an unpartitioned
+    * window — the census (hapax mass included, since the c_xy >= 3
+    * floor applies after the marginals) scales with the corpus, and an
+    * empty-partition window would funnel every census row through one
+    * task. Instead the total is a scalar aggregate over the census
+    * cross-joined back via broadcast() (the pl_dsir stats-frame
+    * discipline); ReuseExchange collapses the two census consumers onto
+    * one corpus scan (PlanShapeSpec pins both the reuse and the absence
+    * of any SinglePartition-fed window). Top-50 via
+    * TakeOrderedAndProject. */
   val txCollocations: Entry = Entry("tx_collocations",
     (s, d) => {
       val toks = docs(s, d)
         .select(col("doc_id"), expr(
           "filter(split(coalesce(text, ''), ' '), t -> length(t) > 0)")
           .as("ws"))
-      // marginals and the total as WINDOWS over the census frame, not
-      // sibling aggregates: four consumers of the un-materialized
-      // census lineage would re-run the corpus scan four times (the
-      // pl_dsir lesson); the windows ride vocab²-bounded census rows
+      // size guard (the shingles3 rule, ArrayOps.scala hazard note): a
+      // 0/1-token doc would make sequence(1, size-1) DESCENDING and
+      // element_at(ws, 0) throws INVALID_INDEX_OF_ZERO even with ANSI
+      // off; DuckDB's end-exclusive range just emits no bigrams
       val big = toks.select(explode(expr(
-          """transform(sequence(1, size(ws) - 1),
-            | i -> struct(element_at(ws, i) AS x, element_at(ws, i + 1) AS y))"""
+          """CASE WHEN size(ws) >= 2 THEN
+            |  transform(sequence(1, size(ws) - 1),
+            |   i -> struct(element_at(ws, i) AS x, element_at(ws, i + 1) AS y))
+            |ELSE CAST(array() AS ARRAY<STRUCT<x: STRING, y: STRING>>) END"""
             .stripMargin)).as("b"))
         .select(col("b.x").as("x"), col("b.y").as("y"))
         .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      // `c_xy > 0` is a tautology but LOAD-BEARING (the txTfidf rule):
+      // it keeps the count in this branch's aggregate so the census
+      // exchange subtrees canonicalize equal and ReuseExchange plans
+      // ONE corpus scan for both consumers
+      val total = big.where(col("c_xy") > 0)
+        .agg(sum(col("c_xy")).as("n"))
       val byX = org.apache.spark.sql.expressions.Window.partitionBy("x")
       val byY = org.apache.spark.sql.expressions.Window.partitionBy("y")
-      val all = org.apache.spark.sql.expressions.Window.partitionBy()
       big
         .withColumn("c_x", sum(col("c_xy")).over(byX))
         .withColumn("c_y", sum(col("c_xy")).over(byY))
-        .withColumn("n", sum(col("c_xy")).over(all))
+        .crossJoin(broadcast(total))
         .where(col("c_xy") >= 3)
         .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
           expr("""CAST(floor(1000000 * ln(CAST(c_xy AS DOUBLE))) AS BIGINT)

@@ -212,6 +212,26 @@ class PipelineOpsSpec extends SparkSpec {
       (4L, lz, 1L, 2L))
   }
 
+  test("collocations: degenerate docs (empty/1-word/null/spaces) don't crash the bigram builder") {
+    // r12 guard: size(ws) < 2 must yield NO bigrams — unguarded,
+    // sequence(1, size-1) turns DESCENDING and element_at(ws, 0)
+    // throws INVALID_INDEX_OF_ZERO even with ANSI off (the
+    // ArrayOps/shingles3 hazard); DuckDB's end-exclusive range just
+    // emits nothing, so the guard is also the oracle's semantic
+    val dir = "target/tmp/spec_colloc_guard"
+    Seq(
+      (1L, "a b tail1"), (2L, "a b tail2"), (3L, "a b tail3"),
+      (4L, ""), (5L, "lone"), (6L, "   "), (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesPipeline.txCollocations.fn(spark, dir)
+      .select("x", "y", "c_xy", "c_x", "c_y").as[(String, String, Long, Long, Long)]
+      .collect().toSeq
+    // only (a,b) clears the c_xy >= 3 floor; marginals count the full
+    // census (a→b ×3, b→tailN ×3 ⇒ c_y(b)=3 from a only, c_x(b)=3)
+    got shouldBe Seq(("a", "b", 3L, 3L, 3L))
+  }
+
   test("chunk overlap: stride-24/window-32 covers every word, ragged tail kept") {
     val dir = "target/tmp/spec_chunk_sem"
     val w50 = (1 to 50).map(i => s"w$i")

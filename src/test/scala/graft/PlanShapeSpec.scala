@@ -595,6 +595,78 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** Assert no Window node is fed by an Exchange SinglePartition — the
+    * every-row-through-one-task shape (tx_collocations' r11 defect). A
+    * scalar AGGREGATE over SinglePartition is fine (its input is one
+    * partial row per task, metadata-sized); a WINDOW over it walks the
+    * full frame in one task. The executedPlan prints children below, so
+    * look a few lines past each Window for the exchange (with or
+    * without an interposed Sort). */
+  private def noSinglePartitionWindow(p: String): Unit = {
+    val lines = p.linesIterator.toVector
+    for (i <- lines.indices if lines(i).contains("Window "))
+      withClue(s"Window at plan line $i rides SinglePartition:\n" +
+          lines.slice(i, i + 4).mkString("\n") + "\n") {
+        lines.slice(i + 1, i + 4).mkString("\n") should
+          not include "Exchange SinglePartition"
+      }
+  }
+
+  test("tx_collocations: census scanned once; total broadcast, no single-task window") {
+    val p = staticPlan(QueriesPipeline.txCollocations.fn(spark, sf))
+    withClue(p) {
+      // the scalar-total branch must REUSE the census partial-agg
+      // exchange (one corpus scan for both consumers — the tautology
+      // filter is load-bearing, see txCollocations)
+      "ReusedExchange".r.findAllIn(p).size should be >= 1
+      "Scan parquet".r.findAllIn(p).size shouldBe 1
+      // the grand total arrives as a broadcast 1-row frame, and the
+      // marginal windows stay x-/y-partitioned
+      p should include("BroadcastNestedLoopJoin")
+      noSinglePartitionWindow(p)
+    }
+  }
+
+  test("source guard: global windows only at the whitelisted bounded-frame sites") {
+    // an empty-partition (or global-order) window funnels its whole
+    // frame through ONE task — acceptable only when the frame is
+    // provably tiny by construction. Whitelist every such site with its
+    // bound; re-introducing the pattern anywhere else (the
+    // tx_collocations r11 defect: a window over the unbounded bigram
+    // census) turns this red. Counts are per file, matched on source
+    // text with scaladoc kept clear of the spellings.
+    def count(re: scala.util.matching.Regex, f: java.io.File): Int =
+      re.findAllIn(java.nio.file.Files.readString(f.toPath)).size
+    val root = new java.io.File("src/main/scala")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val emptyPart = """Window\s*\.\s*partitionBy\(\)""".r
+    val globalOrd = """Window\s*\.\s*orderBy""".r
+    val allowedEmpty = Map(
+      // g_sample_weighted offsets, ks-drift offsets, g_cube stack total,
+      // w_seasonal_index 7-row frame, w_pareto_abc customer-key total
+      "QueriesAggWindow.scala" -> 5,
+      // pl_epoch_shard per-lang char totals (lang-bounded frame)
+      "QueriesPipeline.scala" -> 1)
+    val allowedOrd = Map(
+      // SAR-fixture forward fill (40-row file-order op) + the
+      // O(nBuckets)=32-row carry of forwardFillScalable
+      "Ingest.scala" -> 2,
+      // bucket-offset carries over ≤1024-row per-bucket total frames
+      "QueriesAggWindow.scala" -> 3,
+      // ens_rank_average distinct-census cumsum (score-cardinality)
+      "QueriesEnsemble.scala" -> 1)
+    for (f <- walk(root)) {
+      withClue(s"${f.getPath}: empty-partition window sites") {
+        count(emptyPart, f) shouldBe allowedEmpty.getOrElse(f.getName, 0)
+      }
+      withClue(s"${f.getPath}: global-order window sites") {
+        count(globalOrd, f) shouldBe allowedOrd.getOrElse(f.getName, 0)
+      }
+    }
+  }
+
   test("w_pareto_abc: facts collapse in the agg BEFORE any window runs") {
     val p = staticPlan(QueriesAggWindow.wParetoAbc.fn(spark, sf))
     withClue(p) {
