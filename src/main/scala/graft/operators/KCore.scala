@@ -53,6 +53,9 @@ object KCore {
       }
       r += 1
     }
-    rows.reduce(_.unionAll(_))
+    // contractual row order (r12, ADVICE r11): the verify compare is
+    // order-sensitive and the oracle ends ORDER BY round — don't rely
+    // on union preserving operand order (rounds+1 rows, trivial sort)
+    rows.reduce(_.unionAll(_)).orderBy("round")
   }
 }

@@ -262,10 +262,13 @@ object StreamingOps {
           // bounded replay-dedup memory (r11 review): refused ids are
           // 8 B each but were UNBOUNDED under a mass-refusal feed; past
           // 16x bucketCap the tracking stops, so a REPLAYED
-          // long-refused id re-verifies — it re-counts the refusal
-          // (audit inflation bounded to the overflow regime) and its
-          // re-emitted pairs are absorbed by callers' dropDuplicates.
-          // A production index would swap this for a Bloom filter.
+          // long-refused id re-verifies — its re-emitted pairs are
+          // absorbed by callers' dropDuplicates, and (r12, ADVICE r11)
+          // the refusal counter does NOT re-bump: `dropped` counts
+          // DISTINCT refused ids and saturates at refusedCap, so a
+          // sustained replay can't inflate the audit without bound. A
+          // frozen-at-cap audit is itself the overflow signal; a
+          // production index would swap the id list for a Bloom filter.
           val refusedCap = bucketCap * 16
           vs.toSeq.sortBy(_._2).foreach { case (_, id, text) =>
             // an id already SEEN — admitted or refused — is a re-arrival
@@ -284,9 +287,10 @@ object StreamingOps {
                 i += 1
               }
               if (ids.length < bucketCap) { ids :+= id; texts :+= text }
-              else {
+              else if (refused.length < refusedCap) {
+                // count exactly when first REMEMBERED (see cap note)
                 dropped += 1
-                if (refused.length < refusedCap) refused :+= id
+                refused :+= id
               }
             }
           }

@@ -407,4 +407,33 @@ class StreamingSpec extends SparkSpec {
       rows().filter(_._1 < 0).map(_._2).max shouldBe 2L // unchanged
     } finally q.stop()
   }
+
+  test("incremental minhash index: saturated refusal memory doesn't inflate the audit on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // bucketCap 2 -> refusedCap 32. Admit 2, refuse 34 (32 tracked, 2
+    // past the cap), then REPLAY a past-cap id every batch: `dropped`
+    // must saturate at 32 — the pre-r12 counter re-bumped on every
+    // re-arrival of an untracked id, so a sustained replay inflated
+    // the audit without bound (ADVICE r11)
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.minHashIndexPairs(
+      mhBucketed(mem.toDF().toDF("id", "text")), threshold = 0.4, bucketCap = 2)
+    val q = out.toDF("id_a", "id_b", "jaccard_dist")
+      .writeStream.format("memory").queryName("mh_sat_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t = "same exact duplicated text tokens here"
+      mem.addData((1L to 36L).map(i => (i, t)): _*)
+      q.processAllAvailable()
+      def audit() = spark.table("mh_sat_test")
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+        .filter(_._1 < 0).map(_._2).max
+      audit() shouldBe 32L // 34 refused, 32 remembered = 32 counted
+      for (_ <- 1 to 3) { // ids 35/36 fell past the cap: replay one
+        mem.addData((36L, t))
+        q.processAllAvailable()
+      }
+      audit() shouldBe 32L // saturated, NOT 33/34/35
+    } finally q.stop()
+  }
 }

@@ -51,15 +51,30 @@ def main():
           f"{b.get('n_queries', len(b['queries']))} | "
           f"errors: {a.get('n_errors', '?')} -> {b.get('n_errors', '?')}")
     # one COMMON pin base for both records: prefer the newer record's
-    # in-record pins, then the older record's, then the r10 literal
-    ref = b.get("control_ref", a.get("control_ref", CONTROL_REF))
+    # in-record pins, then the older record's, then the r10 literal —
+    # and SAY which was chosen (r11 advice: the label claimed "r10 idle
+    # pins" even when a record's own control_ref was the base)
+    if "control_ref" in b:
+        ref, src = b["control_ref"], "newer record's control_ref"
+    elif "control_ref" in a:
+        ref, src = a["control_ref"], "older record's control_ref"
+    else:
+        ref, src = CONTROL_REF, "r10 idle-pin literal"
     ha, hb = host_factor(a, ref), host_factor(b, ref)
     if ha and hb:
-        print(f"host_factor (vs r10 idle pins): {ha:.2f} -> {hb:.2f} | "
+        print(f"host_factor (vs {src}): {ha:.2f} -> {hb:.2f} | "
               f"raw ratio {b['value'] / a['value']:.2f}x, "
               f"control-normalized {b['value'] / hb * ha / a['value']:.2f}x")
     else:
         print("host_factor: not factor-comparable (pre-r10 record without pins)")
+        # a stored factor we can't rebase is IGNORED, not trusted —
+        # surface that instead of silently printing nothing (r11 advice)
+        for rec, tag in ((a, "old"), (b, "new")):
+            if "host_factor" in rec and host_factor(rec, ref) is None:
+                print(f"  note: {tag} record stores host_factor="
+                      f"{rec['host_factor']} but its queries map lacks the "
+                      f"control queries — stored factor ignored (not "
+                      f"rebase-able on {src})")
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb), key=lambda k: qa[k] - qb[k])
     regressions = [(qb[k] - qa[k], k) for k in common if qb[k] > qa[k] * 1.3 and qb[k] - qa[k] > 0.3]
