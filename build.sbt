@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's closing JSON line out of the last ~2000
+// chars of `sbt runMain` output. Two sbt artifacts kept defeating that
+// parse every round (BENCH_r{1..11}.json "parsed": null): the forked
+// process's stdout was re-logged line-by-line with an "[info] " prefix,
+// and sbt appended its own "[success] Total time ..." trailer AFTER the
+// JSON line. Pass the fork's output through verbatim and drop the
+// trailer so the JSON line is the tail's last clean line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

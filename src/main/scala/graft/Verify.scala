@@ -38,6 +38,21 @@ object Verify {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.CacheManager",
       org.apache.logging.log4j.Level.ERROR)
+    // "The state for version N doesn't exist in loadedMaps ... Note
+    // that this is normal for the first batch of starting query" — the
+    // message adjudicates itself: every isolated stream session's first
+    // batch (and every checkpoint-recovery entry, by design) reloads
+    // state from disk. It fires at stream START, i.e. potentially LAST
+    // in the process tail, where it polluted the driver's ~2000-char
+    // bench capture past parseability (VERDICT r11 #3/BENCH "parsed":
+    // null). The provider overrides logName with a per-instance
+    // " StateStoreProviderId[...]" suffix (space-joined), so the
+    // class-FQN logger is NOT its log4j parent — the package is; set
+    // the level there. Mains-only, like every silencing here — tests
+    // keep it.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state",
+      org.apache.logging.log4j.Level.ERROR)
     // hadoop's NativeCodeLoader startup WARN: same environmental class
     // — no native-hadoop lib in the container, builtin-java is the path
     org.apache.logging.log4j.core.config.Configurator.setLevel(
