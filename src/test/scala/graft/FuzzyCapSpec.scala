@@ -48,4 +48,24 @@ class FuzzyCapSpec extends SparkSpec {
     val got = pairs(bomb ++ good, cap = 64)
     got shouldBe Seq((1000L, 1001L, 1L))
   }
+
+  test("companion audit: one call returns pairs AND the capped-key census (r12)") {
+    // the library-surface contract (VERDICT r11 #6): a caller must see
+    // the recall trade from the SAME call that joined, not by knowing
+    // to run fuzzyCapAudit separately. Hand census of the bomb corpus:
+    // "zzzzzzzz" dedups to 2 keys {zzzzzzzz, zzzzzzz} at kf=100 each;
+    // "abcdef"/"abcXef" carry 7 keys each sharing only "abcef" (kf=2)
+    // -> 15 keys total, 2 past cap 64 carrying 200 key rows, max 100.
+    val df = ((1 to 100).map(i => (i.toLong, "zzzzzzzz")) ++
+      Seq(1000L -> "abcdef", 1001L -> "abcXef")).toDF("id", "s")
+    val (p, audit) = Dedup.fuzzyEditPairsAudited(df, 64)
+    p.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq shouldBe Seq((1000L, 1001L, 1L))
+    val a = audit.collect().head
+    (a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3)) shouldBe
+      ((15L, 2L, 200L, 100L))
+    // and the standalone audit (the gate entry's surface) is the same
+    // frame by construction
+    Dedup.fuzzyCapAudit(df, 64).collect().head.toSeq shouldBe a.toSeq
+  }
 }

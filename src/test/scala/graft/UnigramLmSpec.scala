@@ -62,7 +62,12 @@ class UnigramLmSpec extends SparkSpec {
     // "abc" → dp2 via ab = −980829, char path −3060270 vs gram path
     // "bc" unavailable (pruned) → ["ab","c"].
     val wf = Seq(("ab", 2L), ("abc", 1L), ("b", 3L)).toDF("word", "freq")
-    val got = UnigramLm.encode(wf).as[(String, Long, String, Long)]
+    val (chars, census) = UnigramLm.trainCensus(wf)
+    // the passable census equals train()'s live frame by construction
+    census shouldBe Map("ab" -> 3L, "b" -> 3L, "c" -> 1L)
+    chars.toSet shouldBe Set("a", "b", "c")
+    val got = UnigramLm.encode(wf, UnigramLm.deploy(chars, census))
+      .as[(String, Long, String, Long)]
       .collect().map(r => r._1 -> ((r._3, r._4))).toMap
     got shouldBe Map(
       "ab" -> (("ab", 1L)), "abc" -> (("ab c", 2L)), "b" -> (("b", 1L)))
@@ -74,7 +79,8 @@ class UnigramLmSpec extends SparkSpec {
       .selectExpr("explode(split(text, ' ')) AS word")
       .where("word <> '' AND length(word) <= 8")
       .groupBy("word").count().withColumnRenamed("count", "freq")
-    val enc = UnigramLm.encode(wf)
+    val (chars, census) = UnigramLm.trainCensus(wf)
+    val enc = UnigramLm.encode(wf, UnigramLm.deploy(chars, census))
       .as[(String, Long, String, Long)].collect()
     enc should not be empty
     enc.foreach { case (w, _, e, n) =>
@@ -83,6 +89,21 @@ class UnigramLmSpec extends SparkSpec {
       ps.mkString shouldBe w // pieces tile the word exactly, in order
       ps.foreach(p => p.length should (be >= 1 and be <= 2))
     }
+  }
+
+  test("entry census (memoized passable artifact) equals the live train() frame") {
+    // r12: the gate entries share ONE training execution via a
+    // dataVer-keyed memo; this pins that the memoized census the entry
+    // emits is row-identical to the distributed train() frame
+    val d = "/root/testdata/sf0.001"
+    val wf = Tables.tbl(spark, d, "documents")
+      .selectExpr("explode(split(text, ' ')) AS word")
+      .where("word <> '' AND length(word) <= 8")
+      .groupBy("word").count().withColumnRenamed("count", "freq")
+    val live = UnigramLm.train(wf).as[(String, Long)].collect().toMap
+    val entry = QueriesPipeline.txUnigramLm.fn(spark, d)
+      .as[(String, Long)].collect().toMap
+    entry shouldBe live
   }
 
   test("trained census on testdata: mass conservation and coverage") {
