@@ -541,16 +541,27 @@ object Queries {
     * cap that binds at gate scale fails the hash LOUDLY rather than
     * shipping silent under-recall; FuzzyCapSpec pins both regimes
     * (cap idle on gate-shaped data, cap binding on a planted bomb). */
+  /** Customer cap for the O(N²)-oracle sample ([[Tables.modSample]]):
+    * the sf0.1 table size — shipped SFs pass untouched; rehearsal SFs
+    * sample both engines back to this bound so the exact cross-join
+    * truth stays tractable. */
+  private val FuzzyOracleCap = 15000L
+
   val jFuzzyEdit: Entry = Entry("j_fuzzy_edit",
     (s, d) => {
-      val c = cust(s, d).select(col("c_custkey").as("id"), col("c_name").as("s"))
+      val c = Tables.modSample(
+        cust(s, d).select(col("c_custkey").as("id"), col("c_name").as("s")),
+        "id", FuzzyOracleCap)
       operators.Dedup.fuzzyEditPairs(c, maxKeyFreq = 64)
         .select(col("id_a").as("akey"), col("id_b").as("bkey"), col("dist"))
         .orderBy("akey", "bkey")
     },
-    Some("""SELECT a.c_custkey AS akey, b.c_custkey AS bkey,
+    Some(s"""WITH c AS (SELECT c_custkey, c_name FROM customer
+      | WHERE c_custkey % ((SELECT (count(*) + ${FuzzyOracleCap - 1})
+      |                     // $FuzzyOracleCap FROM customer)) = 0)
+      |SELECT a.c_custkey AS akey, b.c_custkey AS bkey,
       | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-      |FROM customer a, customer b
+      |FROM c a, c b
       |WHERE a.c_custkey < b.c_custkey
       |  AND levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY akey, bkey""".stripMargin))

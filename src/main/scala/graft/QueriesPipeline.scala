@@ -41,8 +41,22 @@ object QueriesPipeline {
       .select((col("id") + 100000).as("id"),
         concat(col("text"), lit(" qq17")).as("text"))
 
+  /** Docs cap for the O(N²)-oracle sample ([[Tables.modSample]]):
+    * the sf0.1 corpus size, so every shipped SF passes through
+    * untouched and larger rehearsal SFs sample back to this bound. */
+  private[graft] val MinhashOracleCap = 5000L
+
+  /** The dd_minhash_lsh / st_stream_minhash BASE corpus: documents
+    * under the sf-conditional sample (k = 1, a no-op, at shipped
+    * SFs — see [[Tables.modSample]]). Shared so the two entries and
+    * their common oracle can never sample differently. */
+  private[graft] def minhashBaseDocs(s: SparkSession, d: String): DataFrame =
+    Tables.modSample(
+      docs(s, d).select(col("doc_id").as("id"), col("text")),
+      "id", MinhashOracleCap)
+
   private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(col("doc_id").as("id"), col("text"))
+    val base = minhashBaseDocs(s, d)
     base.unionByName(nearDupVariants(base))
   }
 
@@ -53,11 +67,15 @@ object QueriesPipeline {
     * serves both (a copy would let a plant/threshold change de-couple
     * them silently). */
   private[graft] val minhashLshOracle: String =
-    """WITH corpus AS (
-      | SELECT doc_id AS id, text FROM documents
+    s"""WITH basedocs AS (
+      | SELECT doc_id, text FROM documents
+      | WHERE doc_id % ((SELECT (count(*) + ${MinhashOracleCap - 1})
+      |                  // $MinhashOracleCap FROM documents)) = 0),
+      |corpus AS (
+      | SELECT doc_id AS id, text FROM basedocs
       | UNION ALL
       | SELECT doc_id + 100000 AS id, text || ' qq17' AS text
-      | FROM documents WHERE doc_id % 11 = 0),
+      | FROM basedocs WHERE doc_id % 11 = 0),
       |sh AS (
       | SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
       |     i -> array_to_string(w[i:i+2], ' '))) AS s

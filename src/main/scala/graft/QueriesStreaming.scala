@@ -1012,11 +1012,12 @@ object QueriesStreaming {
     (outer, d) => {
       val s = sizedStreamSession(outer, 2)
       import s.implicits._
+      // v2: base corpus under the shared sf-conditional sample (a
+      // no-op at shipped SFs; bounds the O(N²) oracle above them)
       val stage = stageBatchFiles("stream_mh", d,
-        "v1_" + Tables.dataVer(d, "documents"), {
-          val base = tbl(outer, d, "documents")
-            .select(col("doc_id").as("id"), col("text"))
-          // the SAME plant rule as dd_minhash_lsh, by reference
+        "v2_" + Tables.dataVer(d, "documents"), {
+          // the SAME base + plant rule as dd_minhash_lsh, by reference
+          val base = QueriesPipeline.minhashBaseDocs(outer, d)
           Seq("b0" -> base, "b1" -> QueriesPipeline.nearDupVariants(base))
         })
       val name = s"st_mh_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"

@@ -68,6 +68,26 @@ object Tables {
     if (name == "events") normalizeTs(df) else df
   }
 
+  /** sf-conditional oracle-tractability sample (VERDICT r11 #2): the
+    * three entries whose DuckDB ORACLE is O(N²) — dd_minhash_lsh,
+    * st_stream_minhash (all-pairs Jaccard truth) and j_fuzzy_edit
+    * (exact levenshtein cross join) — restrict BOTH engines to ids ≡ 0
+    * (mod ceil(n/cap)), so the truth stays quadratic-in-a-bounded-
+    * sample at any SF instead of quadratic-in-the-corpus (the r11
+    * sf0.3 rehearsal: >55 CPU-min and counting on the unsampled
+    * all-pairs oracle). At the shipped SFs n ≤ cap, so k = 1 and the
+    * frame is returned UNTOUCHED — identical plan, identical hash;
+    * above cap both sides shrink by the same deterministic predicate.
+    * The count is a driver-side footer-only scan returning one long
+    * (metadata-sized by construction). The matching oracle spelling is
+    * `id % ((SELECT (count(*) + cap - 1) // cap FROM t)) = 0` — the
+    * sampled-side OPERATORS are bucketed and scale-safe; the sample
+    * bounds the oracle's cost, not the plan's. */
+  private[graft] def modSample(df: DataFrame, idCol: String, cap: Long): DataFrame = {
+    val k = (df.count() + cap - 1) / cap
+    if (k <= 1) df else df.where(pmod(col(idCol), lit(k)) === 0)
+  }
+
   /** Data-version token for derived-fixture cache keys: mtime+length of
     * the source parquet files. Folding this into every `target/tmp`
     * fixture path makes a regenerated testdata dir retarget the cache

@@ -667,6 +667,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("lambda-CSE discipline: heavy subtrees expand once per input in executed plans") {
+    // The dd_containment r11 rule (DESIGN.md): helper Columns that
+    // build higher-order functions mint FRESH lambda ids per call, so
+    // codegen subexpression elimination can NEVER unify two textual
+    // copies of a lambda subtree — textual copies of a HOF in the
+    // executed plan ARE runtime copies. (Native calls like array_stats
+    // have no lambda ids; codegen CSE handles their repeats.) This pin
+    // counts the expansions on the representative entries so a
+    // refactor that re-inlines a staged projection — or a new
+    // multi-metric spelling that calls a HOF helper per metric —
+    // fails here instead of shipping an N-times-per-row plan.
+    val pContain = staticPlan(QueriesPipeline.ddContainment.fn(spark, sf))
+    withClue(pContain) {
+      // staged (sa, sb) projections: exactly 2 shingle builds per row —
+      // the one-select spelling carried 12 (r11 finding)
+      "concat_ws".r.findAllIn(pContain).size shouldBe 2
+    }
+    val pIso = staticPlan(QueriesArrays.a9IsoMask.fn(spark, sf))
+    withClue(pIso) {
+      // thr = mean + 2σ stays a STAGED column: 2 array_stats field
+      // reads (codegen-CSE'd — native, no lambda) plus the masked-sum's
+      // own array_stats; critically, the mask/count lambdas reference
+      // thr instead of inlining the stats INTO the lambda body (which
+      // would re-run them per ELEMENT — counts would jump)
+      "array_stats".r.findAllIn(pIso).size shouldBe 3
+      "lambdafunction".r.findAllIn(pIso).size shouldBe 2 // mask + count
+    }
+    val pBand = staticPlan(QueriesArrays.a2BandAlgebra.fn(spark, sf))
+    withClue(pBand) {
+      // 4 metrics = 4 zip_with lambdas, each expanded exactly once
+      "zip_with".r.findAllIn(pBand).size shouldBe 4
+    }
+  }
+
   test("w_pareto_abc: facts collapse in the agg BEFORE any window runs") {
     val p = staticPlan(QueriesAggWindow.wParetoAbc.fn(spark, sf))
     withClue(p) {
