@@ -2260,6 +2260,122 @@ object QueriesPipeline {
       |    THEN 1 ELSE 0 END AS INT) AS kept
       |FROM a ORDER BY doc_id""".stripMargin))
 
+  /** The 24-token boilerplate passage planted into doc_id % 11 docs by
+    * [[plSuffixDedup]]: identical across plants, so every plant after
+    * the corpus-first one must have it span-removed while the first
+    * keeps it (the all-but-one semantics made observable). */
+  private val SuffixBoiler: String =
+    "meridian glass hollow ember quietly traces the ninth lantern over " +
+      "a frozen bridge while copper sparrows gather beneath the old " +
+      "archive door at dawn"
+
+  /** True exact-substring SPAN REMOVAL — the ExactSubstr dedup of Lee
+    * et al. 2021 §4.1 ("Deduplicating Training Data Makes Language
+    * Models Better"), where [[plSubstringDup]] only audits fractions:
+    * every token position lying inside a duplicated span of ≥ L=16
+    * tokens whose content occurs EARLIER in the corpus ((doc_id, pos)
+    * lexicographic) is deleted, and the cleaned text is emitted. The
+    * suffix-array criterion distributes exactly at gram granularity:
+    * a position sits inside some duplicated span of length ≥ L iff
+    * some duplicated L-gram occurrence covers it (any L-window of a
+    * dup span is itself dup; a dup L-gram is a dup span), so the
+    * removal set is EQUAL to the L-gram cover — no suffix array
+    * needed. Keep-first is per gram occurrence (row_number over the
+    * digest), which coincides with Lee's all-but-one span removal on
+    * exact-copy spans (the planted cases) and is deterministic
+    * corpus-order in general. Spans shorter than L survive by design
+    * (that's the threshold's meaning), so sub-16-token docs pass
+    * through ungrammed rather than degrading to exact dedup.
+    *
+    * Plan at 100 TB: three bounded exchanges, no cross joins —
+    * (1) grams ship as (digest, doc_id, pos) ≈ 24 B rows keyed on
+    * xxhash64(gram) (grams themselves never shuffle; a false dup
+    * needs a 64-bit collision, the documented [[ddExact]] trade — the
+    * oracle partitions by gram TEXT and would catch one); dup-chain
+    * windows are tiny per key. (2) Dup starts collapse to ONE array
+    * row per affected doc (bounded by doc length) and broadcast-or-
+    * hash join back on doc_id. (3) Coverage is a per-doc range window
+    * (−(L−1)..0 over position) — partitioned by doc_id, never global —
+    * and the final rollup re-uses the same doc_id partitioning. The
+    * planted corpus exercises every path: %7 exact copies (fully
+    * removed), %11 grafts of a FIXED 24-token boilerplate (prefix
+    * removed as a dup of the base doc when ≥ L, boilerplate removed
+    * everywhere except the corpus-first plant, boundary-straddling
+    * grams stay unique), plus the corpus's own natural 16-gram
+    * repeats. */
+  val plSuffixDedup: Entry = Entry("pl_suffix_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val L = 16
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionByName(base.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" " + SuffixBoiler)).as("text")))
+      val toks = corpus.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // size guard (the shingles3 rule): size < L would turn
+      // sequence() descending and index 0 — emit no grams instead
+      val grams = toks
+        .select(col("doc_id"), col("ws"),
+          explode(when(size(col("ws")) >= L,
+            sequence(lit(1L), (size(col("ws")) - (L - 1)).cast("long")))
+            .otherwise(array().cast("array<bigint>"))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          xxhash64(array_join(
+            slice(col("ws"), col("pos").cast("int"), lit(L)), " ")).as("dg"))
+      val wDg = Window.partitionBy("dg").orderBy("doc_id", "pos")
+      // one array row per affected doc: dup-start positions
+      val dstarts = grams.withColumn("rn", row_number().over(wDg))
+        .where(col("rn") > 1)
+        .groupBy("doc_id").agg(collect_set(col("pos")).as("dstart"))
+      val wCover = Window.partitionBy("doc_id").orderBy("p")
+        .rangeBetween(-(L - 1), 0)
+      val cover = toks.join(dstarts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dstart"), array().cast("array<bigint>")).as("dstart"),
+          posexplode(col("ws")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"),
+          array_contains(col("dstart"), (col("p0") + 1).cast("long")).as("is_start"))
+        .withColumn("cov",
+          max(when(col("is_start"), col("p"))).over(wCover).isNotNull)
+      cover.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("cov"), 1L).otherwise(0L)).as("n_removed"),
+          array_join(transform(array_sort(collect_list(
+            when(!col("cov"), struct(col("p"), col("tok"))))),
+            x => x.getField("tok")), " ").as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH all_docs AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id, text || ' $SuffixBoiler' AS text
+      | FROM documents WHERE doc_id % 11 = 0),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+      |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |   array_to_string(ws[CAST(i AS INT):CAST(i + 15 AS INT)], ' ') AS gram
+      |  FROM w, unnest(range(1, len(ws) - 14)) AS t(i)),
+      |r AS (SELECT doc_id, pos,
+      |   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g),
+      |ds AS (SELECT DISTINCT doc_id, pos FROM r WHERE rn > 1),
+      |p AS (SELECT doc_id, CAST(i AS BIGINT) AS p, ws[CAST(i AS INT)] AS tok
+      |  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+      |m AS (SELECT p.doc_id, p.p, p.tok, (ds.pos IS NOT NULL) AS is_start
+      |  FROM p LEFT JOIN ds ON ds.doc_id = p.doc_id AND ds.pos = p.p),
+      |c AS (SELECT doc_id, p, tok,
+      |   (max(CASE WHEN is_start THEN p END) OVER (PARTITION BY doc_id ORDER BY p
+      |      RANGE BETWEEN 15 PRECEDING AND CURRENT ROW)) IS NOT NULL AS cov
+      |  FROM m)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  coalesce(array_to_string(list(tok ORDER BY p) FILTER (WHERE NOT cov),
+      |    ' '), '') AS clean_text
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Hashing-trick featurization + fixed linear scorer — the
     * fastText-style quality-classifier SHAPE (Joulin et al. 2016;
     * Weinberger et al. 2009 feature hashing) with every piece
@@ -2703,7 +2819,8 @@ object QueriesPipeline {
     plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
     plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,
-    plSubstringDup, plHashFeatures, plLengthBuckets, plScoreCalibration,
+    plSubstringDup, plSuffixDedup, plHashFeatures, plLengthBuckets,
+    plScoreCalibration,
     plSoftDedup, plDsir,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simKmeans, simKmeansLloyd,
     simNearDup,

@@ -270,6 +270,31 @@ class PipelineOpsSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble, 1))
   }
 
+  test("suffix dedup: span removal covers dup grams, keeps first, spares short docs") {
+    // ids avoid %7==0 and %11==0 so the entry's planted variants stay out
+    val dir = "target/tmp/spec_sufdedup_sem"
+    val a16 = (1 to 16).map(i => s"w$i").mkString(" ")
+    val b20 = (1 to 20).map(i => s"b$i").mkString(" ")
+    Seq(
+      (1L, s"u1 u2 $b20"),       // first occurrence of b-span: kept whole
+      (2L, s"v1 v2 v3 $b20"),    // later b-span: its 5 interior gram starts
+                                 //  (len 23, prefix 3: starts 4..8 all-b)
+                                 //  cover positions 4..23; v-prefix kept
+      (3L, a16),                 // 16 tokens, unique: kept
+      (4L, a16),                 // exact dup of doc 3: fully removed
+      (5L, "s1 s2 s3 s1 s2 s3")  // < 16 tokens: no grams, untouched
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesPipeline.plSuffixDedup.fn(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 22L, 0L, s"u1 u2 $b20"),
+      (2L, 23L, 20L, "v1 v2 v3"),
+      (3L, 16L, 0L, a16),
+      (4L, 16L, 16L, ""),
+      (5L, 6L, 0L, "s1 s2 s3 s1 s2 s3"))
+  }
+
   test("perplexity filter: closed-form familiarity, tertile buckets, head+middle kept") {
     // corpus bigram counts: aa=5 (3 from doc 1, 2 from doc 2), ab=1,
     // bb=3 → fam1=(5+5+5)/3=5.0, fam2=(5+5+1)/3=3.666667, fam3=3.0.

@@ -701,6 +701,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pl_suffix_dedup: digest-keyed gram exchange, doc-partitioned cover window") {
+    // Lee et al. span removal: grams must ship as (digest, doc, pos)
+    // — never gram text — and the coverage window + final rollup ride
+    // ONE doc_id partitioning (the dup-start arrays join back on
+    // doc_id; no global window, no cross join).
+    val p = staticPlan(QueriesPipeline.plSuffixDedup.fn(spark, sf))
+    withClue(p) {
+      hashEx(p) shouldBe 3 // dg window, dstart agg, toks re-key on doc_id
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1 // contract sort
+      p should not include "CartesianProduct"
+      noSinglePartitionWindow(p)
+      // the dup-chain window is keyed on the 64-bit digest, so the wide
+      // gram string is projected away before that exchange
+      p should include("hashpartitioning(dg")
+    }
+  }
+
   test("w_pareto_abc: facts collapse in the agg BEFORE any window runs") {
     val p = staticPlan(QueriesAggWindow.wParetoAbc.fn(spark, sf))
     withClue(p) {
