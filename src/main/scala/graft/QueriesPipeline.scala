@@ -1072,6 +1072,56 @@ object QueriesPipeline {
       |SELECT id_a, id_b, l2_dist FROM p WHERE l2_dist <= 0.5
       |ORDER BY id_a, id_b""".stripMargin))
 
+  /** SemDeDup ([[Similarity.semDedup]], Abbas et al. 2023) over the
+    * embeddings table with planted semantic duplicates: a +0.002-per-
+    * component copy of every vec_id % 7 == 0 row (cos ≈ 0.9999 to its
+    * source vs ≈ 0±0.13 between unrelated random vectors — the 0.9 cut
+    * sits 5+ sigma from the natural mass, so no boundary flakiness).
+    * K=8 pinned centroids (quality shifts recall, never semantics);
+    * the oracle replays every decision: pinned assignment, d2-desc
+    * keep-priority rank, upper-triangular 6-dp cosine threshold. The
+    * planted copy and its source land in the same cluster; whichever
+    * sits nearer the centroid is removed (the paper's keep-the-outlier
+    * rule), which the oracle decides independently. */
+  val plSemDedup: Entry = Entry("pl_semdedup",
+    (s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        graft.functions.ArrayOps.asDouble(col("embedding")).as("embedding"))
+      val corpus = base.unionByName(
+        base.where(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.002)).as("embedding")))
+      Similarity.semDedup(corpus, k = 8, tau = 0.9).orderBy("vec_id")
+    },
+    Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      | FROM embeddings),
+      |e AS (SELECT vec_id, v FROM base
+      | UNION ALL
+      | SELECT vec_id + 100000 AS vec_id,
+      |        list_transform(v, x -> x + 0.002) AS v
+      | FROM base WHERE vec_id % 7 = 0),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |d AS (SELECT e.vec_id, c.cid, e.v,
+      |  list_sum(list_transform(list_zip(e.v, c.cv),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      | FROM e, c),
+      |a AS (SELECT vec_id, cid AS cluster, d2, v,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      | FROM d),
+      |m AS (SELECT vec_id, cluster, d2, v,
+      |  row_number() OVER (PARTITION BY cluster ORDER BY d2 DESC, vec_id) AS pr
+      | FROM a WHERE rn = 1),
+      |rm AS (SELECT DISTINCT hi.vec_id
+      | FROM m lo JOIN m hi ON lo.cluster = hi.cluster AND lo.pr < hi.pr
+      | WHERE round(
+      |   list_sum(list_transform(list_zip(lo.v, hi.v), s -> s[1] * s[2])) /
+      |   (sqrt(list_sum(list_transform(lo.v, x -> x * x))) *
+      |    sqrt(list_sum(list_transform(hi.v, x -> x * x)))), 6) >= 0.9)
+      |SELECT m.vec_id, m.cluster, round(sqrt(m.d2), 6) AS dist,
+      | rm.vec_id IS NULL AS kept
+      |FROM m LEFT JOIN rm ON m.vec_id = rm.vec_id
+      |ORDER BY m.vec_id""".stripMargin))
+
   // ------------------------------------------------------------- multimodal
   /** Multimodal image columns with a REAL pure-JVM codec (r6 verdict
     * #6, retiring the histogram stub): synthesize a spec-valid
@@ -2823,6 +2873,6 @@ object QueriesPipeline {
     plScoreCalibration,
     plSoftDedup, plDsir,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simKmeans, simKmeansLloyd,
-    simNearDup,
+    simNearDup, plSemDedup,
     mmDecode, mmResize, mmWav, mmVideoFrames)
 }

@@ -131,6 +131,65 @@ object Similarity {
       round(sqrt(col("d2").cast("double")) / lit(scale.toDouble), 6).as("dist"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings, then removing
+    * within-cluster items whose cosine similarity to a higher-priority
+    * cluster member exceeds `tau`. The paper's keep rule: within each
+    * duplicate group, keep the example with the LOWEST similarity to
+    * the cluster centroid (the outlier carries the most information) —
+    * here spelled as a deterministic keep-priority rank
+    * `row_number over (partition by cluster order by d2 desc, vec_id)`
+    * and a pairwise check only against higher-priority (lower-rank)
+    * members, i.e. the strictly-upper-triangular similarity matrix.
+    *
+    * Determinism contract (oracle-replayable): centroids are pinned
+    * (the k lowest vec_ids), squared L2 and cosine are fixed
+    * left-to-right double folds (`list_sum` parity), the argmin breaks
+    * ties on (d2, cid), the rank breaks ties on vec_id, and the cosine
+    * is rounded to 6 dp before the threshold compare — every decision
+    * is a total order both engines walk identically.
+    *
+    * Scale shape: assignment is the [[kmeansAssign]] broadcast-expand
+    * + partial-agg argmin (the exchange carries one row per vector
+    * regardless of k); the keep-priority window and the pair self-join
+    * both ride ONE hash-partition by cluster (the window's exchange is
+    * reused by the join); removal ids are a distinct semi-side frame
+    * joined back on vec_id. The within-cluster pairwise product is the
+    * SemDeDup contract itself — k is chosen ∝ N so cluster size stays
+    * bounded (the paper runs 50k clusters over LAION-440M, ~9k
+    * rows/cluster); the quadratic never leaves a cluster, so at 100 TB
+    * the cost is Σ|cluster|² with |cluster| ≈ N/k held constant, and a
+    * skewed hot cluster is visible as one straggler task, not a plan
+    * failure. Vectors cross the pair join once per side — ids, cluster
+    * and the fixed-width embedding only. */
+  def semDedup(emb: DataFrame, k: Int, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+    val cents = e.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), col("v"),
+        ArrayOps.l2Sq(col("v"), col("cv")).as("d2"))
+      .groupBy("vec_id")
+      // first(v) is safe: v is functionally determined by the group key
+      .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d2").as("d2"),
+        col("v"))
+    val ranked = assigned.withColumn("pr", row_number().over(
+      Window.partitionBy("cluster").orderBy(col("d2").desc, col("vec_id"))))
+    val keepSide = ranked.select(col("cluster"), col("pr").as("pr_a"),
+      col("v").as("va"))
+    val dropSide = ranked.select(col("cluster"), col("pr").as("pr_b"),
+      col("vec_id").as("rm_id"), col("v").as("vb"))
+    val removed = keepSide.join(dropSide, Seq("cluster"))
+      .where(col("pr_a") < col("pr_b") &&
+        round(call_function("cosine_sim", col("va"), col("vb")), 6) >= tau)
+      .select(col("rm_id").as("vec_id")).distinct()
+    ranked.join(removed.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        round(sqrt(col("d2")), 6).as("dist"), col("hit").isNull.as("kept"))
+  }
+
   /** Approximate nearest neighbours via random-projection LSH buckets.
     * Returns (vec_id, distCol) for the k nearest to the probe row. */
   def annTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
