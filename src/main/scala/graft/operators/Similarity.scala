@@ -151,19 +151,25 @@ object Similarity {
     *
     * Scale shape: assignment is the [[kmeansAssign]] broadcast-expand
     * + partial-agg argmin (the exchange carries one row per vector
-    * regardless of k); the keep-priority window and the pair self-join
-    * both ride ONE hash-partition by cluster (the window's exchange is
-    * reused by the join); removal ids are a distinct semi-side frame
-    * joined back on vec_id. The within-cluster pairwise product is the
-    * SemDeDup contract itself — k is chosen ∝ N so cluster size stays
-    * bounded (the paper runs 50k clusters over LAION-440M, ~9k
-    * rows/cluster); the quadratic never leaves a cluster, so at 100 TB
-    * the cost is Σ|cluster|² with |cluster| ≈ N/k held constant, and a
-    * skewed hot cluster is visible as one straggler task, not a plan
-    * failure. Vectors cross the pair join once per side — ids, cluster
-    * and the fixed-width embedding only. */
+    * regardless of k); the per-cluster pairwise pass is a typed
+    * `flatMapGroups` — ONE fact scan, vectors cross the cluster
+    * exchange exactly once, and each cluster's quadratic runs as a
+    * tight in-task loop (the paper's own execution model: per-cluster
+    * pairwise on one device). The group materializes in task memory —
+    * bounded because k is chosen ∝ N so cluster size stays constant
+    * (the paper runs 50k clusters over LAION-440M, ~9k rows/cluster ≈
+    * 5 MB of vectors); a skewed hot cluster is one straggler task, not
+    * a plan failure. MEASURED justification for the typed-API drop
+    * (the "no UDF where a builtin fits" rule): the relational
+    * spelling — keep-priority window + cluster self-join + removal
+    * semi-join — executed SIX exchanges and THREE fact scans with zero
+    * ReusedExchange, because column pruning specializes each self-join
+    * branch's subtree and defeats AQE exchange reuse (same family as
+    * the dd_containment lambda-id CSE finding, DESIGN.md); this
+    * spelling is 1 scan + 2 exchanges. */
   def semDedup(emb: DataFrame, k: Int, tau: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
     val e = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
     val cents = e.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -175,19 +181,50 @@ object Similarity {
       .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("v")).as("v"))
       .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d2").as("d2"),
         col("v"))
-    val ranked = assigned.withColumn("pr", row_number().over(
-      Window.partitionBy("cluster").orderBy(col("d2").desc, col("vec_id"))))
-    val keepSide = ranked.select(col("cluster"), col("pr").as("pr_a"),
-      col("v").as("va"))
-    val dropSide = ranked.select(col("cluster"), col("pr").as("pr_b"),
-      col("vec_id").as("rm_id"), col("v").as("vb"))
-    val removed = keepSide.join(dropSide, Seq("cluster"))
-      .where(col("pr_a") < col("pr_b") &&
-        round(call_function("cosine_sim", col("va"), col("vb")), 6) >= tau)
-      .select(col("rm_id").as("vec_id")).distinct()
-    ranked.join(removed.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+    val marked = assigned
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._2)
+      .flatMapGroups { (cluster, it) =>
+        // keep-priority order: farthest-from-centroid first (the
+        // paper's keep-the-outlier rule), vec_id tie-break — the same
+        // total order the oracle's `ORDER BY d2 DESC, vec_id` walks.
+        // d2 ≥ 0, so negation is a safe descending key.
+        val ms = it.map { case (id, _, d2, v) => (id, d2, v.toArray) }
+          .toArray.sortBy { case (id, d2, _) => (-d2, id) }
+        // kept(i) ⟺ no higher-priority j with 6-dp cosine ≥ tau: the
+        // strictly-upper-triangular similarity matrix, early-exit on
+        // the first hit. Cosine is the same left-to-right fold and
+        // HALF_UP 6-dp round the codegen cosine_sim + round() pair
+        // computes, so the decision is bit-identical to the oracle's.
+        ms.iterator.zipWithIndex.map { case ((id, d2, v), i) =>
+          var removed = false
+          var j = 0
+          while (j < i && !removed) {
+            val w = ms(j)._3
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            val n = math.min(v.length, w.length)
+            var p = 0
+            while (p < n) { dot += v(p) * w(p); p += 1 }
+            p = 0
+            while (p < v.length) { na += v(p) * v(p); p += 1 }
+            p = 0
+            while (p < w.length) { nb += w(p) * w(p); p += 1 }
+            // zero-norm guard: cos is undefined (NaN ≱ tau in the
+            // relational spelling; BigDecimal.valueOf(NaN) would throw)
+            if (na > 0.0 && nb > 0.0) {
+              val cos = java.math.BigDecimal.valueOf(
+                  dot / (math.sqrt(na) * math.sqrt(nb)))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (cos >= tau) removed = true
+            }
+            j += 1
+          }
+          (id, cluster, d2, !removed)
+        }
+      }
+    marked.toDF("vec_id", "cluster", "d2", "kept")
       .select(col("vec_id"), col("cluster"),
-        round(sqrt(col("d2")), 6).as("dist"), col("hit").isNull.as("kept"))
+        round(sqrt(col("d2")), 6).as("dist"), col("kept"))
   }
 
   /** Approximate nearest neighbours via random-projection LSH buckets.

@@ -718,6 +718,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pl_semdedup: one fact scan, vectors cross the cluster exchange once") {
+    // SemDeDup's per-cluster quadratic runs inside flatMapGroups: the
+    // plan must be argmin exchange + cluster groupByKey exchange and
+    // NOTHING else — the relational spelling (window + self-join +
+    // semi-join) executed three fact scans and six exchanges because
+    // column pruning de-unifies the self-join branches (Similarity
+    // scaladoc records the measurement).
+    val p = staticPlan(QueriesPipeline.plSemDedup.fn(spark, sf))
+    withClue(p) {
+      hashEx(p) shouldBe 2
+      "Scan parquet".r.findAllIn(p).size should be <= 4 // fact + centroid slice, per union arm
+      p should not include "CartesianProduct"
+      p should include("MapGroups")
+      noSinglePartitionWindow(p)
+    }
+  }
+
   test("w_pareto_abc: facts collapse in the agg BEFORE any window runs") {
     val p = staticPlan(QueriesAggWindow.wParetoAbc.fn(spark, sf))
     withClue(p) {
