@@ -265,23 +265,32 @@ object Dedup {
     * observed max frequency. A caller that joins under a
     * mass-duplication regime reads `n_capped_keys > 0` here instead of
     * having to know a second query exists. */
+  /** Delete-one blocking keys as a tight JVM loop (the DESIGN.md
+    * interpreted-HOF rule: a transform/sequence/substring lambda chain
+    * evaluates interpreted per element — A/B at sf0.1 measured the
+    * whole operator 5.3 s → 4.4 s swapping it for this UDF, and the
+    * explode runs TWICE per call, see below). LinkedHashSet dedupes
+    * run-repeat variants exactly as array_distinct did (first
+    * occurrence kept; downstream census/joins are order-insensitive
+    * anyway), so the key SET — which j_fuzzy_cap_audit hash-pins
+    * through its census counts — is unchanged. */
+  private val deleteOneKeys = udf((s: String) => {
+    val out = new java.util.LinkedHashSet[String]()
+    out.add(s)
+    val n = s.length
+    var i = 0
+    while (i < n) { out.add(s.substring(0, i) + s.substring(i + 1)); i += 1 }
+    out.toArray(new Array[String](out.size))
+  })
+
   def fuzzyEditPairsAudited(df: DataFrame, maxKeyFreq: Long): (DataFrame, DataFrame) = {
-    // array_distinct BEFORE the explode: strings with repeated chars
-    // yield the same delete-one variant from every position in a run —
-    // undeduped, two strings differing inside a run of r repeats would
-    // meet on r·r key rows
     // NOT pinned: the frequency pass and the anti-join each re-run the
-    // explode (scan-stage map work, ~0.3 s at sf0.1) — a pin would
-    // replace the source's parquet statistics with an unknown-size RDD
-    // scan, degrading every downstream join choice, to save less than
-    // it costs
+    // explode (scan-stage map work at sf0.1) — a pin would replace the
+    // source's parquet statistics with an unknown-size RDD scan,
+    // degrading every downstream join choice, to save less than it
+    // costs
     val keys = df.select(col("id"), col("s"),
-      explode(expr(
-        """array_distinct(concat(array(s),
-          |  transform(sequence(1, length(s)),
-          |    i -> concat(substring(s, 1, i - 1),
-          |                substring(s, i + 1, length(s))))))""".stripMargin
-      )).as("k"))
+      explode(deleteOneKeys(col("s"))).as("k"))
     val census = keys.groupBy("k").agg(count(lit(1)).as("kf"))
     val heavy = census.where(col("kf") > maxKeyFreq)
     val kept = keys.join(broadcast(heavy.select(col("k"))), Seq("k"), "left_anti")
