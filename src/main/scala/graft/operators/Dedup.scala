@@ -256,15 +256,6 @@ object Dedup {
   def fuzzyEditPairs(df: DataFrame, maxKeyFreq: Long): DataFrame =
     fuzzyEditPairsAudited(df, maxKeyFreq)._1
 
-  /** [[fuzzyEditPairs]] WITH its recall-cap audit as a companion frame
-    * (VERDICT r11 #6 — the library surface must expose the trade, not
-    * only the separate gate entry): returns (pairs, audit) where
-    * `audit` is one BIGINT row over the operator's own blocking-key
-    * census — total keys, keys the cap refuses, the key-row mass they
-    * carry (the upper bound on lost candidate generation), and the
-    * observed max frequency. A caller that joins under a
-    * mass-duplication regime reads `n_capped_keys > 0` here instead of
-    * having to know a second query exists. */
   /** Delete-one blocking keys as a tight JVM loop (the DESIGN.md
     * interpreted-HOF rule: a transform/sequence/substring lambda chain
     * evaluates interpreted per element — A/B at sf0.1 measured the
@@ -283,6 +274,15 @@ object Dedup {
     out.toArray(new Array[String](out.size))
   })
 
+  /** [[fuzzyEditPairs]] WITH its recall-cap audit as a companion frame
+    * (VERDICT r11 #6 — the library surface must expose the trade, not
+    * only the separate gate entry): returns (pairs, audit) where
+    * `audit` is one BIGINT row over the operator's own blocking-key
+    * census — total keys, keys the cap refuses, the key-row mass they
+    * carry (the upper bound on lost candidate generation), and the
+    * observed max frequency. A caller that joins under a
+    * mass-duplication regime reads `n_capped_keys > 0` here instead of
+    * having to know a second query exists. */
   def fuzzyEditPairsAudited(df: DataFrame, maxKeyFreq: Long): (DataFrame, DataFrame) = {
     // NOT pinned: the frequency pass and the anti-join each re-run the
     // explode (scan-stage map work at sf0.1) — a pin would replace the
