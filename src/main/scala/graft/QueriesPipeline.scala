@@ -1122,6 +1122,99 @@ object QueriesPipeline {
       |FROM m LEFT JOIN rm ON m.vec_id = rm.vec_id
       |ORDER BY m.vec_id""".stripMargin))
 
+  /** Hybrid-retrieval fusion via Reciprocal Rank Fusion (Cormack,
+    * Clarke & Buettcher, SIGIR 2009): fuse a VECTOR arm (cosine top-k
+    * against probe vec 0 — the [[Similarity.bruteTopK]] shape) with a
+    * LEXICAL arm (floor-scaled tf·idf for the fixed query
+    * {hash, join}) by rrf(d) = Σ_arms 1/(60 + rank_arm(d)) — the
+    * standard way production RAG stacks combine BM25-ish and
+    * embedding retrieval without score calibration.
+    *
+    * Integer-exact: idf = floorLn(N) − floorLn(df) (inside the
+    * verified ≤6M ln-parity range at any shipped/rehearsal SF), rrf
+    * contributions are 10^9 div (60+rank), and every rank is a
+    * row_number with an id tie-break — one total order end to end.
+    *
+    * Plan at 100 TB: each arm ends in TakeOrderedAndProject(100), so
+    * the global-order rank windows ride 100-row frames (bounded by
+    * construction — whitelisted in the PlanShapeSpec source guard);
+    * the lexical arm filters tokens to the QUERY TERMS before any
+    * exchange (the inverted-index posting discipline — exchanges
+    * carry query-term postings, never the corpus), df/N are
+    * broadcast 1-2-row frames, and the fusion join is 100×100. */
+  val simRrfFusion: Entry = Entry("sim_rrf_fusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val armK = 100
+      val e = emb(s, d).select(col("vec_id"),
+        graft.functions.ArrayOps.asDouble(col("embedding")).as("v"))
+      val probe = e.where(col("vec_id") === 0).select(col("v").as("pv"))
+      val vecTop = e.crossJoin(broadcast(probe))
+        .select(col("vec_id").as("id"),
+          round(call_function("cosine_sim", col("v"), col("pv")), 6).as("cs"))
+        .orderBy(col("cs").desc, col("id")).limit(armK)
+      val vecRank = vecTop.withColumn("r_vec",
+        row_number().over(Window.orderBy(col("cs").desc, col("id"))).cast("long"))
+      val toks = docs(s, d).select(col("doc_id"), explode(expr(
+          "filter(split(coalesce(text, ''), ' '), t -> length(t) > 0)")).as("t"))
+        .where(col("t").isin("hash", "join"))
+      val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dft = toks.select("doc_id", "t").distinct()
+        .groupBy("t").agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n"))
+      val scored = tf.join(broadcast(dft), "t").crossJoin(broadcast(nDocs))
+        .select(col("doc_id").as("id"),
+          (col("tf") * expr(
+            """CAST(floor(1000000 * ln(CAST(n AS DOUBLE))) AS BIGINT)
+              | - CAST(floor(1000000 * ln(CAST(df AS DOUBLE))) AS BIGINT)"""
+              .stripMargin)).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("lex"))
+      val lexTop = scored.orderBy(col("lex").desc, col("id")).limit(armK)
+      val lexRank = lexTop.withColumn("r_lex",
+        row_number().over(Window.orderBy(col("lex").desc, col("id"))).cast("long"))
+      vecRank.select("id", "r_vec")
+        .join(lexRank.select("id", "r_lex"), Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(expr("1000000000 div (60 + r_vec)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L))).as("rrf"),
+          col("r_vec"), col("r_lex"))
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      | FROM embeddings),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |vc AS (SELECT vec_id AS id,
+      |  round(list_sum(list_transform(list_zip(v, pv), s -> s[1] * s[2])) /
+      |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
+      |     sqrt(list_sum(list_transform(pv, x -> x * x)))), 6) AS cs
+      | FROM e, p),
+      |vt AS (SELECT id, cs FROM vc ORDER BY cs DESC, id LIMIT 100),
+      |vr AS (SELECT id, CAST(row_number() OVER (ORDER BY cs DESC, id)
+      |   AS BIGINT) AS r_vec FROM vt),
+      |tok AS (SELECT doc_id, t FROM (SELECT doc_id,
+      |   unnest(list_filter(string_split(coalesce(text, ''), ' '),
+      |     x -> x <> '')) AS t FROM documents)
+      | WHERE t IN ('hash', 'join')),
+      |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      | FROM tok GROUP BY 1, 2),
+      |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      | FROM tok GROUP BY 1),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |sc AS (SELECT doc_id AS id, CAST(sum(tf * (
+      |    CAST(floor(1000000 * ln(CAST(n AS DOUBLE))) AS BIGINT)
+      |  - CAST(floor(1000000 * ln(CAST(df AS DOUBLE))) AS BIGINT)))
+      |   AS BIGINT) AS lex
+      | FROM tf JOIN dft USING (t), nd GROUP BY 1),
+      |lt AS (SELECT id, lex FROM sc ORDER BY lex DESC, id LIMIT 100),
+      |lr AS (SELECT id, CAST(row_number() OVER (ORDER BY lex DESC, id)
+      |   AS BIGINT) AS r_lex FROM lt)
+      |SELECT coalesce(vr.id, lr.id) AS id,
+      | coalesce(1000000000 // (60 + r_vec), 0)
+      |   + coalesce(1000000000 // (60 + r_lex), 0) AS rrf,
+      | r_vec, r_lex
+      |FROM vr FULL OUTER JOIN lr ON vr.id = lr.id
+      |ORDER BY rrf DESC, id LIMIT 20""".stripMargin))
+
   // ------------------------------------------------------------- multimodal
   /** Multimodal image columns with a REAL pure-JVM codec (r6 verdict
     * #6, retiring the histogram stub): synthesize a spec-valid
@@ -2796,6 +2889,62 @@ object QueriesPipeline {
     * partial-aggregates per doc_id. Two fact scans + the doc_id
     * attach — the structural minimum for a corpus-statistics-
     * dependent score — and nothing driver-side. */
+  /** Weighted sampling WITHOUT replacement — the Efraimidis–Spirakis
+    * A-ES one-pass scheme (Inf. Proc. Letters 2006): every item draws
+    * u ~ U(0,1] and the m largest u^(1/w) win, which realizes exact
+    * weight-proportional inclusion in a SINGLE scan with no rejection
+    * loop — the corpus-subsampling primitive (sample long/high-quality
+    * docs preferentially) a training pipeline runs before packing.
+    *
+    * Integer-exact determinism: u comes from the shared [[Lcg]]
+    * permutation key folded to 2^20 buckets (u = (k2+1)/2^20), and the
+    * selection key max u^(1/w) ⟺ max ln(u)/w is computed entirely in
+    * BIGINT — lnu = floorLn(k2+1) − floorLn(2^20) (both inside the
+    * verified ≤6M ln-parity range, the UnigramLm discipline), then
+    * floorDiv(lnu·10^6, w) with the exact-divisibility floorDiv
+    * spelling — so both engines walk one total order (key desc,
+    * doc_id). Folding to 2^20 trades key granularity, not correctness:
+    * collisions sort adjacent under the doc_id tie-break (the Lcg
+    * wrap-scope note).
+    *
+    * Plan at 100 TB: ONE corpus scan, per-row integer arithmetic,
+    * global top-m via TakeOrderedAndProject (per-partition heaps, the
+    * driver merges partitions·m tiny rows) — ZERO hash exchanges. */
+  val plWeightedSample: Entry = Entry("pl_weighted_sample",
+    (s, d) => {
+      val m2 = 1L << 20
+      docs(s, d)
+        .select(col("doc_id"),
+          size(expr("filter(split(coalesce(text, ''), ' '), t -> length(t) > 0)"))
+            .cast("long").as("w"))
+        .where(col("w") >= 1) // w=0 has no A-ES key (and no mass to sample)
+        .withColumn("k2", pmod(graft.functions.Lcg.key(col("doc_id")), lit(m2)))
+        .withColumn("lnu",
+          expr(s"""CAST(floor(1000000 * ln(CAST(k2 + 1 AS DOUBLE))) AS BIGINT)
+            | - CAST(floor(1000000 * ln(CAST($m2 AS DOUBLE))) AS BIGINT)"""
+            .stripMargin))
+        .withColumn("skey",
+          expr("(lnu * 1000000 - pmod(lnu * 1000000, w)) div w"))
+        .orderBy(col("skey").desc, col("doc_id")).limit(200)
+        .select(col("doc_id"), col("w"), col("skey"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+      |  CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+      |    x -> x <> '')) AS BIGINT) AS w
+      | FROM documents),
+      |f AS (SELECT doc_id, w,
+      |  ((doc_id % ${graft.functions.Lcg.M}) * ${graft.functions.Lcg.A} + ${graft.functions.Lcg.C}) % ${graft.functions.Lcg.M}
+      |    % ${1L << 20} AS k2
+      | FROM t WHERE w >= 1),
+      |k AS (SELECT doc_id, w,
+      |  CAST(floor(1000000 * ln(CAST(k2 + 1 AS DOUBLE))) AS BIGINT)
+      |  - CAST(floor(1000000 * ln(CAST(${1L << 20} AS DOUBLE))) AS BIGINT) AS lnu
+      | FROM f)
+      |SELECT doc_id, w,
+      | CAST((lnu * 1000000 - (((lnu * 1000000 % w) + w) % w)) // w AS BIGINT)
+      |   AS skey
+      |FROM k ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin))
+
   val plDsir: Entry = Entry("pl_dsir",
     (s, d) => {
       val toks = docs(s, d)
@@ -2871,8 +3020,8 @@ object QueriesPipeline {
     plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,
     plSubstringDup, plSuffixDedup, plHashFeatures, plLengthBuckets,
     plScoreCalibration,
-    plSoftDedup, plDsir,
+    plSoftDedup, plDsir, plWeightedSample,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simKmeans, simKmeansLloyd,
-    simNearDup, plSemDedup,
+    simNearDup, plSemDedup, simRrfFusion,
     mmDecode, mmResize, mmWav, mmVideoFrames)
 }

@@ -295,6 +295,32 @@ class PipelineOpsSpec extends SparkSpec {
       (5L, 6L, 0L, "s1 s2 s3 s1 s2 s3"))
   }
 
+  test("weighted sample: driver-side A-ES replay and weight-proportional bias") {
+    // 400 docs: even ids carry 40 tokens, odd ids 2 — under A-ES the
+    // top-200 must overrepresent the heavy class. Exact expected set =
+    // a driver replay of the integer key recurrence (Lcg fold, scaled
+    // ln difference, exact floorDiv).
+    val dir = "target/tmp/spec_wsample_sem"
+    (0L until 400L).map { i =>
+      val n = if (i % 2 == 0) 40 else 2
+      (i, (1 to n).map(j => s"t${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def floorLn(x: Long): Long = math.floor(1000000.0 * math.log(x.toDouble)).toLong
+    val expected = (0L until 400L).map { id =>
+      val w = if (id % 2 == 0) 40L else 2L
+      val k2 = graft.functions.Lcg.key(id) % (1L << 20)
+      val lnu = floorLn(k2 + 1) - floorLn(1L << 20)
+      val a = lnu * 1000000L
+      (id, w, Math.floorDiv(a, w))
+    }.sortBy { case (id, _, k) => (-k, id) }.take(200)
+    val got = QueriesPipeline.plWeightedSample.fn(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    got shouldBe expected
+    // weight bias: heavy docs hold a clear majority of the sample
+    got.count(_._2 == 40L) should be > 120
+  }
+
   test("perplexity filter: closed-form familiarity, tertile buckets, head+middle kept") {
     // corpus bigram counts: aa=5 (3 from doc 1, 2 from doc 2), ab=1,
     // bb=3 → fam1=(5+5+5)/3=5.0, fam2=(5+5+1)/3=3.666667, fam3=3.0.

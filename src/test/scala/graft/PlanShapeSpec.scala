@@ -656,7 +656,10 @@ class PlanShapeSpec extends SparkSpec {
       // bucket-offset carries over ≤1024-row per-bucket total frames
       "QueriesAggWindow.scala" -> 3,
       // ens_rank_average distinct-census cumsum (score-cardinality)
-      "QueriesEnsemble.scala" -> 1)
+      "QueriesEnsemble.scala" -> 1,
+      // sim_rrf_fusion arm ranks: each rides a TakeOrdered(100)-bounded
+      // frame by construction (the RRF contract is rank-of-top-k)
+      "QueriesPipeline.scala" -> 2)
     for (f <- walk(root)) {
       withClue(s"${f.getPath}: empty-partition window sites") {
         count(emptyPart, f) shouldBe allowedEmpty.getOrElse(f.getName, 0)
