@@ -46,6 +46,16 @@ def host_factor(rec, ref):
 
 def main():
     a, b = load(sys.argv[1]), load(sys.argv[2])
+    # the STDOUT bench line truncates `queries` to the top-40 so the
+    # driver's ~2000-char tail capture stays parseable; a compare fed
+    # that line reports ~150 phantom "removed" entries and loses the
+    # control queries. The full record is target/bench_last.json.
+    for rec, tag in ((a, sys.argv[1]), (b, sys.argv[2])):
+        if rec.get("queries_shown", 0) and \
+                rec["queries_shown"] < rec.get("n_queries", 0):
+            print(f"WARNING: {tag} holds the TRUNCATED stdout line "
+                  f"({rec['queries_shown']} of {rec['n_queries']} queries) — "
+                  f"use target/bench_last.json for per-query compares")
     print(f"total: {a['value']:.1f} s -> {b['value']:.1f} s | "
           f"queries: {a.get('n_queries', len(a['queries']))} -> "
           f"{b.get('n_queries', len(b['queries']))} | "
