@@ -167,7 +167,26 @@ object Similarity {
     * branch's subtree and defeats AQE exchange reuse (same family as
     * the dd_containment lambda-id CSE finding, DESIGN.md); this
     * spelling is 1 scan + 2 exchanges. */
-  def semDedup(emb: DataFrame, k: Int, tau: Double): DataFrame = {
+  def semDedup(emb: DataFrame, k: Int, tau: Double): DataFrame =
+    semDedupAudited(emb, k, tau, Int.MaxValue)._1
+      .drop("passed_through")
+
+  /** [[semDedup]] with an ENFORCED per-cluster memory bound and its
+    * audit as a companion frame (the fuzzyEditPairsAudited contract:
+    * a bound that throttles recall must be observable, never silent).
+    * `clusterCap` bounds what a task materializes: only the cap
+    * highest-keep-priority members (a bounded heap over the streamed
+    * group — vectors held for AT MOST cap members) enter the pairwise
+    * pass; the overflow tail is emitted kept=true untouched — the
+    * conservative miss direction (SemDeDup keeps too much, never
+    * drops wrongly) — buffered as 16 B (id, d2) rows, vectors dropped
+    * at eviction. The audit frame is one row per cluster (n_members,
+    * n_passed_through) off the same lineage, so a binding cap is a
+    * red number, not a recall mystery. clusterCap = Int.MaxValue
+    * degrades to the exact uncapped semantics (no eviction ever
+    * fires). */
+  def semDedupAudited(emb: DataFrame, k: Int, tau: Double,
+      clusterCap: Int): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
@@ -185,18 +204,33 @@ object Similarity {
       .as[(Long, Long, Double, Seq[Double])]
       .groupByKey(_._2)
       .flatMapGroups { (cluster, it) =>
-        // keep-priority order: farthest-from-centroid first (the
+        // keep-priority total order: farthest-from-centroid first (the
         // paper's keep-the-outlier rule), vec_id tie-break — the same
-        // total order the oracle's `ORDER BY d2 DESC, vec_id` walks.
-        // d2 ≥ 0, so negation is a safe descending key.
-        val ms = it.map { case (id, _, d2, v) => (id, d2, v.toArray) }
-          .toArray.sortBy { case (id, d2, _) => (-d2, id) }
+        // order the oracle's `ORDER BY d2 DESC, vec_id` walks. d2 ≥ 0,
+        // so negation is a safe descending key. The heap's head is the
+        // LOWEST-priority retained member (max by this ordering), so
+        // eviction pops exactly the member the cap should shed — the
+        // retained set is the top-cap by the total order, independent
+        // of encounter order (determinism under any shuffle order).
+        implicit val lowestPriorityFirst: Ordering[(Long, Double, Array[Double])] =
+          Ordering.by { case (id, d2, _) => (-d2, id) }
+        val heap = scala.collection.mutable
+          .PriorityQueue.empty[(Long, Double, Array[Double])]
+        val passed = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        it.foreach { case (id, _, d2, v) =>
+          heap.enqueue((id, d2, v.toArray))
+          if (heap.size > clusterCap) {
+            val (eid, ed2, _) = heap.dequeue() // vector dropped here
+            passed += ((eid, ed2))
+          }
+        }
+        val ms = heap.dequeueAll.reverse.toArray // priority order
         // kept(i) ⟺ no higher-priority j with 6-dp cosine ≥ tau: the
         // strictly-upper-triangular similarity matrix, early-exit on
         // the first hit. Cosine is the same left-to-right fold and
         // HALF_UP 6-dp round the codegen cosine_sim + round() pair
         // computes, so the decision is bit-identical to the oracle's.
-        ms.iterator.zipWithIndex.map { case ((id, d2, v), i) =>
+        val dedup = ms.iterator.zipWithIndex.map { case ((id, d2, v), i) =>
           var removed = false
           var j = 0
           while (j < i && !removed) {
@@ -219,12 +253,22 @@ object Similarity {
             }
             j += 1
           }
-          (id, cluster, d2, !removed)
+          (id, cluster, d2, !removed, false)
+        }
+        dedup ++ passed.iterator.map { case (id, d2) =>
+          (id, cluster, d2, true, true)
         }
       }
-    marked.toDF("vec_id", "cluster", "d2", "kept")
+      .toDF("vec_id", "cluster", "d2", "kept", "passed_through")
+    val result = marked
       .select(col("vec_id"), col("cluster"),
-        round(sqrt(col("d2")), 6).as("dist"), col("kept"))
+        round(sqrt(col("d2")), 6).as("dist"), col("kept"),
+        col("passed_through"))
+    val audit = marked.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("passed_through"), 1L).otherwise(0L))
+          .as("n_passed_through"))
+    (result, audit)
   }
 
   /** Approximate nearest neighbours via random-projection LSH buckets.

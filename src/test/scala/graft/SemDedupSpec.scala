@@ -50,6 +50,46 @@ class SemDedupSpec extends SparkSpec {
     clusters(20L) should not be clusters(21L)
   }
 
+  test("clusterCap: overflow tail passes through kept, audit counts it (r12)") {
+    // centroid 0's cluster holds 5 colinear near-dups; cap 3 retains
+    // the 3 farthest (40..42 by keep-priority), dedups among them
+    // (only 42 survives), and passes 43/44 — the two NEAREST the
+    // centroid — through kept=true untouched. Uncapped, 43/44 would
+    // be removed: the cap's miss direction is keep-too-much, and the
+    // audit makes the trade a number.
+    val rows = Seq(
+      0L -> Seq(1.0f, 0.0f),
+      1L -> Seq(-1.0f, 0.0f),
+      40L -> Seq(6.0f, 0.0f),
+      41L -> Seq(5.0f, 0.0f),
+      42L -> Seq(4.0f, 0.0f),
+      43L -> Seq(3.0f, 0.0f),
+      44L -> Seq(2.0f, 0.0f))
+    val (res, audit) = Similarity.semDedupAudited(df(rows), k = 2,
+      tau = 0.9, clusterCap = 3)
+    val got = res.where(col("vec_id") >= 40)
+      .select("vec_id", "kept", "passed_through")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map { case (id, kt, pt) => id -> ((kt, pt)) }.toMap
+    got(40L) shouldBe ((true, false)) // highest keep-priority exemplar
+    got(41L) shouldBe ((false, false))
+    got(42L) shouldBe ((false, false))
+    got(43L) shouldBe ((true, true)) // evicted: kept, flagged
+    got(44L) shouldBe ((true, true))
+    val a = audit.where(col("cluster") === 0)
+      .select("n_members", "n_passed_through")
+      .as[(Long, Long)].collect().head
+    // 6 members (centroid 0 itself + five planted); 3 past the cap:
+    // 43, 44 AND vec 0 — the centroid sits at d2=0, the lowest
+    // keep-priority of all
+    a shouldBe ((6L, 3L))
+    // uncapped control: the tail members are genuine dups and removed
+    val un = Similarity.semDedup(df(rows), k = 2, tau = 0.9)
+      .where(col("vec_id").isin(43L, 44L))
+      .select("kept").as[Boolean].collect()
+    un.toSeq shouldBe Seq(false, false)
+  }
+
   test("a 3-dup chain removes everything but the single outlier") {
     // three colinear vectors in centroid 0's cluster: only the farthest
     // survives; both nearer ones pair with it above tau.
