@@ -2945,6 +2945,63 @@ object QueriesPipeline {
       |   AS skey
       |FROM k ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin))
 
+  /** Stratified weighted sampling: the [[plWeightedSample]] A-ES key
+    * ranked WITHIN each stratum (language) instead of globally — the
+    * per-domain quota sampler that keeps a curated mix covering every
+    * stratum regardless of corpus skew (the pl_domain_cap selection
+    * discipline with weight-proportional instead of uniform draws).
+    * Same all-BIGINT key; the rank window is PARTITIONED by lang (a
+    * bounded-cardinality key — never a global window), so the plan is
+    * one scan + one lang exchange, and each stratum's quota fills by
+    * the exact same total order the global sampler walks. */
+  val plStratifiedSample: Entry = Entry("pl_stratified_sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m2 = 1L << 20
+      val quota = 40
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(expr("filter(split(coalesce(text, ''), ' '), t -> length(t) > 0)"))
+            .cast("long").as("w"))
+        .where(col("w") >= 1)
+        .withColumn("k2", pmod(graft.functions.Lcg.key(col("doc_id")), lit(m2)))
+        .withColumn("lnu",
+          expr(s"""CAST(floor(1000000 * ln(CAST(k2 + 1 AS DOUBLE))) AS BIGINT)
+            | - CAST(floor(1000000 * ln(CAST($m2 AS DOUBLE))) AS BIGINT)"""
+            .stripMargin))
+        .withColumn("skey",
+          expr("(lnu * 1000000 - pmod(lnu * 1000000, w)) div w"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("skey").desc, col("doc_id"))))
+        .where(col("rk") <= quota)
+        .select(col("doc_id"), col("lang"), col("w"), col("skey"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("lang", "rk")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang,
+      |  CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+      |    x -> x <> '')) AS BIGINT) AS w
+      | FROM documents),
+      |f AS (SELECT doc_id, lang, w,
+      |  ((doc_id % ${graft.functions.Lcg.M}) * ${graft.functions.Lcg.A}
+      |    + ${graft.functions.Lcg.C}) % ${graft.functions.Lcg.M}
+      |    % ${1L << 20} AS k2
+      | FROM t WHERE w >= 1),
+      |k AS (SELECT doc_id, lang, w,
+      |  CAST(floor(1000000 * ln(CAST(k2 + 1 AS DOUBLE))) AS BIGINT)
+      |  - CAST(floor(1000000 * ln(CAST(${1L << 20} AS DOUBLE))) AS BIGINT) AS lnu
+      | FROM f),
+      |s AS (SELECT doc_id, lang, w,
+      |  CAST((lnu * 1000000 - (((lnu * 1000000 % w) + w) % w)) // w AS BIGINT)
+      |    AS skey
+      | FROM k),
+      |r AS (SELECT doc_id, lang, w, skey,
+      |  CAST(row_number() OVER (PARTITION BY lang
+      |    ORDER BY skey DESC, doc_id) AS BIGINT) AS rk
+      | FROM s)
+      |SELECT doc_id, lang, w, skey, rk FROM r WHERE rk <= 40
+      |ORDER BY lang, rk""".stripMargin))
+
   val plDsir: Entry = Entry("pl_dsir",
     (s, d) => {
       val toks = docs(s, d)
@@ -3020,7 +3077,7 @@ object QueriesPipeline {
     plDomainCap, plEndToEnd, plLineDedup, plPerplexityFilter, plChunkOverlap,
     plSubstringDup, plSuffixDedup, plHashFeatures, plLengthBuckets,
     plScoreCalibration,
-    plSoftDedup, plDsir, plWeightedSample,
+    plSoftDedup, plDsir, plWeightedSample, plStratifiedSample,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simKmeans, simKmeansLloyd,
     simNearDup, plSemDedup, simRrfFusion,
     mmDecode, mmResize, mmWav, mmVideoFrames)

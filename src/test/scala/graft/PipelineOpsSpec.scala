@@ -321,6 +321,36 @@ class PipelineOpsSpec extends SparkSpec {
     got.count(_._2 == 40L) should be > 120
   }
 
+  test("stratified sample: per-stratum quota = global A-ES order restricted to the stratum") {
+    // same fixture shape as the global sampler, plus a 2-language
+    // split; each language's winners must be exactly the top-40 of the
+    // SAME driver-replayed key order restricted to that language.
+    val dir = "target/tmp/spec_ssample_sem"
+    (0L until 300L).map { i =>
+      val n = if (i % 2 == 0) 40 else 2
+      val lang = if (i % 3 == 0) "en" else "zh"
+      (i, lang, (1 to n).map(j => s"t${i}_$j").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def floorLn(x: Long): Long = math.floor(1000000.0 * math.log(x.toDouble)).toLong
+    val keys = (0L until 300L).map { id =>
+      val w = if (id % 2 == 0) 40L else 2L
+      val lang = if (id % 3 == 0) "en" else "zh"
+      val k2 = graft.functions.Lcg.key(id) % (1L << 20)
+      val lnu = floorLn(k2 + 1) - floorLn(1L << 20)
+      (id, lang, w, Math.floorDiv(lnu * 1000000L, w))
+    }
+    val expected = keys.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (id, _, _, k) => (-k, id) }.take(40).zipWithIndex
+        .map { case ((id, lang, w, k), i) => (id, lang, w, k, i + 1L) }
+    }.sortBy { case (id, lang, _, _, rk) => (lang, rk) }
+    val got = QueriesPipeline.plStratifiedSample.fn(spark, dir)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    got shouldBe expected
+    got.groupBy(_._2).view.mapValues(_.size).toMap shouldBe
+      Map("en" -> 40, "zh" -> 40)
+  }
+
   test("perplexity filter: closed-form familiarity, tertile buckets, head+middle kept") {
     // corpus bigram counts: aa=5 (3 from doc 1, 2 from doc 2), ab=1,
     // bb=3 → fam1=(5+5+5)/3=5.0, fam2=(5+5+1)/3=3.666667, fam3=3.0.
