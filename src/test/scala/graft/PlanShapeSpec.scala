@@ -738,6 +738,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pl_weighted_sample: one scan, global top-m, ZERO hash exchanges") {
+    val p = staticPlan(QueriesPipeline.plWeightedSample.fn(spark, sf))
+    withClue(p) {
+      hashEx(p) shouldBe 0
+      "TakeOrderedAndProject".r.findAllIn(p).size shouldBe 1
+      p should not include "CartesianProduct"
+    }
+  }
+
+  test("pl_stratified_sample: one scan, one lang exchange") {
+    val p = staticPlan(QueriesPipeline.plStratifiedSample.fn(spark, sf))
+    withClue(p) {
+      hashEx(p) shouldBe 1
+      "Scan parquet".r.findAllIn(p).size shouldBe 1
+      p should include("hashpartitioning(lang")
+    }
+  }
+
+  test("sim_rrf_fusion: TakeOrdered arms, posting-sized exchanges, no cartesian") {
+    val p = staticPlan(QueriesPipeline.simRrfFusion.fn(spark, sf))
+    withClue(p) {
+      // 2 arm top-100s + the final top-20
+      "TakeOrderedAndProject".r.findAllIn(p).size shouldBe 3
+      // tf (doc_id,t), per-doc sum, df census, fusion join — all
+      // bounded by query-term postings / the 100-row arms
+      hashEx(p) should be <= 5
+      p should not include "CartesianProduct"
+    }
+  }
+
   test("w_pareto_abc: facts collapse in the agg BEFORE any window runs") {
     val p = staticPlan(QueriesAggWindow.wParetoAbc.fn(spark, sf))
     withClue(p) {
