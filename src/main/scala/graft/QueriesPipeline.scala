@@ -954,6 +954,59 @@ object QueriesPipeline {
       |FROM adc a JOIN td t ON a.vec_id = t.vec_id
       |ORDER BY a.adc_raw, a.vec_id LIMIT 10""".stripMargin))
 
+  /** Classic IVF-PQ ([[Similarity.ivfPqTopK]]): the composition the
+    * two standalone ANN entries document — IVF cell pruning (PINNED
+    * coarse quantizer, unlike sim_ann_ivf's MLlib cells) feeding PQ
+    * ADC scoring. Because every stage is pinned-deterministic, the
+    * oracle replays the WHOLE composed pipeline — cell argmin,
+    * probe-cell top-4, candidate prune, subspace code assignment, ADC
+    * fold — so the faithfulness gate covers the composition itself,
+    * not a recall bound. */
+  val simAnnIvfPq: Entry = Entry("sim_ann_ivfpq",
+    (s, d) => Similarity.ivfPqTopK(emb(s, d), probeId = 0, k = 10),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |cc AS (SELECT vec_id AS ccid, v AS ccv FROM e WHERE vec_id < 16),
+      |cd AS (SELECT e.vec_id, cc.ccid,
+      |  list_sum(list_transform(list_zip(e.v, cc.ccv),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      | FROM e, cc),
+      |ca AS (SELECT vec_id, ccid AS cell,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccid) AS rn
+      | FROM cd),
+      |pcd AS (SELECT cc.ccid,
+      |  list_sum(list_transform(list_zip(p.pv, cc.ccv),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      | FROM p, cc),
+      |pc AS (SELECT ccid FROM pcd ORDER BY d2, ccid LIMIT 4),
+      |cand AS (SELECT ca.vec_id FROM ca JOIN pc ON ca.cell = pc.ccid
+      | WHERE ca.rn = 1),
+      |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |sd AS (SELECT e.vec_id, t.m, cb.cid,
+      |  list_sum(list_transform(
+      |    list_zip(e.v[t.m*8+1 : t.m*8+8], cb.cv[t.m*8+1 : t.m*8+8]),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      | FROM e JOIN cand USING (vec_id), range(0, 8) t(m), cb),
+      |asg AS (SELECT vec_id, m, cid,
+      |  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+      | FROM sd),
+      |dt AS (SELECT cb.cid, t.m,
+      |  list_sum(list_transform(
+      |    list_zip(p.pv[t.m*8+1 : t.m*8+8], cb.cv[t.m*8+1 : t.m*8+8]),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS pd2
+      | FROM p, range(0, 8) t(m), cb),
+      |adc AS (SELECT a.vec_id, list_sum(list(dt.pd2 ORDER BY a.m)) AS adc_raw
+      | FROM asg a JOIN dt ON a.m = dt.m AND a.cid = dt.cid
+      | WHERE a.rn = 1 GROUP BY a.vec_id),
+      |td AS (SELECT e.vec_id,
+      |  sqrt(list_sum(list_transform(list_zip(e.v, p.pv),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2])))) AS td
+      | FROM e JOIN cand USING (vec_id), p)
+      |SELECT a.vec_id, round(sqrt(a.adc_raw), 6) AS adc_dist,
+      | round(t.td, 6) AS true_dist
+      |FROM adc a JOIN td t ON a.vec_id = t.vec_id
+      |ORDER BY a.adc_raw, a.vec_id LIMIT 10""".stripMargin))
+
   /** Nearest-centroid assignment ([[Similarity.kmeansAssign]]) — the
     * k-means E-step and the backbone of clustering-based curation
     * (cluster the corpus, then sample/filter per cluster). Centroids
@@ -3078,7 +3131,7 @@ object QueriesPipeline {
     plSubstringDup, plSuffixDedup, plHashFeatures, plLengthBuckets,
     plScoreCalibration,
     plSoftDedup, plDsir, plWeightedSample, plStratifiedSample,
-    simTopk, simAnnLsh, simAnnIvf, simAnnPq, simKmeans, simKmeansLloyd,
+    simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simKmeans, simKmeansLloyd,
     simNearDup, plSemDedup, simRrfFusion,
     mmDecode, mmResize, mmWav, mmVideoFrames)
 }

@@ -379,13 +379,24 @@ object Similarity {
   def pqTopK(emb: DataFrame, probeId: Long, k: Int,
       m: Int = 8, ksub: Int = 16): DataFrame = {
     val base = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+    adcTopK(base, base, probeId, k, m, ksub)
+  }
+
+  /** The PQ/ADC scoring core shared by [[pqTopK]] (scan everything)
+    * and [[ivfPqTopK]] (scan only the IVF-pruned candidates): the
+    * codebook and probe ALWAYS come from the full corpus frame
+    * (`cbSource`) — a pruned codebook would silently change every
+    * code assignment — while the scored rows come from `cand`. */
+  private def adcTopK(cbSource: DataFrame, cand: DataFrame, probeId: Long,
+      k: Int, m: Int, ksub: Int): DataFrame = {
+    val base = cand
     // ksub-row codebook fetch + 1-row probe fetch (same driver-side
     // contract as ivfTopK's probe): tiny by construction
-    val cb: Array[Array[Double]] = base.where(col("vec_id") < ksub)
+    val cb: Array[Array[Double]] = cbSource.where(col("vec_id") < ksub)
       .collect().map(r => (r.getLong(0),
         r.getSeq[Double](1).toArray)).sortBy(_._1).map(_._2)
     require(cb.length == ksub, s"codebook needs vec_ids 0..${ksub - 1}")
-    val pv: Array[Double] = base.where(col("vec_id") === probeId)
+    val pv: Array[Double] = cbSource.where(col("vec_id") === probeId)
       .collect().head.getSeq[Double](1).toArray
     val dim = pv.length
     val sub = dim / m
@@ -422,6 +433,56 @@ object Similarity {
       .orderBy(col("adc_raw"), col("vec_id")).limit(k)
       .select(col("vec_id"), round(sqrt(col("adc_raw")), 6).as("adc_dist"),
         round(col("td"), 6).as("true_dist"))
+  }
+
+  /** Classic IVF-PQ (Jégou et al. 2011 §V): the IVF coarse quantizer
+    * prunes WHICH vectors are scanned, PQ/ADC compresses HOW each is
+    * scored — the composition the two standalone entries document.
+    * Unlike [[ivfTopK]] (MLlib k-means cells, oracle = planted truth),
+    * the coarse quantizer here is PINNED (the nLists lowest vec_ids,
+    * exact double argmin with the (d2, cid) tie-break — the
+    * [[kmeansAssign]] contract), so the ENTIRE pipeline — cell
+    * assignment, probe-cell selection, candidate pruning, codebook
+    * assignment, ADC fold — is a pure function an oracle replays
+    * bit-for-bit: the faithfulness gate extends to the composition.
+    *
+    * Scale shape: cell assignment is one broadcast-expand + partial-agg
+    * argmin exchange (one row per vector); the candidate filter is
+    * map-side against the driver-picked nProbe cell ids; ADC scans
+    * ~nProbe/nLists of the corpus with the driver-built distance
+    * table; TakeOrderedAndProject closes. Driver-side state: nLists +
+    * ksub + 1 rows (coarse centroids, codebook, probe). */
+  def ivfPqTopK(emb: DataFrame, probeId: Long, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, m: Int = 8,
+      ksub: Int = 16): DataFrame = {
+    val base = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+    val cents: Array[(Long, Array[Double])] = base.where(col("vec_id") < nLists)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.length == nLists, s"coarse cells need vec_ids 0..${nLists - 1}")
+    val pv: Array[Double] = base.where(col("vec_id") === probeId)
+      .collect().head.getSeq[Double](1).toArray
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // probe's nProbe nearest cells, (d2, cid) total order
+    val probeCells = cents.map { case (cid, cv) => (l2sq(pv, cv), cid) }
+      .sorted.take(nProbe).map(_._2)
+    val cdf = base.where(col("vec_id") < nLists)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = base.crossJoin(broadcast(cdf))
+      .select(col("vec_id"), col("cid"), col("v"),
+        ArrayOps.l2Sq(col("v"), col("cv")).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("mm"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("mm.cid").as("cell"), col("v"))
+    val cand = assigned
+      .where(col("cell").isin(probeCells.map(java.lang.Long.valueOf).toSeq: _*))
+      .select(col("vec_id"), col("v"))
+    adcTopK(base, cand, probeId, k, m, ksub)
   }
 
   /** Embedding near-duplicate pairs above a distance cut, via BANDED
