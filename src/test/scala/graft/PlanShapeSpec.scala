@@ -768,6 +768,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_ivfpq: one argmin exchange, broadcast expand, global top-k") {
+    // the composed pipeline's only shuffle is the cell-argmin partial
+    // agg (one row per vector); the K-expansion rides a broadcast
+    // nested-loop of the 1-row/nLists-row build sides, never a
+    // cartesian; ADC is scan-stage work into TakeOrderedAndProject
+    val p = staticPlan(QueriesPipeline.simAnnIvfPq.fn(spark, sf))
+    withClue(p) {
+      hashEx(p) shouldBe 1
+      "TakeOrderedAndProject".r.findAllIn(p).size shouldBe 1
+      p should not include "CartesianProduct"
+    }
+  }
+
   test("w_pareto_abc: facts collapse in the agg BEFORE any window runs") {
     val p = staticPlan(QueriesAggWindow.wParetoAbc.fn(spark, sf))
     withClue(p) {
