@@ -266,12 +266,18 @@ object Dedup {
     * anyway), so the key SET — which j_fuzzy_cap_audit hash-pins
     * through its census counts — is unchanged. */
   private val deleteOneKeys = udf((s: String) => {
-    val out = new java.util.LinkedHashSet[String]()
-    out.add(s)
-    val n = s.length
-    var i = 0
-    while (i < n) { out.add(s.substring(0, i) + s.substring(i + 1)); i += 1 }
-    out.toArray(new Array[String](out.size))
+    // null text: emit no keys — the row drops at the explode, exactly
+    // what the previous expression spelling did (explode of a null
+    // array); without this a null NPEs the task (r12 self-review)
+    if (s == null) Array.empty[String]
+    else {
+      val out = new java.util.LinkedHashSet[String]()
+      out.add(s)
+      val n = s.length
+      var i = 0
+      while (i < n) { out.add(s.substring(0, i) + s.substring(i + 1)); i += 1 }
+      out.toArray(new Array[String](out.size))
+    }
   })
 
   /** [[fuzzyEditPairs]] WITH its recall-cap audit as a companion frame

@@ -17,6 +17,14 @@ class FuzzyCapSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(identity).toSeq
 
+  test("null text rows drop at the key explode instead of crashing (r12)") {
+    // the pre-UDF expression spelling dropped null-text rows (explode
+    // of a null array); the JVM-loop UDF must preserve that contract
+    val rows = Seq((1L, "abcdef"), (2L, "abcXef"), (3L, null.asInstanceOf[String]))
+    val got = pairs(rows, cap = 64)
+    got shouldBe Seq((1L, 2L, 1L))
+  }
+
   test("finds substitution / insertion / deletion neighbors, rejects ED 2") {
     val got = pairs(Seq(
       1L -> "abcd", // vs 2: substitution; vs 3: deletion; vs 4: ED 2
