@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Components, Decontaminate, Dedup, HeavyHitters, MultiModal, Similarity, UnigramLm}
+import graft.operators.{AhoCorasick, Bpe, Components, Decontaminate, Dedup, HeavyHitters, MultiModal, Similarity, UnigramLm}
 import Queries.Entry
 import Tables.tbl
 
@@ -2572,6 +2572,50 @@ object QueriesPipeline {
       |    ' '), '') AS clean_text
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Multi-pattern blocklist filtering via Aho–Corasick
+    * ([[graft.operators.AhoCorasick]]): flag documents matching any of
+    * a pattern table's substrings in ONE scan-stage pass per document
+    * at O(len + matches) — the bad-word/boilerplate/URL filter a
+    * curation pipeline runs with 10k+ patterns, where a contains-chain
+    * costs K predicates × len. Counts EVERY match start (overlapping
+    * included — the standard AC contract; "big" also fires inside
+    * every "big table" hit, exercising the fail-link output merge).
+    * The oracle replays the occurrence census with an exact substring
+    * position walk per (doc, pattern) — O(len·K), so it rides the
+    * shared sf-conditional sample ([[Tables.modSample]], identity at
+    * shipped SFs). Automaton built driver-side from the pattern list
+    * (vocabulary-bounded — the sketch-coordinator pattern) and shipped
+    * in the UDF closure; no shuffle except the output-contract sort. */
+  val txBlocklist: Entry = Entry("tx_blocklist",
+    (s, d) => {
+      val pats = Seq("hash join", "slow scan", "big", "big table",
+        "window merge", "a row", "customer", "merge batch")
+      val corpus = Tables.modSample(
+        docs(s, d).select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text")),
+        "doc_id", MinhashOracleCap)
+      AhoCorasick.blocklist(corpus, "text", pats)
+        .select(col("doc_id"), col("n_hits"), col("n_patterns"),
+          col("matched"), col("blocked"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH pats AS (SELECT * FROM (VALUES ('hash join'), ('slow scan'),
+      |  ('big'), ('big table'), ('window merge'), ('a row'), ('customer'),
+      |  ('merge batch')) p(pat)),
+      |d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
+      | WHERE doc_id % ((SELECT (count(*) + ${MinhashOracleCap - 1})
+      |                  // $MinhashOracleCap FROM documents)) = 0),
+      |hits AS (SELECT doc_id, pat,
+      |  CAST(len(list_filter(range(1, len(text) - len(pat) + 2),
+      |    i -> substr(text, i, len(pat)) = pat)) AS BIGINT) AS c
+      | FROM d, pats)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits,
+      | CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_patterns,
+      | coalesce(array_to_string(list(pat ORDER BY pat) FILTER (WHERE c > 0),
+      |   ','), '') AS matched,
+      | sum(c) >= 1 AS blocked
+      |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Hashing-trick featurization + fixed linear scorer — the
     * fastText-style quality-classifier SHAPE (Joulin et al. 2016;
     * Weinberger et al. 2009 feature hashing) with every piece
@@ -3124,6 +3168,7 @@ object QueriesPipeline {
     txRedactPii, txBigramLm, txBpePairs, txBpeEncode, txUnigramLm,
     txUnigramEncode,
     txInvertedIndex, txHeavyHitters, txKeyphrases, txCollocations,
+    txBlocklist,
     plCleanCorpus, plCanonical, plPack,
     plMixWeights,
     plDecontaminate, plDeconSemantic, plEpochShard, plEpochShard62,
