@@ -781,6 +781,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("tx_blocklist: map-only scan-stage matching, no hash exchange") {
+    // the automaton rides the UDF closure; matching happens in the
+    // scan stage — the only exchange either side may have is the
+    // output-contract orderBy's range partitioner
+    val p = staticPlan(QueriesPipeline.txBlocklist.fn(spark, sf))
+    withClue(p) {
+      hashEx(p) shouldBe 0
+      "Scan parquet".r.findAllIn(p).size shouldBe 1
+      "- Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
   test("w_pareto_abc: facts collapse in the agg BEFORE any window runs") {
     val p = staticPlan(QueriesAggWindow.wParetoAbc.fn(spark, sf))
     withClue(p) {
