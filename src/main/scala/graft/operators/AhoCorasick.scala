@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -16,22 +17,58 @@ import org.apache.spark.sql.functions._
   * the matched-pattern list (pattern-sorted, so the output is
   * engine-stable).
   *
-  * Scale shape: the automaton is built ONCE driver-side from the
-  * pattern table (vocabulary-bounded by contract — the
-  * sketch-coordinator pattern: what crosses to the driver is patterns,
-  * never documents) and ships inside the UDF closure as plain arrays
-  * (broadcast with the task binary); matching is a map-side scan-stage
-  * function — no shuffle, no join, payloads never leave their
-  * partition. */
+  * Representation (r13, closes the two r12 ADVICE latents):
+  *  - goto is CSR over primitive char/int arrays, binary-searched per
+  *    node — no per-character boxing, no HashMap probe (the r12 shape
+  *    boxed a Character and hashed per input char);
+  *  - outputs are ONE pattern id per terminal node plus a fail-output
+  *    link (nearest output-bearing fail ancestor), walked at match
+  *    time — the r12 shape copied the full suffix-pattern closure into
+  *    every node, O(n²) build memory on a nested-suffix pattern set
+  *    (a, aa, …, aⁿ). Build is now linear in total pattern length.
+  *
+  * Scale shape: the automaton is built driver-side from the pattern
+  * table (vocabulary-bounded by contract — the sketch-coordinator
+  * pattern: what crosses to the driver is patterns, never documents)
+  * and ships via `sc.broadcast` — one torrent-replicated copy per
+  * executor instead of a closure copy per task (r12 latent, closed).
+  * Past the single-automaton comfort zone (~1M patterns) the pattern
+  * set is SHARDED: one automaton per shard, each broadcast, one text
+  * pass per shard, counts merged per row — memory per executor is
+  * bounded by the largest shard while semantics stay bit-identical
+  * because pattern sets are disjoint (spec-pinned sharded≡unsharded).
+  * Matching is a map-side scan-stage function — no shuffle, no join,
+  * payloads never leave their partition. */
 object AhoCorasick {
 
-  /** Immutable flat automaton: dense per-node HashMaps for goto,
-    * int fail links, per-node output pattern ids. */
+  /** Immutable flat automaton. `edgeChar`/`edgeTo` hold each node's
+    * outgoing edges sorted by char in the CSR slice
+    * [nodeOff(s), nodeOff(s+1)); `patEnd(s)` is the pattern id ending
+    * exactly at s (−1 if none — distinct patterns end at distinct
+    * nodes, so one slot suffices); `outLink(s)` is the nearest
+    * output-bearing node on s's fail chain (−1 if none). */
   final class Automaton private[AhoCorasick] (
-      private[AhoCorasick] val goto_ : Array[java.util.HashMap[Character, Integer]],
+      private[AhoCorasick] val nodeOff: Array[Int],
+      private[AhoCorasick] val edgeChar: Array[Char],
+      private[AhoCorasick] val edgeTo: Array[Int],
       private[AhoCorasick] val fail: Array[Int],
-      private[AhoCorasick] val out: Array[Array[Int]],
+      private[AhoCorasick] val patEnd: Array[Int],
+      private[AhoCorasick] val outLink: Array[Int],
       val patterns: Array[String]) extends Serializable {
+
+    /** Binary search for c in node s's sorted edge slice; −1 = no edge. */
+    @inline private def step(s: Int, c: Char): Int = {
+      var lo = nodeOff(s)
+      var hi = nodeOff(s + 1) - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val mc = edgeChar(mid)
+        if (mc == c) return edgeTo(mid)
+        else if (mc < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
 
     /** Per-pattern occurrence counts over `text` (all match starts). */
     def countAll(text: String): Array[Long] = {
@@ -41,13 +78,14 @@ object AhoCorasick {
       var i = 0
       val n = text.length
       while (i < n) {
-        val c = Character.valueOf(text.charAt(i))
-        var g = goto_(s).get(c)
-        while (g == null && s != 0) { s = fail(s); g = goto_(s).get(c) }
-        s = if (g == null) 0 else g.intValue()
-        val os = out(s)
-        var j = 0
-        while (j < os.length) { counts(os(j)) += 1L; j += 1 }
+        val c = text.charAt(i)
+        var g = step(s, c)
+        while (g < 0 && s != 0) { s = fail(s); g = step(s, c) }
+        s = if (g < 0) 0 else g
+        // emit: s itself if terminal, then the fail-output chain —
+        // O(matches at this position), never a precopied closure
+        var v = if (patEnd(s) >= 0) s else outLink(s)
+        while (v >= 0) { counts(patEnd(v)) += 1L; v = outLink(v) }
         i += 1
       }
       counts
@@ -61,47 +99,119 @@ object AhoCorasick {
     require(patterns.nonEmpty, "need at least one pattern")
     require(patterns.forall(p => p != null && p.nonEmpty), "empty pattern")
     require(patterns.distinct.length == patterns.length, "duplicate pattern")
-    val goto_ = scala.collection.mutable.ArrayBuffer(
-      new java.util.HashMap[Character, Integer]())
-    val outB = scala.collection.mutable.ArrayBuffer(
+    // trie with per-node insertion-ordered edge buffers (sorted at freeze)
+    val chB = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Char])
+    val toB = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer.empty[Int])
+    val endB = scala.collection.mutable.ArrayBuffer(-1)
+    def childOf(s: Int, c: Char): Int = {
+      val cs = chB(s); var i = 0
+      while (i < cs.length) { if (cs(i) == c) return toB(s)(i); i += 1 }
+      -1
+    }
     patterns.zipWithIndex.foreach { case (p, pi) =>
       var s = 0
-      p.foreach { ch =>
-        val c = Character.valueOf(ch)
-        val nxt = goto_(s).get(c)
-        if (nxt == null) {
-          goto_ += new java.util.HashMap[Character, Integer]()
-          outB += scala.collection.mutable.ArrayBuffer.empty[Int]
-          goto_(s).put(c, Integer.valueOf(goto_.length - 1))
-          s = goto_.length - 1
-        } else s = nxt.intValue()
+      p.foreach { c =>
+        val nxt = childOf(s, c)
+        if (nxt < 0) {
+          chB += scala.collection.mutable.ArrayBuffer.empty[Char]
+          toB += scala.collection.mutable.ArrayBuffer.empty[Int]
+          endB += -1
+          chB(s) += c; toB(s) += chB.length - 1
+          s = chB.length - 1
+        } else s = nxt
       }
-      outB(s) += pi
+      endB(s) = pi
     }
-    val fail = new Array[Int](goto_.length)
+    val nNodes = chB.length
+    // freeze to CSR, edges sorted by char for binary search
+    val nodeOff = new Array[Int](nNodes + 1)
+    var e = 0
+    var s = 0
+    while (s < nNodes) { nodeOff(s) = e; e += chB(s).length; s += 1 }
+    nodeOff(nNodes) = e
+    val edgeChar = new Array[Char](e)
+    val edgeTo = new Array[Int](e)
+    s = 0
+    while (s < nNodes) {
+      val order = chB(s).indices.sortBy(chB(s)(_))
+      var j = 0
+      while (j < order.length) {
+        edgeChar(nodeOff(s) + j) = chB(s)(order(j))
+        edgeTo(nodeOff(s) + j) = toB(s)(order(j))
+        j += 1
+      }
+      s += 1
+    }
+    def stepF(st: Int, c: Char): Int = {
+      var lo = nodeOff(st); var hi = nodeOff(st + 1) - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (edgeChar(mid) == c) return edgeTo(mid)
+        else if (edgeChar(mid) < c) lo = mid + 1 else hi = mid - 1
+      }
+      -1
+    }
+    val fail = new Array[Int](nNodes)
+    val patEnd = endB.toArray
+    val outLink = Array.fill(nNodes)(-1)
     val queue = scala.collection.mutable.Queue.empty[Int]
-    goto_(0).forEach((_, v) => queue.enqueue(v.intValue()))
+    var j = nodeOff(0)
+    while (j < nodeOff(1)) { queue.enqueue(edgeTo(j)); j += 1 }
     while (queue.nonEmpty) {
       val r = queue.dequeue()
-      goto_(r).forEach { (c, u) =>
-        queue.enqueue(u.intValue())
+      var k = nodeOff(r)
+      while (k < nodeOff(r + 1)) {
+        val c = edgeChar(k); val u = edgeTo(k)
+        queue.enqueue(u)
         var st = fail(r)
-        while (st != 0 && goto_(st).get(c) == null) st = fail(st)
-        val f = goto_(st).get(c)
-        val fl =
-          if (f != null && f.intValue() != u.intValue()) f.intValue() else 0
-        fail(u.intValue()) = fl
-        outB(u.intValue()) ++= outB(fl)
+        var f = stepF(st, c)
+        while (f < 0 && st != 0) { st = fail(st); f = stepF(st, c) }
+        val fl = if (f >= 0 && f != u) f else 0
+        fail(u) = fl
+        // nearest output-bearing fail ancestor — a pointer, not a copy
+        outLink(u) = if (patEnd(fl) >= 0) fl else outLink(fl)
+        k += 1
       }
     }
-    new Automaton(goto_.toArray, fail, outB.map(_.toArray).toArray,
+    new Automaton(nodeOff, edgeChar, edgeTo, fail, patEnd, outLink,
       patterns.toArray)
   }
 
-  /** Column function: match `textCol` against the automaton, returning
-    * struct(n_hits, n_patterns, matched) — total occurrences, distinct
-    * patterns hit, and the pattern-sorted comma-joined matched list. */
+  /** Patterns per shard. One automaton over ≤64k patterns is well
+    * inside a single broadcast block; a 10M-pattern blocklist becomes
+    * ~153 shards, each executor holding one shard's automaton at a
+    * time during its text pass. */
+  val DefaultShardSize = 65536
+
+  /** Column function: match `textCol` against pattern shards shipped
+    * as broadcasts, returning struct(n_hits, n_patterns, matched) —
+    * total occurrences, distinct patterns hit, and the pattern-sorted
+    * comma-joined matched list. Shards hold DISJOINT pattern sets, so
+    * per-row merge is sum/sum/sorted-union — bit-identical to one
+    * automaton over the full set. */
+  def matchStats(shards: Seq[Broadcast[Automaton]])(textCol: Column): Column = {
+    val u = udf((text: String) => {
+      var hits = 0L
+      var np = 0L
+      val matched = scala.collection.mutable.ArrayBuffer.empty[String]
+      shards.foreach { b =>
+        val ac = b.value
+        val counts = ac.countAll(text)
+        var i = 0
+        while (i < counts.length) {
+          if (counts(i) > 0) { np += 1; matched += ac.patterns(i) }
+          hits += counts(i)
+          i += 1
+        }
+      }
+      (hits, np, matched.sorted.mkString(","))
+    })
+    u(textCol)
+  }
+
+  /** Single prebuilt-automaton form (specs, custom callers). */
   def matchStats(ac: Automaton)(textCol: Column): Column = {
     val u = udf((text: String) => {
       val counts = ac.countAll(text)
@@ -121,11 +231,14 @@ object AhoCorasick {
 
   /** Convenience: flag + annotate a corpus frame against a pattern
     * list. Output: input columns + (n_hits, n_patterns, matched,
-    * blocked). */
-  def blocklist(df: DataFrame, textCol: String,
-      patterns: Seq[String]): DataFrame = {
-    val ac = build(patterns)
-    df.withColumn("__m", matchStats(ac)(col(textCol)))
+    * blocked). Builds per-shard automata driver-side and ships each
+    * via broadcast. */
+  def blocklist(df: DataFrame, textCol: String, patterns: Seq[String],
+      shardSize: Int = DefaultShardSize): DataFrame = {
+    require(shardSize >= 1, "shardSize must be >= 1")
+    val sc = df.sparkSession.sparkContext
+    val shards = patterns.grouped(shardSize).toSeq.map(p => sc.broadcast(build(p)))
+    df.withColumn("__m", matchStats(shards)(col(textCol)))
       .withColumn("n_hits", col("__m._1"))
       .withColumn("n_patterns", col("__m._2"))
       .withColumn("matched", col("__m._3"))

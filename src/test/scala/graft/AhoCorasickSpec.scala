@@ -50,6 +50,36 @@ class AhoCorasickSpec extends SparkSpec {
     }
   }
 
+  test("nested-suffix pattern set (a, aa, ..., a^n): linear build, exact counts") {
+    // the r12 closure-copy build was O(n^2) memory on exactly this set;
+    // the fail-output-link build is linear and must count identically:
+    // a^k occurs (L - k + 1) times in a^L
+    val n = 600
+    val ac = AhoCorasick.build((1 to n).map("a" * _))
+    val L = 2000
+    val got = ac.countAll("a" * L)
+    (1 to n).foreach { k => got(k - 1) shouldBe (L - k + 1).toLong }
+  }
+
+  test("sharded blocklist is bit-identical to unsharded on randomized inputs") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd "
+    val pats = Seq("ab", "abc", "ca b", "b", "aa", "c ab", "dd", "a d",
+      "bc", "cab", "d", "ab ab")
+    val rows = (1L to 40L).map { i =>
+      (i, Seq.fill(rnd.nextInt(80))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = rows.toDF("id", "t")
+    def run(shard: Int) =
+      AhoCorasick.blocklist(df, "t", pats, shardSize = shard)
+        .select("id", "n_hits", "n_patterns", "matched", "blocked")
+        .as[(Long, Long, Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    val whole = run(pats.length)
+    run(1) shouldBe whole   // one automaton per pattern
+    run(5) shouldBe whole   // uneven split (5,5,2)
+  }
+
   test("blocklist frame annotation: hits, distinct patterns, sorted matched list") {
     val df = Seq((1L, "the big big table"), (2L, "nothing here")).toDF("id", "t")
     val got = AhoCorasick.blocklist(df, "t", Seq("big", "big table", "zz"))
