@@ -3001,8 +3001,15 @@ object QueriesPipeline {
     * floorDiv(lnu·10^6, w) with the exact-divisibility floorDiv
     * spelling — so both engines walk one total order (key desc,
     * doc_id). Folding to 2^20 trades key granularity, not correctness:
-    * collisions sort adjacent under the doc_id tie-break (the Lcg
-    * wrap-scope note).
+    * collisions sort adjacent under the tie-break (the Lcg wrap-scope
+    * note). TIE-BREAK (r13): within a granule collision, ties order by
+    * [[graft.functions.Lcg.key2]] — a second, decorrelated full
+    * permutation — then doc_id; a raw doc_id tie-break preferentially
+    * selected LOW ids inside every tied granule once the corpus
+    * outgrows the 2^20 granule count (~1M docs), a selection bias the
+    * permuted tie-break removes (SampleTieBreakSpec plants a
+    * same-granule cohort and pins both the no-bias behavior and the
+    * shipped-data no-op: zero skey ties exist in any shipped top-200).
     *
     * Plan at 100 TB: ONE corpus scan, per-row integer arithmetic,
     * global top-m via TakeOrderedAndProject (per-partition heaps, the
@@ -3022,7 +3029,8 @@ object QueriesPipeline {
             .stripMargin))
         .withColumn("skey",
           expr("(lnu * 1000000 - pmod(lnu * 1000000, w)) div w"))
-        .orderBy(col("skey").desc, col("doc_id")).limit(200)
+        .withColumn("tb", graft.functions.Lcg.key2(col("doc_id")))
+        .orderBy(col("skey").desc, col("tb"), col("doc_id")).limit(200)
         .select(col("doc_id"), col("w"), col("skey"))
     },
     Some(s"""WITH t AS (SELECT doc_id,
@@ -3031,23 +3039,25 @@ object QueriesPipeline {
       | FROM documents),
       |f AS (SELECT doc_id, w,
       |  ((doc_id % ${graft.functions.Lcg.M}) * ${graft.functions.Lcg.A} + ${graft.functions.Lcg.C}) % ${graft.functions.Lcg.M}
-      |    % ${1L << 20} AS k2
+      |    % ${1L << 20} AS k2,
+      |  ((doc_id % ${graft.functions.Lcg.M}) * ${graft.functions.Lcg.A2} + ${graft.functions.Lcg.C2}) % ${graft.functions.Lcg.M} AS tb
       | FROM t WHERE w >= 1),
-      |k AS (SELECT doc_id, w,
+      |k AS (SELECT doc_id, w, tb,
       |  CAST(floor(1000000 * ln(CAST(k2 + 1 AS DOUBLE))) AS BIGINT)
       |  - CAST(floor(1000000 * ln(CAST(${1L << 20} AS DOUBLE))) AS BIGINT) AS lnu
       | FROM f)
       |SELECT doc_id, w,
       | CAST((lnu * 1000000 - (((lnu * 1000000 % w) + w) % w)) // w AS BIGINT)
       |   AS skey
-      |FROM k ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin))
+      |FROM k ORDER BY skey DESC, tb, doc_id LIMIT 200""".stripMargin))
 
   /** Stratified weighted sampling: the [[plWeightedSample]] A-ES key
     * ranked WITHIN each stratum (language) instead of globally — the
     * per-domain quota sampler that keeps a curated mix covering every
     * stratum regardless of corpus skew (the pl_domain_cap selection
     * discipline with weight-proportional instead of uniform draws).
-    * Same all-BIGINT key; the rank window is PARTITIONED by lang (a
+    * Same all-BIGINT key and the same [[graft.functions.Lcg.key2]]
+    * permuted tie-break; the rank window is PARTITIONED by lang (a
     * bounded-cardinality key — never a global window), so the plan is
     * one scan + one lang exchange, and each stratum's quota fills by
     * the exact same total order the global sampler walks. */
@@ -3068,8 +3078,10 @@ object QueriesPipeline {
             .stripMargin))
         .withColumn("skey",
           expr("(lnu * 1000000 - pmod(lnu * 1000000, w)) div w"))
+        .withColumn("tb", graft.functions.Lcg.key2(col("doc_id")))
         .withColumn("rk", row_number().over(
-          Window.partitionBy("lang").orderBy(col("skey").desc, col("doc_id"))))
+          Window.partitionBy("lang")
+            .orderBy(col("skey").desc, col("tb"), col("doc_id"))))
         .where(col("rk") <= quota)
         .select(col("doc_id"), col("lang"), col("w"), col("skey"),
           col("rk").cast("long").as("rk"))
@@ -3082,19 +3094,21 @@ object QueriesPipeline {
       |f AS (SELECT doc_id, lang, w,
       |  ((doc_id % ${graft.functions.Lcg.M}) * ${graft.functions.Lcg.A}
       |    + ${graft.functions.Lcg.C}) % ${graft.functions.Lcg.M}
-      |    % ${1L << 20} AS k2
+      |    % ${1L << 20} AS k2,
+      |  ((doc_id % ${graft.functions.Lcg.M}) * ${graft.functions.Lcg.A2}
+      |    + ${graft.functions.Lcg.C2}) % ${graft.functions.Lcg.M} AS tb
       | FROM t WHERE w >= 1),
-      |k AS (SELECT doc_id, lang, w,
+      |k AS (SELECT doc_id, lang, w, tb,
       |  CAST(floor(1000000 * ln(CAST(k2 + 1 AS DOUBLE))) AS BIGINT)
       |  - CAST(floor(1000000 * ln(CAST(${1L << 20} AS DOUBLE))) AS BIGINT) AS lnu
       | FROM f),
-      |s AS (SELECT doc_id, lang, w,
+      |s AS (SELECT doc_id, lang, w, tb,
       |  CAST((lnu * 1000000 - (((lnu * 1000000 % w) + w) % w)) // w AS BIGINT)
       |    AS skey
       | FROM k),
       |r AS (SELECT doc_id, lang, w, skey,
       |  CAST(row_number() OVER (PARTITION BY lang
-      |    ORDER BY skey DESC, doc_id) AS BIGINT) AS rk
+      |    ORDER BY skey DESC, tb, doc_id) AS BIGINT) AS rk
       | FROM s)
       |SELECT doc_id, lang, w, skey, rk FROM r WHERE rk <= 40
       |ORDER BY lang, rk""".stripMargin))

@@ -42,4 +42,21 @@ object Lcg {
 
   /** Scala twin for specs/brute-force oracles — keep in lockstep. */
   def key(x: Long): Long = ((x % M) * A + C) % M
+
+  /** A SECOND, independent Hull–Dobell pair (Numerical Recipes'
+    * ranqd1 constants): a2−1 = 4·416131, c2 odd, max product
+    * a2·(m−1) ≈ 3.6e15 < 2^63. Used as the within-granule tie-break
+    * for the A-ES samplers: when [[key]] folded to 2^20 granules
+    * collides (possible past ~1M docs), ordering ties by key2 —
+    * another full permutation, decorrelated from key — instead of by
+    * raw doc_id removes the low-id selection bias a doc_id tie-break
+    * carries (r12 ADVICE latent, closed r13). */
+  val A2: Long = 1664525L
+  val C2: Long = 1013904223L
+
+  /** Column form of the tie-break permutation. */
+  def key2(x: Column): Column = pmod(pmod(x, lit(M)) * A2 + C2, lit(M))
+
+  /** Scala twin — keep in lockstep with [[key2]]. */
+  def key2(x: Long): Long = ((x % M) * A2 + C2) % M
 }

@@ -37,4 +37,28 @@ object LcgProps extends Properties("lcg") {
     Prop.forAll(domGen) { x =>
       Lcg.key(x + Lcg.M) == Lcg.key(x) && Lcg.key(Long.MaxValue) >= 0L
     }
+
+  // the r13 tie-break permutation: same Hull–Dobell obligations
+  property("key2 lands in [0, 2^31) and is injective below 2^31") =
+    Prop.forAll(domGen, domGen) { (x, y) =>
+      val kx = Lcg.key2(x)
+      kx >= 0L && kx < Lcg.M && ((x == y) == (kx == Lcg.key2(y)))
+    }
+
+  property("key2 has an exact inverse (constructive bijection)") = {
+    val aInv = BigInt(Lcg.A2).modInverse(BigInt(Lcg.M)).toLong
+    Prop.forAll(domGen) { x =>
+      val k = Lcg.key2(x)
+      val back = (BigInt(aInv) * BigInt((k - Lcg.C2 % Lcg.M + Lcg.M) % Lcg.M))
+        .mod(BigInt(Lcg.M)).toLong
+      back == x
+    }
+  }
+
+  property("key2 is decorrelated from key (not a shift of the same orbit)") =
+    Prop.forAll(domGen, domGen) { (x, y) =>
+      // the composite (key, key2) separates any two distinct inputs the
+      // same way each component does; and the two maps genuinely differ
+      (x == y) || Lcg.key(x) != Lcg.key2(x) || Lcg.key(y) != Lcg.key2(y)
+    }
 }
