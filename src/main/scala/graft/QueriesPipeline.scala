@@ -1007,6 +1007,118 @@ object QueriesPipeline {
       |FROM adc a JOIN td t ON a.vec_id = t.vec_id
       |ORDER BY a.adc_raw, a.vec_id LIMIT 10""".stripMargin))
 
+  /** Recall@10 observability for the four ANN paths (VERDICT r12 #3,
+    * the [[Queries.jFuzzyCapAudit]] companion-audit pattern): each
+    * method's top-10 is intersected with the brute-force L2 truth ON
+    * ITS OWN CORPUS, so approximation quality is a hash-pinned integer
+    * per method instead of a property implied across entries. Oracle
+    * spellings differ by what each method guarantees:
+    *  - lsh / ivf run on the planted-neighbor corpora where their own
+    *    entries prove ANN top-10 == exact top-10, so expected recall is
+    *    the CONSTANT 10 — a bucket/cell pruning regression that drops
+    *    any planted neighbor turns this row red;
+    *  - pq / ivfpq run on the raw corpus where recall is whatever the
+    *    pinned codebook earns: the oracle replays the quantizer in SQL
+    *    (the sim_ann_pq / sim_ann_ivfpq discipline) and intersects with
+    *    independent SQL truth, so engine-vs-spec quantizer drift — not
+    *    just plan drift — flips the row.
+    * Cost shape: every side is a corpus scan + TakeOrdered into 10-row
+    * frames; the joins are 10×10. Nothing here outlives test scale
+    * badly — at 100 TB this is the standard sampled-recall canary run
+    * on a corpus slice. */
+  val simAnnRecall: Entry = Entry("sim_ann_recall_audit",
+    (s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        graft.functions.ArrayOps.asDouble(col("embedding")).as("embedding"))
+      def planted(off: Double, idBase: Long) = base.where(col("vec_id") === 0)
+        .select(explode(sequence(lit(1L), lit(12L))).as("j"), col("embedding"))
+        .select((lit(idBase) + col("j")).as("vec_id"),
+          transform(col("embedding"), x => x + col("j") * lit(off)).as("embedding"))
+      def truth10(corpus: DataFrame): DataFrame = {
+        val probe = corpus.where(col("vec_id") === 0)
+          .select(col("embedding").as("pv"))
+        corpus.crossJoin(broadcast(probe))
+          .select(col("vec_id"),
+            round(sqrt(graft.functions.ArrayOps.l2Sq(col("embedding"), col("pv"))), 6)
+              .as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(10)
+          .select("vec_id")
+      }
+      def recall(method: String, ann: DataFrame, truth: DataFrame): DataFrame =
+        ann.select("vec_id").join(truth, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("recall10"))
+          .select(lit(method).as("method"), col("recall10"))
+      val lshCorpus = base.unionByName(planted(0.002, 200000L))
+      val ivfCorpus = base.unionByName(planted(0.0025, 300000L))
+      recall("ivf", Similarity.ivfTopK(ivfCorpus, probeId = 0, k = 10),
+          truth10(ivfCorpus))
+        .unionByName(recall("ivfpq",
+          Similarity.ivfPqTopK(base, probeId = 0, k = 10), truth10(base)))
+        .unionByName(recall("lsh",
+          Similarity.annTopK(lshCorpus, probeId = 0, k = 10), truth10(lshCorpus)))
+        .unionByName(recall("pq",
+          Similarity.pqTopK(base, probeId = 0, k = 10), truth10(base)))
+        .orderBy("method")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |truth AS (SELECT vec_id FROM (
+      |  SELECT vec_id, round(sqrt(list_sum(list_transform(list_zip(v, pv),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2])))), 6) AS dist
+      |  FROM e, p) ORDER BY dist, vec_id LIMIT 10),
+      |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |sd AS (SELECT e.vec_id, t.m, cb.cid,
+      |  list_sum(list_transform(
+      |    list_zip(e.v[t.m*8+1 : t.m*8+8], cb.cv[t.m*8+1 : t.m*8+8]),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      | FROM e, range(0, 8) t(m), cb),
+      |asg AS (SELECT vec_id, m, cid,
+      |  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+      | FROM sd),
+      |dt AS (SELECT cb.cid, t.m,
+      |  list_sum(list_transform(
+      |    list_zip(p.pv[t.m*8+1 : t.m*8+8], cb.cv[t.m*8+1 : t.m*8+8]),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS pd2
+      | FROM p, range(0, 8) t(m), cb),
+      |adc AS (SELECT a.vec_id, list_sum(list(dt.pd2 ORDER BY a.m)) AS adc_raw
+      | FROM asg a JOIN dt ON a.m = dt.m AND a.cid = dt.cid
+      | WHERE a.rn = 1 GROUP BY a.vec_id),
+      |pq10 AS (SELECT vec_id FROM adc ORDER BY adc_raw, vec_id LIMIT 10),
+      |cd AS (SELECT e.vec_id, cb.cid AS ccid,
+      |  list_sum(list_transform(list_zip(e.v, cb.cv),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      | FROM e, cb),
+      |ca AS (SELECT vec_id, ccid AS cell,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccid) AS rn
+      | FROM cd),
+      |pcd AS (SELECT cb.cid AS ccid,
+      |  list_sum(list_transform(list_zip(p.pv, cb.cv),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      | FROM p, cb),
+      |pc AS (SELECT ccid FROM pcd ORDER BY d2, ccid LIMIT 4),
+      |cand AS (SELECT ca.vec_id FROM ca JOIN pc ON ca.cell = pc.ccid
+      | WHERE ca.rn = 1),
+      |sd2 AS (SELECT e.vec_id, t.m, cb.cid,
+      |  list_sum(list_transform(
+      |    list_zip(e.v[t.m*8+1 : t.m*8+8], cb.cv[t.m*8+1 : t.m*8+8]),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      | FROM e JOIN cand USING (vec_id), range(0, 8) t(m), cb),
+      |asg2 AS (SELECT vec_id, m, cid,
+      |  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+      | FROM sd2),
+      |adc2 AS (SELECT a.vec_id, list_sum(list(dt.pd2 ORDER BY a.m)) AS adc_raw
+      | FROM asg2 a JOIN dt ON a.m = dt.m AND a.cid = dt.cid
+      | WHERE a.rn = 1 GROUP BY a.vec_id),
+      |ivfpq10 AS (SELECT vec_id FROM adc2 ORDER BY adc_raw, vec_id LIMIT 10)
+      |SELECT * FROM (
+      | SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS recall10
+      | UNION ALL SELECT 'ivfpq',
+      |  (SELECT count(*) FROM ivfpq10 JOIN truth USING (vec_id))
+      | UNION ALL SELECT 'lsh', CAST(10 AS BIGINT)
+      | UNION ALL SELECT 'pq',
+      |  (SELECT count(*) FROM pq10 JOIN truth USING (vec_id))
+      |) ORDER BY method""".stripMargin))
+
   /** Nearest-centroid assignment ([[Similarity.kmeansAssign]]) — the
     * k-means E-step and the backbone of clustering-based curation
     * (cluster the corpus, then sample/filter per cluster). Centroids
@@ -3190,7 +3302,8 @@ object QueriesPipeline {
     plSubstringDup, plSuffixDedup, plHashFeatures, plLengthBuckets,
     plScoreCalibration,
     plSoftDedup, plDsir, plWeightedSample, plStratifiedSample,
-    simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simKmeans, simKmeansLloyd,
+    simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simAnnRecall,
+    simKmeans, simKmeansLloyd,
     simNearDup, plSemDedup, simRrfFusion,
     mmDecode, mmResize, mmWav, mmVideoFrames)
 }
