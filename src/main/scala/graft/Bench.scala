@@ -62,10 +62,35 @@ object Bench {
     // whichever entry next stresses the driver). Per-query times
     // should measure the QUERY, not its predecessors' garbage.
     val gcBetween = !sys.env.get("SPARK_GRAFT_GC").contains("0")
+
+    // Deterministic plan metrics (VERDICT r12 #1): every SQL action an
+    // entry runs reports its executed plan's exchange/shuffle/spill
+    // numbers via QueryExecutionListener; sums are attributed to the
+    // entry named in `currentQ`. Wall-times here ride host weather —
+    // these do not, so bench_compare can flag a plan regression (new
+    // exchange, 10x shuffle growth) exactly, before seconds move.
+    // Recorded from PASS 2 only: pass 1 carries one-time fixture
+    // builds and memo warms that are not the entry's steady plan.
+    val planAgg = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    val currentQ = new java.util.concurrent.atomic.AtomicReference[String](null)
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val n = currentQ.get()
+        if (n != null) {
+          val m = graft.plans.PlanMetrics.of(qe.executedPlan)
+          planAgg.merge(n, m, (a, b) => graft.plans.PlanMetrics.add(a, b))
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
+
     def runOnce(name: String): (Double, Option[String]) = {
       if (gcBetween) { System.gc(); Thread.sleep(50) }
-      val t0 = System.nanoTime()
-      try {
+      currentQ.set(name)
+      val r = try {
+        val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         ((System.nanoTime() - t0) / 1e9, None)
@@ -73,6 +98,12 @@ object Bench {
         case e: Throwable =>
           (-1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
       }
+      // flush the async listener bus OUTSIDE the timer so a trailing
+      // onSuccess can't book this entry's metrics to the next name
+      try org.apache.spark.sql.GraftPlanBridge.drainListenerBus(spark.sparkContext)
+      catch { case _: Throwable => () }
+      currentQ.set(null)
+      r
     }
 
     // harness setup: file fixtures written before anything is timed
@@ -96,6 +127,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val pass1 = names.map(n => n -> runOnce(n)).toMap
+    planAgg.clear() // plan metrics record pass 2's steady state only
     val pass2 = names.map(n => n -> runOnce(n)).toMap
     // per-query min of the two passes; a pass that errored (-1) defers
     // to the other — a query is an error only if BOTH passes failed
@@ -165,11 +197,21 @@ object Bench {
     // printed line: errors dict only when non-empty, pass totals only in
     // the file — every byte spent on always-empty fields narrows the
     // per-query precision the 1900-char budget can afford
+    // per-entry deterministic plan metrics (pass-2 sums) — full record
+    // only; the stdout line's 1900-char budget can't carry them
+    def planJson: String = names.flatMap { n =>
+      Option(planAgg.get(n)).map { m =>
+        val fields = graft.plans.PlanMetrics.Keys.zipWithIndex
+          .map { case (k, i) => s"${q(k)}:${if (i < m.length) m(i) else 0L}" }
+        s"${q(n)}:{${fields.mkString(",")}}"
+      }
+    }.mkString("{", ",", "}")
     def line(dec: Int, full: Boolean): String = {
       val qs = results.map { case (k, (t, _)) => s"${q(k)}:${fmt(t, dec)}" }
         .mkString("{", ",", "}")
       val extra = (if (nErr > 0 || full) s""","errors":$errs""" else "") +
         (if (full) s""","passes":[${passTotal(pass1)},${passTotal(pass2)}]""" else "") +
+        (if (full) s""","plan":$planJson""" else "") +
         (if (full) hostFactor.fold("") { h =>
           val cs = ctl.map { case (k, t) => s"${q(k)}:${fmt(t, 3)}" }
             .mkString("{", ",", "}")

@@ -20,8 +20,18 @@ import org.apache.spark.sql.execution.{LocalTableScanExec, SortExec, UnsafeExter
   *    spill thresholds included — so the fallback inherits Spark's
   *    memory accounting instead of reimplementing it. The
   *    LocalTableScanExec child is a schema carrier only (createSorter
-  *    reads `child.output`); nothing is executed through it. */
+  *    reads `child.output`); nothing is executed through it.
+  *  - [[drainListenerBus]]: Bench attributes QueryExecutionListener
+  *    callbacks (plan-metric reads) to the entry that just ran; the
+  *    listener fires on the ASYNC shared bus, so without a drain a
+  *    callback could land after the next entry starts and book its
+  *    metrics to the wrong name. `LiveListenerBus.waitUntilEmpty` is
+  *    the exact flush Spark's own test harness uses; it has no public
+  *    twin. Called OUTSIDE the timed window only. */
 object GraftPlanBridge {
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)

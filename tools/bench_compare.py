@@ -94,6 +94,40 @@ def main():
             print(f"  {k}: {qa[k]:.2f} -> {qb[k]:.2f} (+{d:.2f})")
     else:
         print("no per-query regressions (>30% and >0.3s)")
+    # deterministic plan metrics (r13): exchange counts / shuffle volume /
+    # spill are code+data properties, immune to host weather — a flagged
+    # change here is REAL even when every wall-time moved with the VM
+    pa, pb = a.get("plan"), b.get("plan")
+    if pa and pb:
+        common_p = sorted(set(pa) & set(pb))
+        regress, improve = [], []
+        for k in common_p:
+            ma, mb = pa[k], pb[k]
+            for f in ("exchanges", "broadcasts", "scans"):
+                va, vb = ma.get(f, 0), mb.get(f, 0)
+                if vb > va:
+                    regress.append(f"{k}: {f} {va} -> {vb}")
+                elif vb < va:
+                    improve.append(f"{k}: {f} {va} -> {vb}")
+            ra, rb = ma.get("shuffle_rows", 0), mb.get("shuffle_rows", 0)
+            if rb > ra * 1.5 + 1000:
+                regress.append(f"{k}: shuffle_rows {ra} -> {rb}")
+            ba, bb = ma.get("shuffle_bytes", 0), mb.get("shuffle_bytes", 0)
+            if bb > ba * 1.5 and bb - ba > 1 << 20:
+                regress.append(f"{k}: shuffle_bytes {ba} -> {bb}")
+            if mb.get("spill_bytes", 0) > 0 and ma.get("spill_bytes", 0) == 0:
+                regress.append(f"{k}: NEW spill {mb['spill_bytes']} bytes")
+        if regress:
+            print("PLAN regressions (weather-immune — real even if times look flat):")
+            for r in regress:
+                print("  " + r)
+        else:
+            print(f"no plan regressions across {len(common_p)} common entries")
+        if improve:
+            print("plan improvements: " + "; ".join(improve))
+    elif pb and not pa:
+        print("plan metrics: only the newer record carries them "
+              "(older is a pre-r13 baseline) — seconds-only compare above")
     added = {k: qb[k] for k in qb if k not in qa}
     removed = sorted(k for k in qa if k not in qb)
     if added:
