@@ -551,7 +551,7 @@ object Queries {
     (s, d) => {
       val c = Tables.modSample(
         cust(s, d).select(col("c_custkey").as("id"), col("c_name").as("s")),
-        "id", FuzzyOracleCap)
+        "id", FuzzyOracleCap, Tables.tableCount(s, d, "customer"))
       operators.Dedup.fuzzyEditPairs(c, maxKeyFreq = 64)
         .select(col("id_a").as("akey"), col("id_b").as("bkey"), col("dist"))
         .orderBy("akey", "bkey")

@@ -53,7 +53,7 @@ object QueriesPipeline {
   private[graft] def minhashBaseDocs(s: SparkSession, d: String): DataFrame =
     Tables.modSample(
       docs(s, d).select(col("doc_id").as("id"), col("text")),
-      "id", MinhashOracleCap)
+      "id", MinhashOracleCap, Tables.tableCount(s, d, "documents"))
 
   private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = minhashBaseDocs(s, d)
@@ -2705,7 +2705,7 @@ object QueriesPipeline {
       val corpus = Tables.modSample(
         docs(s, d).select(col("doc_id"),
           coalesce(col("text"), lit("")).as("text")),
-        "doc_id", MinhashOracleCap)
+        "doc_id", MinhashOracleCap, Tables.tableCount(s, d, "documents"))
       AhoCorasick.blocklist(corpus, "text", pats)
         .select(col("doc_id"), col("n_hits"), col("n_patterns"),
           col("matched"), col("blocked"))

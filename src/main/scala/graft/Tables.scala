@@ -78,14 +78,36 @@ object Tables {
     * all-pairs oracle). At the shipped SFs n ≤ cap, so k = 1 and the
     * frame is returned UNTOUCHED — identical plan, identical hash;
     * above cap both sides shrink by the same deterministic predicate.
-    * The count is a driver-side footer-only scan returning one long
-    * (metadata-sized by construction). The matching oracle spelling is
-    * `id % ((SELECT (count(*) + cap - 1) // cap FROM t)) = 0` — the
-    * sampled-side OPERATORS are bucketed and scale-safe; the sample
-    * bounds the oracle's cost, not the plan's. */
-  private[graft] def modSample(df: DataFrame, idCol: String, cap: Long): DataFrame = {
-    val k = (df.count() + cap - 1) / cap
+    * The count comes from [[tableCount]] — a driver-side footer-only
+    * scan returning one long (metadata-sized by construction), MEMOIZED
+    * per (dir, table) and re-read only when [[dataVer]] changes: the
+    * r12 shape ran the count action at plan-construction time on every
+    * entry invocation, and a corpus regenerated between two in-run
+    * counts could have sampled different id sets than the oracle's
+    * independent count(*) (r12 ADVICE, closed). The matching oracle
+    * spelling is `id % ((SELECT (count(*) + cap - 1) // cap FROM t))
+    * = 0` — the sampled-side OPERATORS are bucketed and scale-safe;
+    * the sample bounds the oracle's cost, not the plan's. */
+  private[graft] def modSample(df: DataFrame, idCol: String, cap: Long,
+      n: Long): DataFrame = {
+    val k = (n + cap - 1) / cap
     if (k <= 1) df else df.where(pmod(col(idCol), lit(k)) === 0)
+  }
+
+  /** Memoized base-table row count, keyed (dir, table), value replaced
+    * when [[dataVer]] changes — the [[tblSchemaCache]] discipline.
+    * Parquet count() is footer metadata, but it is still a Spark ACTION;
+    * entries calling it at plan-construction time paid one job per
+    * invocation and raced a mid-run testdata regen. */
+  private val tblCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, Long)]()
+
+  private[graft] def tableCount(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val ver = dataVer(dir, name)
+    tblCountCache.compute((dir, name), (_, cur) =>
+      if (cur != null && cur._1 == ver) cur
+      else (ver, tbl(spark, dir, name).count()))._2
   }
 
   /** Data-version token for derived-fixture cache keys: mtime+length of
