@@ -1287,6 +1287,70 @@ object QueriesPipeline {
       |FROM m LEFT JOIN rm ON m.vec_id = rm.vec_id
       |ORDER BY m.vec_id""".stripMargin))
 
+  /** SemDeDup fed by TRAINED centroids — the composed
+    * `sim_kmeans_lloyd → pl_semdedup` handoff (VERDICT r12 #5): the
+    * [[Similarity.kmeansLloydTrain]] loop (scaled-BIGINT Lloyd, 2 E+M
+    * rounds, pinned seeds) produces the centroid frame, centroids
+    * unscale to doubles (one identical IEEE divide per component in
+    * both engines), and [[Similarity.semDedupWith]] clusters + dedups
+    * the same planted-duplicate corpus as pl_semdedup against them.
+    * The oracle replays the WHOLE composition — scaling, both Lloyd
+    * iterations, the unscale, the argmin assignment, the keep-priority
+    * rank, the upper-triangular cosine cut — in chained CTEs, the
+    * sim_ann_ivfpq faithfulness discipline applied to the dedup path:
+    * a regression in the trainer, the handoff, or the dedup flips one
+    * hash. Plan: Lloyd's per-iteration two exchanges (driver state
+    * k·dim longs) + semDedup's one scan and two exchanges. */
+  val plSemDedupTrained: Entry = Entry("pl_semdedup_trained",
+    (s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        graft.functions.ArrayOps.asDouble(col("embedding")).as("embedding"))
+      val corpus = base.unionByName(
+        base.where(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.002)).as("embedding")))
+      val cents = Similarity.kmeansLloydTrain(corpus, k = 8, iters = LloydIters)
+        .select(col("cid"),
+          transform(col("cv"), x => x.cast("double") / lit(1000000.0)).as("cv"))
+      Similarity.semDedupWith(corpus, cents, tau = 0.9, Int.MaxValue)._1
+        .drop("passed_through").orderBy("vec_id")
+    },
+    Some(s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      | FROM embeddings),
+      |ed AS (SELECT vec_id, v FROM base
+      | UNION ALL
+      | SELECT vec_id + 100000 AS vec_id,
+      |        list_transform(v, x -> x + 0.002) AS v
+      | FROM base WHERE vec_id % 7 = 0),
+      |e AS (SELECT vec_id,
+      |  list_transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+      | FROM ed),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |${(1 to LloydIters).map(lloydIterSql).mkString(",\n")},
+      |cd AS (SELECT cid,
+      |  list_transform(cv, x -> CAST(x AS DOUBLE) / 1000000) AS cv
+      | FROM c$LloydIters),
+      |d AS (SELECT ed.vec_id, cd.cid, ed.v,
+      |  list_sum(list_transform(list_zip(ed.v, cd.cv),
+      |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+      | FROM ed, cd),
+      |a AS (SELECT vec_id, cid AS cluster, d2, v,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      | FROM d),
+      |m AS (SELECT vec_id, cluster, d2, v,
+      |  row_number() OVER (PARTITION BY cluster ORDER BY d2 DESC, vec_id) AS pr
+      | FROM a WHERE rn = 1),
+      |rm AS (SELECT DISTINCT hi.vec_id
+      | FROM m lo JOIN m hi ON lo.cluster = hi.cluster AND lo.pr < hi.pr
+      | WHERE round(
+      |   list_sum(list_transform(list_zip(lo.v, hi.v), s -> s[1] * s[2])) /
+      |   (sqrt(list_sum(list_transform(lo.v, x -> x * x))) *
+      |    sqrt(list_sum(list_transform(hi.v, x -> x * x)))), 6) >= 0.9)
+      |SELECT m.vec_id, m.cluster, round(sqrt(m.d2), 6) AS dist,
+      | rm.vec_id IS NULL AS kept
+      |FROM m LEFT JOIN rm ON m.vec_id = rm.vec_id
+      |ORDER BY m.vec_id""".stripMargin))
+
   /** Hybrid-retrieval fusion via Reciprocal Rank Fusion (Cormack,
     * Clarke & Buettcher, SIGIR 2009): fuse a VECTOR arm (cosine top-k
     * against probe vec 0 — the [[Similarity.bruteTopK]] shape) with a
@@ -3304,6 +3368,6 @@ object QueriesPipeline {
     plSoftDedup, plDsir, plWeightedSample, plStratifiedSample,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simAnnRecall,
     simKmeans, simKmeansLloyd,
-    simNearDup, plSemDedup, simRrfFusion,
+    simNearDup, plSemDedup, plSemDedupTrained, simRrfFusion,
     mmDecode, mmResize, mmWav, mmVideoFrames)
 }

