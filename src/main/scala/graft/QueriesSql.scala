@@ -256,7 +256,35 @@ object QueriesSql {
       |SELECT c_nationkey, c_custkey, c_acctbal FROM r WHERE rn <= 3
       |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin))
 
+  /** Ties-KEPT per-group top-k through the r13 rank() rewrite
+    * ([[graft.plans.TopKRewrite]] → `TopKPerGroupNode(withTies)`): the
+    * user writes the universal `rank().over(W) <= k` idiom and the
+    * optimizer swaps in the bounded-heap exec with the boundary-tie
+    * buffer — no Window, no Sort. The order key is COARSE on purpose
+    * (acctbal in 1000-unit buckets) so boundary ties genuinely exist
+    * and the output carries MORE than k rows for most nations — the
+    * semantics row_number() cannot express. The final orderBy is total
+    * (bucket, custkey) so the hash compare is engine-stable even
+    * though the operator's internal order is not. */
+  val oTopkTiesNative: Entry = Entry("o_topk_ties_native",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = tbl(s, d, "customer").select(col("c_nationkey"), col("c_custkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_k"))
+      c.withColumn("rk", rank().over(
+          Window.partitionBy("c_nationkey").orderBy(col("bal_k").desc)))
+        .where(col("rk") <= 2).drop("rk")
+        .orderBy(col("c_nationkey"), col("bal_k").desc, col("c_custkey"))
+    },
+    Some("""WITH r AS (SELECT c_nationkey, c_custkey,
+      |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+      |  rank() OVER (PARTITION BY c_nationkey ORDER BY
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) DESC) AS rk
+      | FROM customer)
+      |SELECT c_nationkey, c_custkey, bal_k FROM r WHERE rk <= 2
+      |ORDER BY c_nationkey, bal_k DESC, c_custkey""".stripMargin))
+
   val all: Seq[Entry] = Seq(q5Join5, gPivot, gPivotDynamic, sqSubqueries,
-    fStructJson, oTopkPerGroupNative,
+    fStructJson, oTopkPerGroupNative, oTopkTiesNative,
     oUnionSemantics, gConditionalAgg, fIntervalsNulls, oExplodeWords, fMapJson)
 }

@@ -50,8 +50,12 @@ import org.apache.spark.sql.GraftPlanBridge
   * sort-aggregate); for the rare non-orderable grouping the heap path
   * is kept as-is.
   */
+/** `withTies = false` is row_number semantics (exactly k rows per
+  * group); `withTies = true` is rank semantics — every row tied with
+  * the k-th row's order key is kept too (r13, VERDICT r12 #7). */
 case class TopKPerGroupNode(k: Int, grouping: Seq[Expression],
-    order: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
+    order: Seq[SortOrder], child: LogicalPlan,
+    withTies: Boolean = false) extends UnaryNode {
   require(k >= 1, "k must be >= 1")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
@@ -62,14 +66,26 @@ case class TopKPerGroupNode(k: Int, grouping: Seq[Expression],
   * `GraftExtensions.injectPlannerStrategy`. */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(k, g, o, child) =>
-      TopKPerGroupExec(k, g, o, planLater(child)) :: Nil
+    case TopKPerGroupNode(k, g, o, child, ties) =>
+      TopKPerGroupExec(k, g, o, planLater(child), ties) :: Nil
     case _ => Nil
   }
 }
 
+/** Ties policy (`withTies`, rank semantics): the heap still retains the
+  * k best rows, and a side buffer holds rows comparing EQUAL to the
+  * current boundary (the heap's worst). The boundary only improves as
+  * rows stream, so when it strictly improves the whole buffer — all
+  * entries equal the OLD boundary, now beaten by k strictly-better
+  * rows — is purged at once. Memory is O(k + boundary-tie-count) per
+  * key: bounded in practice, adversarially unbounded (all-equal keys),
+  * which is exactly what the existing byte-budget fallback to the
+  * spill-backed sort covers — the sorted path applies rank semantics
+  * streamingly (emit past position k only while equal to the k-th
+  * row's order key). */
 case class TopKPerGroupExec(k: Int, grouping: Seq[Expression],
-    order: Seq[SortOrder], child: SparkPlan) extends UnaryExecNode {
+    order: Seq[SortOrder], child: SparkPlan,
+    withTies: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -85,6 +101,7 @@ case class TopKPerGroupExec(k: Int, grouping: Seq[Expression],
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val kLocal = k
+    val tiesLocal = withTies
     val groupingLocal = grouping
     val orderLocal = order
     val capBytes = conf.getConfString(TopKPerGroupExec.FallbackBytesKey,
@@ -97,6 +114,11 @@ case class TopKPerGroupExec(k: Int, grouping: Seq[Expression],
       // head must be the WORST retained row, so the queue reverses it
       val ord = new LazilyGeneratedOrdering(orderLocal, schema)
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      // rank semantics: rows equal to the heap's current worst (the
+      // boundary), keyed like `heaps`; purged when the boundary improves
+      val tieBufs = if (tiesLocal)
+        new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[UnsafeRow]]()
+      else null
       var retained = 0L
       var overCap = false
       while (iter.hasNext && !overCap) {
@@ -112,9 +134,40 @@ case class TopKPerGroupExec(k: Int, grouping: Seq[Expression],
         }
         if (q.size < kLocal) {
           val rc = row.copy(); retained += rc.getSizeInBytes; q.add(rc): Unit
-        } else if (ord.compare(row, q.peek()) < 0) {
-          retained -= q.poll().getSizeInBytes
-          val rc = row.copy(); retained += rc.getSizeInBytes; q.add(rc): Unit
+        } else {
+          val c = ord.compare(row, q.peek())
+          if (c < 0) {
+            val rc = row.copy(); retained += rc.getSizeInBytes; q.add(rc): Unit
+            val displaced = q.poll()
+            if (tiesLocal) {
+              val tb = tieBufs.get(keyProj(row))
+              if (ord.compare(displaced, q.peek()) == 0) {
+                // other equal-worst rows remain: boundary unchanged,
+                // the displaced row is still a boundary tie
+                val b = if (tb != null) tb else {
+                  val nb = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+                  tieBufs.put(keyProj(row).copy(), nb); nb
+                }
+                b += displaced // bytes already counted
+              } else {
+                // boundary strictly improved: k strictly-better rows
+                // now exist, so the displaced row AND every buffered
+                // old-boundary tie have rank > k — purge
+                retained -= displaced.getSizeInBytes
+                if (tb != null && tb.nonEmpty) {
+                  tb.foreach(r => retained -= r.getSizeInBytes)
+                  tb.clear()
+                }
+              }
+            } else retained -= displaced.getSizeInBytes
+          } else if (tiesLocal && c == 0) {
+            val tb = tieBufs.get(keyProj(row))
+            val b = if (tb != null) tb else {
+              val nb = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+              tieBufs.put(keyProj(row).copy(), nb); nb
+            }
+            val rc = row.copy(); retained += rc.getSizeInBytes; b += rc
+          }
         }
         overCap = fallbackOk && retained > capBytes
       }
@@ -135,24 +188,41 @@ case class TopKPerGroupExec(k: Int, grouping: Seq[Expression],
           while (!q.isEmpty) drained += q.poll()
         }
         heaps.clear()
+        if (tieBufs != null) {
+          val tit = tieBufs.values().iterator()
+          while (tit.hasNext) drained ++= tit.next()
+          tieBufs.clear()
+        }
         val sorted = sorter.sort(drained.iterator ++ iter.map(r => toUnsafe(r)))
         var prevKey: UnsafeRow = null
         var n = 0
+        var kthRow: UnsafeRow = null // rank semantics: the k-th row's copy
         sorted.filter { r =>
           val key = keyProj(r.asInstanceOf[UnsafeRow])
-          if (prevKey == null || key != prevKey) { prevKey = key.copy(); n = 0 }
+          if (prevKey == null || key != prevKey) {
+            prevKey = key.copy(); n = 0; kthRow = null
+          }
           n += 1
-          n <= kLocal
+          if (n <= kLocal) {
+            if (tiesLocal && n == kLocal) kthRow = r.asInstanceOf[UnsafeRow].copy()
+            true
+          } else tiesLocal && kthRow != null &&
+            ord.compare(r.asInstanceOf[UnsafeRow], kthRow) == 0
         }
       } else {
         val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
-        val it = heaps.values().iterator()
+        val it = heaps.entrySet().iterator()
         while (it.hasNext) {
-          val q = it.next()
+          val e = it.next()
+          val q = e.getValue
           val grp = new Array[UnsafeRow](q.size)
           var i = grp.length - 1
           while (i >= 0) { grp(i) = q.poll(); i -= 1 } // drain worst-first → store best-first
           out ++= grp
+          if (tieBufs != null) {
+            val tb = tieBufs.get(e.getKey)
+            if (tb != null) out ++= tb
+          }
         }
         out.iterator
       }

@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.IntegerType
   * TopKRewriteSpec.)
   *
   * Deliberately conservative — it fires only when:
-  *  - the Window computes EXACTLY ONE expression, a row_number() (a
-  *    second window expression, or rank/dense_rank — which admit ties
-  *    past k — never matches);
+  *  - the Window computes EXACTLY ONE expression: a row_number()
+  *    (exact-k), or — r13, VERDICT r12 #7 — a rank(), which maps to
+  *    the node's ties-kept policy (`withTies`: every row tied with the
+  *    k-th order key survives, the rank()<=k contract). dense_rank
+  *    never matches: its limit counts DISTINCT keys, which no bounded
+  *    heap over rows can decide online;
   *  - the filter is a bare `rn <= lit` / `rn < lit` with k >= 1;
   *  - the projection above references the rank column NOWHERE (kept
   *    ranks mean the caller wants positions — the Window must stay).
@@ -57,7 +60,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
         if w.windowExpressions.length == 1 &&
           w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
       w.windowExpressions.head match {
-        case rnAlias @ Alias(WindowExpression(_: RowNumber, _), _) =>
+        case rnAlias @ Alias(WindowExpression(fn, _), _)
+            if fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] =>
           limitOf(cond, rnAlias.exprId) match {
             case Some(k) if k >= 1 &&
                 !projectList.exists(_.references.exists(_.exprId == rnAlias.exprId)) =>
@@ -68,7 +72,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
                 case c => c
               }
               Project(projectList,
-                TopKPerGroupNode(k, w.partitionSpec, w.orderSpec, src))
+                TopKPerGroupNode(k, w.partitionSpec, w.orderSpec, src,
+                  withTies = fn.isInstanceOf[Rank]))
             case _ => p
           }
         case _ => p

@@ -53,9 +53,63 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
-  test("rank() blocks the rewrite — ties past k would be lost") {
-    val q = fixture.withColumn("rn", rank().over(w))
+  // ties fixture: v = i/3 plants 3-way order-key ties in every group,
+  // including across the k boundary, so rank()<=k keeps MORE than k rows
+  private def tieFixture = {
+    val rows = for (g <- 0 until 4; i <- 0 until 24)
+      yield (g.toLong, (i / 3).toLong, (g * 1000 + i).toLong)
+    rows.toDF("g", "v", "id").repartition(3)
+  }
+
+  private def rankTruth(k: Int): Seq[(Long, Long, Long)] =
+    tieFixture.as[(Long, Long, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => -r._2)
+        val boundary = sorted(k - 1)._2
+        sorted.filter(_._2 >= boundary) // rank()<=k == all rows at/above the k-th key
+      }.sortBy(r => (r._1, -r._2, r._3))
+
+  test("rank() rewrites to the ties-kept policy: same rows as the Window, more than k") {
+    val q = tieFixture.withColumn("rn", rank().over(
+        Window.partitionBy("g").orderBy(col("v").desc)))
       .where(col("rn") <= 4).drop("rn")
+    val opt = q.queryExecution.optimizedPlan.toString
+    val phys = q.queryExecution.executedPlan.toString
+    withClue(opt + "\n" + phys) {
+      opt should include("TopKPerGroup")
+      opt should include("true") // withTies printed in the node args
+      phys should not include "Window"
+      phys should not include "Sort "
+    }
+    val got = q.orderBy(col("g"), col("v").desc, col("id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val truth = rankTruth(4)
+    withClue(s"got=${got.size} truth=${truth.size}") { got shouldBe truth }
+    // the boundary tie genuinely bites: more rows than k per group
+    got.size should be > 4 * 4
+  }
+
+  test("rank ties survive the byte-budget fallback path identically") {
+    spark.conf.set(graft.plans.TopKPerGroupExec.FallbackBytesKey, "64")
+    try {
+      val q = tieFixture.withColumn("rn", rank().over(
+          Window.partitionBy("g").orderBy(col("v").desc)))
+        .where(col("rn") <= 4).drop("rn")
+      val got = q.orderBy(col("g"), col("v").desc, col("id"))
+        .as[(Long, Long, Long)].collect().toSeq
+      got shouldBe rankTruth(4)
+    } finally spark.conf.unset(graft.plans.TopKPerGroupExec.FallbackBytesKey)
+  }
+
+  test("dense_rank() still blocks the rewrite — its limit counts distinct keys") {
+    val q = fixture.withColumn("rn", dense_rank().over(w))
+      .where(col("rn") <= 4).drop("rn")
+    q.queryExecution.optimizedPlan.toString should not include "TopKPerGroup"
+  }
+
+  test("kept rank() column blocks the rewrite like kept row_number") {
+    val q = fixture.withColumn("rn", rank().over(w))
+      .where(col("rn") <= 4) // rn still in the output
     q.queryExecution.optimizedPlan.toString should not include "TopKPerGroup"
   }
 
