@@ -105,9 +105,19 @@ object Tables {
   private[graft] def tableCount(spark: SparkSession, dir: String,
       name: String): Long = {
     val ver = dataVer(dir, name)
-    tblCountCache.compute((dir, name), (_, cur) =>
-      if (cur != null && cur._1 == ver) cur
-      else (ver, tbl(spark, dir, name).count()))._2
+    // get-then-put, NOT compute(): a count() is a distributed job and
+    // CHM's contract requires mapping functions to be short — compute
+    // would hold the bin lock for the whole job, blocking concurrent
+    // callers on colliding keys (r13 ADVICE). Racing duplicates are
+    // harmless: both compute the same value for the same ver.
+    val key = (dir, name)
+    val cur = tblCountCache.get(key)
+    if (cur != null && cur._1 == ver) cur._2
+    else {
+      val v = (ver, tbl(spark, dir, name).count())
+      tblCountCache.put(key, v)
+      v._2
+    }
   }
 
   /** Data-version token for derived-fixture cache keys: mtime+length of

@@ -40,8 +40,13 @@ object Lcg {
     * call sites). */
   def key(x: Column): Column = pmod(pmod(x, lit(M)) * A + C, lit(M))
 
-  /** Scala twin for specs/brute-force oracles — keep in lockstep. */
-  def key(x: Long): Long = ((x % M) * A + C) % M
+  /** Scala twin for specs/brute-force oracles — keep in lockstep.
+    * floorMod, not %: the Column form uses pmod and lands in [0, M)
+    * for ALL inputs; Scala's signed % would diverge on negative ids
+    * (r13 ADVICE latent — no current caller passes them, but the
+    * documented lockstep must hold on the full domain). */
+  def key(x: Long): Long =
+    Math.floorMod(Math.floorMod(x, M) * A + C, M)
 
   /** A SECOND, independent Hull–Dobell pair (Numerical Recipes'
     * ranqd1 constants): a2−1 = 4·416131, c2 odd, max product
@@ -57,6 +62,7 @@ object Lcg {
   /** Column form of the tie-break permutation. */
   def key2(x: Column): Column = pmod(pmod(x, lit(M)) * A2 + C2, lit(M))
 
-  /** Scala twin — keep in lockstep with [[key2]]. */
-  def key2(x: Long): Long = ((x % M) * A2 + C2) % M
+  /** Scala twin — keep in lockstep with [[key2]] (floorMod, see [[key]]). */
+  def key2(x: Long): Long =
+    Math.floorMod(Math.floorMod(x, M) * A2 + C2, M)
 }

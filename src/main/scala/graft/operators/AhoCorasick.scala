@@ -236,6 +236,11 @@ object AhoCorasick {
   def blocklist(df: DataFrame, textCol: String, patterns: Seq[String],
       shardSize: Int = DefaultShardSize): DataFrame = {
     require(shardSize >= 1, "shardSize must be >= 1")
+    // Validate across the WHOLE list before sharding: per-shard build()
+    // checks can't see a duplicate split across two shards, which would
+    // double-count n_hits/n_patterns and break the documented
+    // sharded≡unsharded invariant (r13 ADVICE).
+    require(patterns.distinct.length == patterns.length, "duplicate pattern")
     val sc = df.sparkSession.sparkContext
     val shards = patterns.grouped(shardSize).toSeq.map(p => sc.broadcast(build(p)))
     df.withColumn("__m", matchStats(shards)(col(textCol)))

@@ -80,6 +80,18 @@ class AhoCorasickSpec extends SparkSpec {
     run(5) shouldBe whole   // uneven split (5,5,2)
   }
 
+  test("blocklist rejects a duplicate pattern even when the copies land in different shards") {
+    // r13 ADVICE: per-shard build() can't see a cross-shard duplicate —
+    // validation must run over the whole list before sharding, or the
+    // duplicate double-counts and breaks sharded≡unsharded
+    val df = Seq((1L, "abc")).toDF("id", "t")
+    val dup = Seq("ab", "cd", "ab") // shardSize=2 puts the copies in shards 0 and 1
+    val e = intercept[IllegalArgumentException] {
+      AhoCorasick.blocklist(df, "t", dup, shardSize = 2)
+    }
+    e.getMessage should include("duplicate")
+  }
+
   test("blocklist frame annotation: hits, distinct patterns, sorted matched list") {
     val df = Seq((1L, "the big big table"), (2L, "nothing here")).toDF("id", "t")
     val got = AhoCorasick.blocklist(df, "t", Seq("big", "big table", "zz"))

@@ -55,6 +55,17 @@ object LcgProps extends Properties("lcg") {
     }
   }
 
+  // r14 (r13 ADVICE): the Scala twins use floorMod so they match the
+  // Column pmod form on the FULL signed domain, not just x >= 0
+  property("negative inputs land in [0, 2^31) and equal the wrapped orbit") =
+    Prop.forAll(domGen) { x =>
+      val neg = -x - 1 // covers [Long.MinValue side via small negatives]
+      val k = Lcg.key(neg); val k2 = Lcg.key2(neg)
+      k >= 0L && k < Lcg.M && k2 >= 0L && k2 < Lcg.M &&
+        Lcg.key(neg + Lcg.M * 4) == k && Lcg.key2(neg + Lcg.M * 4) == k2 &&
+        Lcg.key(Long.MinValue) >= 0L && Lcg.key2(Long.MinValue) >= 0L
+    }
+
   property("key2 is decorrelated from key (not a shift of the same orbit)") =
     Prop.forAll(domGen, domGen) { (x, y) =>
       // the composite (key, key2) separates any two distinct inputs the

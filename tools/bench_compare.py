@@ -128,6 +128,13 @@ def main():
     elif pb and not pa:
         print("plan metrics: only the newer record carries them "
               "(older is a pre-r13 baseline) — seconds-only compare above")
+    elif pa and not pb:
+        # the reverse asymmetry is a Bench REGRESSION, not a baseline
+        # quirk: the newer record stopped emitting the plan map and the
+        # compare silently degraded to seconds-only (r13 ADVICE)
+        print("WARNING: the NEWER record carries no plan metrics but the "
+              "older does — Bench's plan emission regressed; this compare "
+              "is seconds-only and weather-blind")
     added = {k: qb[k] for k in qb if k not in qa}
     removed = sorted(k for k in qa if k not in qb)
     if added:
