@@ -44,7 +44,76 @@ def host_factor(rec, ref):
     return None
 
 
+def plan_diff(pa, pb):
+    """Diff two per-entry plan-metric maps (old -> new). Exchange /
+    broadcast / scan counts flag on ANY change; shuffle volume flags on
+    >1.5x growth past noise floors; any NEW spill flags. These are
+    code+data properties — a flagged change is real even when every
+    wall-time moved with the VM."""
+    common_p = sorted(set(pa) & set(pb))
+    regress, improve = [], []
+    for k in common_p:
+        ma, mb = pa[k], pb[k]
+        for f in ("exchanges", "broadcasts", "scans"):
+            va, vb = ma.get(f, 0), mb.get(f, 0)
+            if vb > va:
+                regress.append(f"{k}: {f} {va} -> {vb}")
+            elif vb < va:
+                improve.append(f"{k}: {f} {va} -> {vb}")
+        ra, rb = ma.get("shuffle_rows", 0), mb.get("shuffle_rows", 0)
+        if rb > ra * 1.5 + 1000:
+            regress.append(f"{k}: shuffle_rows {ra} -> {rb}")
+        ba, bb = ma.get("shuffle_bytes", 0), mb.get("shuffle_bytes", 0)
+        if bb > ba * 1.5 and bb - ba > 1 << 20:
+            regress.append(f"{k}: shuffle_bytes {ba} -> {bb}")
+        if mb.get("spill_bytes", 0) > 0 and ma.get("spill_bytes", 0) == 0:
+            regress.append(f"{k}: NEW spill {mb['spill_bytes']} bytes")
+    if regress:
+        print("PLAN regressions (weather-immune — real even if times look flat):")
+        for r in regress:
+            print("  " + r)
+    else:
+        print(f"no plan regressions across {len(common_p)} common entries")
+    if improve:
+        print("plan improvements: " + "; ".join(improve))
+    only_new = sorted(set(pb) - set(pa))
+    if only_new:
+        print(f"plan rows only in the newer record ({len(only_new)}): "
+              + ", ".join(only_new))
+    return bool(regress)
+
+
+def baseline_mode(argv):
+    """Default mode (VERDICT r13 #3): with zero or one args, diff a
+    record's plan map against the COMMITTED PLAN_BASELINE.json — the
+    tracked reference vector the deterministic metrics exist to serve.
+    `bench_compare.py` -> target/bench_last.json vs the baseline;
+    `bench_compare.py REC` -> REC vs the baseline. Exits 1 on any plan
+    regression so a round close can gate on it."""
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_path = os.path.join(root, "PLAN_BASELINE.json")
+    rec_path = argv[0] if argv else os.path.join(root, "target", "bench_last.json")
+    base = json.load(open(base_path))
+    rec = load(rec_path)
+    prec = rec.get("plan")
+    if not prec:
+        print(f"ERROR: {rec_path} carries no plan map — Bench's plan "
+              "emission regressed or this is a truncated stdout line")
+        sys.exit(2)
+    bsf, rsf = base.get("sf", ""), str(rec.get("sf", ""))
+    if bsf and bsf not in rsf:
+        print(f"WARNING: baseline is pinned at sf '{bsf}' but the record ran "
+              f"'{rsf}' — shuffle rows/bytes are sf-dependent, counts still hold")
+    print(f"plan-vector diff: {base.get('source', base_path)} (baseline) -> {rec_path}")
+    if plan_diff(base["plan"], prec):
+        sys.exit(1)
+
+
 def main():
+    if len(sys.argv) < 3:
+        baseline_mode(sys.argv[1:])
+        return
     a, b = load(sys.argv[1]), load(sys.argv[2])
     # the STDOUT bench line truncates `queries` to the top-40 so the
     # driver's ~2000-char tail capture stays parseable; a compare fed
@@ -99,32 +168,7 @@ def main():
     # change here is REAL even when every wall-time moved with the VM
     pa, pb = a.get("plan"), b.get("plan")
     if pa and pb:
-        common_p = sorted(set(pa) & set(pb))
-        regress, improve = [], []
-        for k in common_p:
-            ma, mb = pa[k], pb[k]
-            for f in ("exchanges", "broadcasts", "scans"):
-                va, vb = ma.get(f, 0), mb.get(f, 0)
-                if vb > va:
-                    regress.append(f"{k}: {f} {va} -> {vb}")
-                elif vb < va:
-                    improve.append(f"{k}: {f} {va} -> {vb}")
-            ra, rb = ma.get("shuffle_rows", 0), mb.get("shuffle_rows", 0)
-            if rb > ra * 1.5 + 1000:
-                regress.append(f"{k}: shuffle_rows {ra} -> {rb}")
-            ba, bb = ma.get("shuffle_bytes", 0), mb.get("shuffle_bytes", 0)
-            if bb > ba * 1.5 and bb - ba > 1 << 20:
-                regress.append(f"{k}: shuffle_bytes {ba} -> {bb}")
-            if mb.get("spill_bytes", 0) > 0 and ma.get("spill_bytes", 0) == 0:
-                regress.append(f"{k}: NEW spill {mb['spill_bytes']} bytes")
-        if regress:
-            print("PLAN regressions (weather-immune — real even if times look flat):")
-            for r in regress:
-                print("  " + r)
-        else:
-            print(f"no plan regressions across {len(common_p)} common entries")
-        if improve:
-            print("plan improvements: " + "; ".join(improve))
+        plan_diff(pa, pb)
     elif pb and not pa:
         print("plan metrics: only the newer record carries them "
               "(older is a pre-r13 baseline) — seconds-only compare above")
