@@ -71,9 +71,14 @@ object Bench {
     // exchange, 10x shuffle growth) exactly, before seconds move.
     // Recorded from PASS 2 only: pass 1 carries one-time fixture
     // builds and memo warms that are not the entry's steady plan.
+    // A/B kill-switch (r13 slowdown adjudication): SPARK_GRAFT_PLANMETRICS=0
+    // skips listener registration AND the per-entry bus drain, so a
+    // with/without pair on the same host isolates the listener's cost.
+    // The driver never sets it — full records always carry the plan map.
+    val planMetricsOn = !sys.env.get("SPARK_GRAFT_PLANMETRICS").contains("0")
     val planAgg = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
     val currentQ = new java.util.concurrent.atomic.AtomicReference[String](null)
-    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+    if (planMetricsOn) spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
         val n = currentQ.get()
@@ -100,8 +105,17 @@ object Bench {
       }
       // flush the async listener bus OUTSIDE the timer so a trailing
       // onSuccess can't book this entry's metrics to the next name
-      try org.apache.spark.sql.GraftPlanBridge.drainListenerBus(spark.sparkContext)
-      catch { case _: Throwable => () }
+      if (planMetricsOn) {
+        try org.apache.spark.sql.GraftPlanBridge.drainListenerBus(spark.sparkContext)
+        catch { case _: Throwable => () }
+        // streaming vectors (r14, VERDICT r13 #4): the st_stream_*
+        // entries enqueue one vector per completed streaming query on
+        // their own call stack — attribution is synchronous, no bus
+        graft.streaming.StreamMetrics.drainPending().foreach { v =>
+          planAgg.merge(name, graft.plans.PlanMetrics.ofStreamVector(v),
+            (a, b) => graft.plans.PlanMetrics.add(a, b))
+        }
+      } else graft.streaming.StreamMetrics.drainPending(): Unit
       currentQ.set(null)
       r
     }

@@ -199,7 +199,7 @@ object QueriesStreaming {
         // WARN + leaked /tmp dir a default checkpoint brings)
         .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("complete").start()
-      try q.processAllAvailable() finally {
+      try graft.streaming.StreamMetrics.drainAndRecord(q) finally {
         q.stop()
         // the checkpoint is single-use (name is per-run unique): drop it
         // so repeated bench/verify runs don't accumulate dirs
@@ -238,7 +238,7 @@ object QueriesStreaming {
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("append").start()
-      try q.processAllAvailable() finally {
+      try graft.streaming.StreamMetrics.drainAndRecord(q) finally {
         q.stop()
         // the checkpoint is single-use (name is per-run unique): drop it
         // so repeated bench/verify runs don't accumulate dirs
@@ -401,7 +401,7 @@ object QueriesStreaming {
         .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("append").start()
       try {
-        q.processAllAvailable()
+        graft.streaming.StreamMetrics.drainAndRecord(q)
         val fed = q.recentProgress.count(_.numInputRows > 0)
         require(fed >= 2,
           s"expected >=2 data micro-batches (cross-batch dedup state), saw $fed")
@@ -494,7 +494,7 @@ object QueriesStreaming {
         .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("append").start()
       try {
-        q.processAllAvailable()
+        graft.streaming.StreamMetrics.drainAndRecord(q)
         val fed = q.recentProgress.count(_.numInputRows > 0)
         require(fed >= 2,
           s"expected >=2 data micro-batches (cross-batch join state), saw $fed")
@@ -583,14 +583,14 @@ object QueriesStreaming {
       arrive("b0")
       val q1 = startQuery()
       try {
-        q1.processAllAvailable()
+        graft.streaming.StreamMetrics.drainAndRecord(q1)
         val fed1 = q1.recentProgress.count(_.numInputRows > 0)
         require(fed1 >= 1, s"leg 1 fed no data micro-batch (saw $fed1)")
       } finally q1.stop()
       arrive("b1")
       val q2 = startQuery() // SAME checkpoint + sink: this is the restart
       try {
-        q2.processAllAvailable()
+        graft.streaming.StreamMetrics.drainAndRecord(q2)
         val rows2 = q2.recentProgress.map(_.numInputRows).sum
         require(rows2 == b1Rows,
           s"restart must read exactly the $b1Rows new b1 rows (offsets " +
@@ -675,7 +675,7 @@ object QueriesStreaming {
         .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("append").start()
       try {
-        q.processAllAvailable()
+        graft.streaming.StreamMetrics.drainAndRecord(q)
         val fed = q.recentProgress.count(_.numInputRows > 0)
         require(fed >= 4,
           s"expected >=4 data micro-batches (cross-batch eviction), saw $fed")
@@ -739,7 +739,7 @@ object QueriesStreaming {
         .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("update").start()
       try {
-        q.processAllAvailable()
+        graft.streaming.StreamMetrics.drainAndRecord(q)
         val fed = q.recentProgress.count(_.numInputRows > 0)
         require(fed >= 2,
           s"expected >=2 data micro-batches (cross-batch sketch state), saw $fed")
@@ -819,7 +819,7 @@ object QueriesStreaming {
         .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("append").start()
       try {
-        q.processAllAvailable()
+        graft.streaming.StreamMetrics.drainAndRecord(q)
         val fed = q.recentProgress.count(_.numInputRows > 0)
         require(fed >= 4,
           s"expected >=4 data micro-batches (cross-batch session merge + flush), saw $fed")
@@ -875,7 +875,7 @@ object QueriesStreaming {
         .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("update").start()
       try {
-        q.processAllAvailable()
+        graft.streaming.StreamMetrics.drainAndRecord(q)
         val fed = q.recentProgress.count(_.numInputRows > 0)
         require(fed >= 2,
           s"expected >=2 data micro-batches (cross-batch top-k state), saw $fed")
@@ -963,7 +963,7 @@ object QueriesStreaming {
         .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("update").start()
       try {
-        q.processAllAvailable()
+        graft.streaming.StreamMetrics.drainAndRecord(q)
         val fed = q.recentProgress.count(_.numInputRows > 0)
         require(fed >= 2,
           s"expected >=2 data micro-batches (cross-batch CDC state), saw $fed")
@@ -1038,7 +1038,7 @@ object QueriesStreaming {
         .option("checkpointLocation", s"target/tmp/ckpt_$name")
         .outputMode("append").start()
       try {
-        q.processAllAvailable()
+        graft.streaming.StreamMetrics.drainAndRecord(q)
         val fed = q.recentProgress.count(_.numInputRows > 0)
         require(fed >= 2,
           s"expected >=2 data micro-batches (cross-batch index state), saw $fed")

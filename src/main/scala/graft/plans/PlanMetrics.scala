@@ -24,10 +24,25 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExc
   * reuse would double-book), and recurses into subquery plans. */
 object PlanMetrics {
 
-  /** JSON field order for the per-entry record. */
+  /** JSON field order for the per-entry record. The tail past
+    * [[StreamOffset]] is the streaming vector
+    * ([[graft.streaming.StreamMetrics.Keys]]) — zero for batch-only
+    * entries; the batch slots are zero for pure-streaming actions. */
+  val StreamOffset: Int = 6
   val Keys: Seq[String] = Seq(
     "exchanges", "broadcasts", "shuffle_rows", "shuffle_bytes",
-    "spill_bytes", "scans")
+    "spill_bytes", "scans") ++ graft.streaming.StreamMetrics.Keys
+
+  /** A full-width vector carrying one streaming-query vector in the
+    * streaming slots (batch slots zero). */
+  def ofStreamVector(v: Array[Long]): Array[Long] = {
+    val acc = new Array[Long](Keys.length)
+    var i = 0
+    while (i < v.length && StreamOffset + i < acc.length) {
+      acc(StreamOffset + i) = v(i); i += 1
+    }
+    acc
+  }
 
   /** Metric vector of one executed plan, aligned with [[Keys]].
     * shuffle_rows/bytes are read only off ShuffleExchangeLike nodes

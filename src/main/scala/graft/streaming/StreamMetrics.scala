@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Deterministic execution metrics for the REAL-micro-batch streaming
+  * entries (VERDICT r13 #4): the bench record's plan map, read off
+  * `QueryExecutionListener`, covers batch plans only — streaming
+  * queries plan per micro-batch on their own execution thread and the
+  * listener never fires, so the 11 `st_stream_*` entries had no
+  * weather-immune regression signal exactly where fixed overhead is
+  * largest. This closes the hole from the OTHER side of the API:
+  * `StreamingQueryProgress` (batch count, input rows, state-store
+  * rows, sink rows) is the streaming-native equivalent of a plan
+  * vector — code+data properties, immune to host drift.
+  *
+  * Flow: entries drain their query through [[drainAndRecord]] (instead
+  * of calling `processAllAvailable()` directly); the vector lands in a
+  * pending queue that [[graft.Bench]] empties after the entry returns,
+  * attributing it to the entry by name — the same synchronous-
+  * attribution contract as the plan-metric listener, minus the bus
+  * (everything here happens on the entry's own call stack).
+  *
+  * Field determinism: input/state/sink rows are exact row counts of a
+  * fixed staged source — deterministic by the same argument as the
+  * entry hashes themselves. Batch count includes no-data finalization
+  * batches (watermark-driven timeout flushes), which the entries'
+  * hash-pinned outputs already depend on — `processAllAvailable`
+  * returns only after them, so the count is stable run-to-run
+  * (verified: two identical suite runs produce identical vectors).
+  */
+object StreamMetrics {
+
+  /** Key order — must match the tail of
+    * [[graft.plans.PlanMetrics.Keys]] (offset [[graft.plans.PlanMetrics.StreamOffset]]). */
+  val Keys: Seq[String] =
+    Seq("st_batches", "st_input_rows", "st_state_rows", "st_sink_rows")
+
+  private val pending =
+    new java.util.concurrent.ConcurrentLinkedQueue[Array[Long]]()
+
+  /** Metric vector of one completed streaming query, aligned with
+    * [[Keys]]. State rows come from the LAST progress that carries
+    * state operators (the final state content); sink rows sum over
+    * batches (unknown counts report −1 and clamp to 0). */
+  def vectorOf(q: StreamingQuery): Array[Long] = {
+    val ps = q.recentProgress
+    val batches = ps.length.toLong
+    val input = ps.map(_.numInputRows).sum
+    val state = ps.reverseIterator
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+      .getOrElse(0L)
+    val sink = ps.map(p => math.max(p.sink.numOutputRows, 0L)).sum
+    Array(batches, input, state, sink)
+  }
+
+  /** `processAllAvailable()` + enqueue this query's vector for the
+    * bench harness. Entries call this exactly where they used to call
+    * `processAllAvailable()`; outside Bench the queue is simply
+    * drained never (bounded: one 4-long array per streaming query per
+    * process — cleared by Bench at pass boundaries). */
+  def drainAndRecord(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    pending.add(vectorOf(q)): Unit
+  }
+
+  /** Remove and return every pending vector (Bench, after each entry). */
+  def drainPending(): Seq[Array[Long]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    var v = pending.poll()
+    while (v != null) { out += v; v = pending.poll() }
+    out.toSeq
+  }
+}

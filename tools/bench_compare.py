@@ -68,6 +68,17 @@ def plan_diff(pa, pb):
             regress.append(f"{k}: shuffle_bytes {ba} -> {bb}")
         if mb.get("spill_bytes", 0) > 0 and ma.get("spill_bytes", 0) == 0:
             regress.append(f"{k}: NEW spill {mb['spill_bytes']} bytes")
+        # streaming vectors (r14): batch count is exact-deterministic —
+        # ANY change flags; state/input/sink rows are deterministic at a
+        # fixed sf, so a >10% move is real (a batch-splitting or state-
+        # retention change), not noise
+        sa, sb = ma.get("st_batches", 0), mb.get("st_batches", 0)
+        if sa != sb and (sa or sb):
+            regress.append(f"{k}: st_batches {sa} -> {sb}")
+        for f in ("st_input_rows", "st_state_rows", "st_sink_rows"):
+            va, vb = ma.get(f, 0), mb.get(f, 0)
+            if (va or vb) and abs(vb - va) > 0.1 * max(va, 1):
+                regress.append(f"{k}: {f} {va} -> {vb}")
     if regress:
         print("PLAN regressions (weather-immune — real even if times look flat):")
         for r in regress:
