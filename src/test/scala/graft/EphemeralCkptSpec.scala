@@ -1,0 +1,108 @@
+package graft
+
+import graft.streaming.EphemeralCheckpointFileManager
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The RAM checkpoint manager behind the single-use streaming
+  * checkpoints (r14): the CheckpointFileManager contract surface the
+  * offset log / commit log / HDFS-backed state store actually use,
+  * plus an end-to-end streaming equality run vs the default
+  * filesystem manager. */
+class EphemeralCkptSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def mgr(root: String) =
+    new EphemeralCheckpointFileManager(new Path(root), new Configuration())
+
+  test("createAtomic publishes on close, not before; cancel never publishes") {
+    val root = s"/eck_test_${System.nanoTime()}"
+    val m = mgr(root)
+    val f = new Path(s"$root/offsets/0")
+    val out = m.createAtomic(f, overwriteIfPossible = false)
+    out.write("v1\nbatch0".getBytes("UTF-8"))
+    m.exists(f) shouldBe false // atomic: invisible until close
+    out.close()
+    m.exists(f) shouldBe true
+    val in = m.open(f)
+    val buf = new Array[Byte](64)
+    val n = in.read(buf)
+    new String(buf, 0, n, "UTF-8") shouldBe "v1\nbatch0"
+    // seek + positioned read (the offset-log reader's access pattern)
+    in.seek(3)
+    in.read() shouldBe 'b'.toInt
+    val cancelled = m.createAtomic(new Path(s"$root/offsets/1"), false)
+    cancelled.write("junk".getBytes("UTF-8"))
+    cancelled.cancel()
+    m.exists(new Path(s"$root/offsets/1")) shouldBe false
+    // no-overwrite contract: a second atomic create of an existing file fails
+    val dup = m.createAtomic(f, overwriteIfPossible = false)
+    dup.write("x".getBytes("UTF-8"))
+    an[org.apache.hadoop.fs.FileAlreadyExistsException] should be thrownBy dup.close()
+    // overwrite allowed when asked (state-store snapshot rewrite path)
+    val ow = m.createAtomic(f, overwriteIfPossible = true)
+    ow.write("v2".getBytes("UTF-8")); ow.close()
+    val in2 = m.open(f)
+    val b2 = new Array[Byte](8)
+    new String(b2, 0, in2.read(b2), "UTF-8") shouldBe "v2"
+  }
+
+  test("list returns direct children only; delete is recursive; purge frees the footprint") {
+    val root = s"/eck_list_${System.nanoTime()}"
+    val m = mgr(root)
+    def put(p: String): Unit = { val o = m.createAtomic(new Path(p), true); o.write(1); o.close() }
+    put(s"$root/offsets/0"); put(s"$root/offsets/1"); put(s"$root/state/0/1.delta")
+    val names = m.list(new Path(s"$root/offsets")).map(_.getPath.getName).sorted
+    names shouldBe Array("0", "1")
+    // a dir child shows as a directory status, not a file
+    val rootKids = m.list(new Path(root)).map(s => (s.getPath.getName, s.isDirectory))
+    rootKids.toMap shouldBe Map("offsets" -> true, "state" -> true)
+    m.delete(new Path(s"$root/offsets"))
+    m.exists(new Path(s"$root/offsets/0")) shouldBe false
+    m.exists(new Path(s"$root/state/0/1.delta")) shouldBe true
+    EphemeralCheckpointFileManager.fileCount(root) shouldBe 1
+    EphemeralCheckpointFileManager.purge(root)
+    EphemeralCheckpointFileManager.fileCount(root) shouldBe 0
+  }
+
+  test("streaming run under the RAM manager equals the default-manager run") {
+    // the same bounded stream (rate-limited memory-ish: a file source over
+    // a small staged parquet) aggregated under both managers must produce
+    // identical sink tables — the hashes-unchanged contract of the swap
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    def run(ephemeral: Boolean, tag: String): Seq[(java.sql.Timestamp, String, Long)] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      if (ephemeral)
+        s.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+          classOf[EphemeralCheckpointFileManager].getName)
+      val src = s.read.parquet(s"$d/events.parquet")
+      val stage = java.nio.file.Files.createTempDirectory(s"eck_$tag")
+      src.limit(2000).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val stream = Tables.normalizeTs(
+        s.readStream.schema(src.schema).parquet(stage.toString))
+      val name = s"eck_${tag}_${System.nanoTime()}"
+      val ckpt = s"target/tmp/ckpt_$name"
+      val q = stream.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        EphemeralCheckpointFileManager.purge(ckpt)
+      }
+      import s.implicits._
+      s.table(name).orderBy("ws", "event_type")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+    }
+    val ram = run(ephemeral = true, "ram")
+    val fs = run(ephemeral = false, "fs")
+    ram.nonEmpty shouldBe true
+    ram shouldBe fs
+  }
+}
