@@ -91,6 +91,12 @@ def plan_diff(pa, pb):
     if only_new:
         print(f"plan rows only in the newer record ({len(only_new)}): "
               + ", ".join(only_new))
+    only_old = sorted(set(pa) - set(pb))
+    if only_old:
+        # an entry that VANISHED from the newer record is itself a
+        # regression signal (dropped registration, failed both passes)
+        print(f"WARNING: plan rows MISSING from the newer record "
+              f"({len(only_old)}): " + ", ".join(only_old))
     return bool(regress)
 
 
