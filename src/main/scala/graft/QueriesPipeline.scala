@@ -236,6 +236,20 @@ object QueriesPipeline {
     Some("""SELECT doc_id AS id_a, doc_id + 100000 AS id_b
       |FROM documents WHERE doc_id % 11 = 0 ORDER BY id_a, id_b""".stripMargin))
 
+  /** Docs cap for the components-family O(block²) ORACLE ([[Tables
+    * .modSample]]): the sf0.3 corpus size — 15k docs ran unsampled in
+    * the r12 rehearsal — so every SF up to sf0.3 passes through
+    * untouched and sf1.0+ samples back to the bound. The r14 sf1.0
+    * rehearsal bound here: the oracle's candidate pairs grow with the
+    * SQUARE of the per-blocking-key load, and the perturbed fixture
+    * keeps that load 10× denser per key than real growth would (the
+    * per-copy suffix preserves both the 2-word blocking prefix and
+    * near-dup similarity, so copies pile onto the same keys) — 60+
+    * CPU-min in DuckDB at sf1.0. The OPERATOR is blocked+bucketed and
+    * completed the same corpus in-plan; the sample bounds the truth's
+    * cost, not the plan's, and is the identity at shipped SFs. */
+  private[graft] val ComponentsOracleCap = 15000L
+
   /** The 3-chain corpus shared by dd_components / pl_canonical_docs:
     * base docs plus prefix-truncation variants (see [[ddComponents]]'s
     * Scaladoc for why the chain shape is provable). */
@@ -244,7 +258,9 @@ object QueriesPipeline {
       val w = split(t, " ")
       array_join(slice(w, lit(1), ((size(w) * 7 + 9) / 10).cast("int")), " ")
     }
-    val base = docs(s, d).select(col("doc_id").as("id"), col("text"))
+    val base = Tables.modSample(
+      docs(s, d).select(col("doc_id").as("id"), col("text")),
+      "id", ComponentsOracleCap, Tables.tableCount(s, d, "documents"))
     base
       .unionByName(base.where(col("id") % 7 === 0)
         .select((col("id") + 100000).as("id"), prefix(col("text")).as("text")))
@@ -283,11 +299,11 @@ object QueriesPipeline {
     * AFTER clustering, so they load the upstream map the way a real
     * pipeline reads its previous stage's output. */
   private def compAssignVer(d: String): String = {
-    val gen = 1 // bump on any change to chainCorpus/dupEdges/assignment
+    val gen = 2 // bump on any change to chainCorpus/dupEdges/assignment
     // data-versioned: documents.parquet mtime+length joins the formula
     // constants so a testdata regen retargets the cache (r8 lesson)
     val sig = s"g$gen;blk=2w;tau=0.55;chain=7_14;pfx=7_10;" +
-      Tables.dataVer(d, "documents")
+      s"cap=$ComponentsOracleCap;" + Tables.dataVer(d, "documents")
     (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toHexString
   }
   private def componentAssignCached(s: SparkSession, d: String): DataFrame = {
@@ -303,10 +319,14 @@ object QueriesPipeline {
   /** Shared oracle CTE chain: corpus → blocking → verify → recursive
     * closure → per-id component map (`comp`). Consumers append either a
     * final SELECT (dd_components) or further CTEs (pl_canonical_docs). */
-  private val componentsOracleCte: String = s"""WITH RECURSIVE w0 AS (
-        | SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+  private val componentsOracleCte: String = s"""WITH RECURSIVE cbase AS (
+        | SELECT doc_id, text FROM documents
+        | WHERE doc_id % ((SELECT (count(*) + ${ComponentsOracleCap - 1})
+        |                  // $ComponentsOracleCap FROM documents)) = 0),
+        |w0 AS (
+        | SELECT doc_id, text, string_split(text, ' ') AS w FROM cbase),
         |corpus AS (
-        | SELECT doc_id AS id, text FROM documents
+        | SELECT doc_id AS id, text FROM cbase
         | UNION ALL
         | SELECT doc_id + 100000, ${sqlPrefix("w")} FROM w0 WHERE doc_id % 7 = 0
         | UNION ALL
