@@ -161,6 +161,20 @@ def main():
         print(f"host_factor (vs {src}): {ha:.2f} -> {hb:.2f} | "
               f"raw ratio {b['value'] / a['value']:.2f}x, "
               f"control-normalized {b['value'] / hb * ha / a['value']:.2f}x")
+        # heavy pins (r14): CPU-saturating controls that DO see sustained
+        # burst-credit throttle the light scans miss. Same rebase
+        # discipline: one common heavy_ref for both records. light flat +
+        # heavy elevated = sustained throttle; both flat but seconds
+        # moved = read the plan diff below.
+        href = b.get("heavy_ref") or a.get("heavy_ref")
+        if href:
+            hha, hhb = host_factor(a, href), host_factor(b, href)
+            if hha and hhb:
+                print(f"host_factor_heavy: {hha:.2f} -> {hhb:.2f} | "
+                      f"heavy-normalized {b['value'] / hhb * hha / a['value']:.2f}x"
+                      + ("  [sustained-throttle regime: heavy/light drift "
+                         f"{(hhb / hb) / (hha / ha):.2f}x]"
+                         if (hhb / hb) / (hha / ha) > 1.15 else ""))
     else:
         print("host_factor: not factor-comparable (pre-r10 record without pins)")
         # a stored factor we can't rebase is IGNORED, not trusted —
