@@ -156,11 +156,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // filtered runs dump a filtered oracle map too, so verify_local's
-    // missing-dump check (oracle keys w/o parquet = failed queries)
-    // holds in both modes
+    // The dumped oracle map covers every entry whose parquet dump is
+    // PRESENT in outDir, plus the entries this run (re)dumped. Both
+    // modes stay correct: a fresh filtered outDir gets a map matching
+    // its dumps (verify_local's missing-dump check holds), while a
+    // filtered re-dump into a FULL outDir keeps the other entries'
+    // oracles instead of truncating the map to the filter (r14
+    // near-miss: a 2-entry re-dump into the sf1.0 rehearsal dir
+    // clobbered the 204-entry map, silently turning the full compare
+    // into rows-only no-ops).
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) }
+      .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) ||
+        new java.io.File(s"$outDir/$k/_SUCCESS").isFile }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
