@@ -38,12 +38,42 @@ object StreamMetrics {
   private val pending =
     new java.util.concurrent.ConcurrentLinkedQueue[Array[Long]]()
 
+  /** Sentinel for a query that SATURATED the progress-retention buffer
+    * (`spark.sql.streaming.numRecentProgressUpdates`, default 100):
+    * `recentProgress` silently drops the oldest events past the cap, so
+    * every sum below would under-count and the plan-baseline diff would
+    * narrate phantom row regressions. Emitting a large negative instead
+    * is deterministic AND self-describing in a diff ("st_input_rows
+    * 8432 -> -1000000000" reads as "the instrument saturated — raise
+    * the retention conf or accumulate via StreamingQueryListener"),
+    * and stays obviously negative under [[graft.plans.PlanMetrics.add]]
+    * summation with sibling queries' realistic row counts. */
+  val Saturated: Long = -1000000000L
+
   /** Metric vector of one completed streaming query, aligned with
     * [[Keys]]. State rows come from the LAST progress that carries
     * state operators (the final state content); sink rows sum over
-    * batches (unknown counts report −1 and clamp to 0). */
+    * batches (unknown counts report −1 and clamp to 0). Batch count is
+    * this-RUN progress events, NOT `lastProgress.batchId + 1` — the
+    * checkpoint-recovery entry resumes at a nonzero batchId, and its
+    * committed baseline vector counts only the batches this run
+    * executed. */
   def vectorOf(q: StreamingQuery): Array[Long] = {
     val ps = q.recentProgress
+    // ProgressReporter trims with `while (length >= retention) dequeue`
+    // AFTER each enqueue, so the buffer never exceeds retention − 1
+    // (verified empirically in StreamingSpec): a full-to-the-trim-line
+    // buffer means events MAY have been dropped. Conservative at the
+    // boundary — a query with exactly retention−1 batches also trips
+    // the sentinel, which errs toward "raise the conf", never toward
+    // silent under-count. The conf is read off q.sparkSession (the
+    // stream's CLONED session — the clone snapshots the conf at
+    // start(), which is the value the reporter trimmed with).
+    val cap = try q.sparkSession.conf
+      .get("spark.sql.streaming.numRecentProgressUpdates").toInt
+    catch { case _: Throwable => 100 }
+    if (ps.length >= cap - 1)
+      return Array(Saturated, Saturated, Saturated, Saturated)
     val batches = ps.length.toLong
     val input = ps.map(_.numInputRows).sum
     val state = ps.reverseIterator

@@ -436,4 +436,38 @@ class StreamingSpec extends SparkSpec {
       audit() shouldBe 32L // saturated, NOT 33/34/35
     } finally q.stop()
   }
+
+  test("progress-retention saturation yields the sentinel vector, not a silent under-count") {
+    implicit val sqlCtx = spark.sqlContext
+    // recentProgress retains only the last numRecentProgressUpdates
+    // events (default 100): a query driving more batches would silently
+    // under-count st_batches/st_input_rows and the plan-baseline diff
+    // would narrate phantom row regressions. StreamMetrics.vectorOf
+    // must detect the saturated buffer and emit the self-describing
+    // sentinel instead (r14, closing the r14-ADVICE latent).
+    // retention 4: ProgressReporter trims the buffer to 3 (it dequeues
+    // while length >= retention AFTER enqueue), so 4 executed batches
+    // leave 3 retained events = the trim line = sentinel territory
+    val key = "spark.sql.streaming.numRecentProgressUpdates"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try {
+      val mem = MemoryStream[Long]
+      val q = mem.toDF().toDF("v").writeStream.format("memory")
+        .queryName("progress_sat_test").outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(1L); q.processAllAvailable()
+        // 1 progress event, below the trim line: the exact vector
+        val v1 = graft.streaming.StreamMetrics.vectorOf(q)
+        v1(0) shouldBe 1L // batches
+        v1(1) shouldBe 1L // input rows
+        mem.addData(2L); q.processAllAvailable()
+        mem.addData(3L); q.processAllAvailable()
+        mem.addData(4L); q.processAllAvailable()
+        // 4 batches ran but at most 3 progress events retained: saturated
+        val v = graft.streaming.StreamMetrics.vectorOf(q)
+        v.toSeq shouldBe Seq.fill(4)(graft.streaming.StreamMetrics.Saturated)
+      } finally q.stop()
+    } finally spark.conf.set(key, old)
+  }
 }
