@@ -160,19 +160,28 @@ object QueriesAggWindow {
     * pass through. Expressed as the anti-join + union merge: base rows
     * whose key is NOT in the change-set, unioned with the change-set.
     * The change-set is deterministic (10% of customers re-balanced,
-    * plus genuinely-new keys at +1000000). At scale the anti join
-    * broadcasts when the change-set is small (the common case — a
-    * day's changes vs the full table), making the merge map-only; a
-    * big change-set degrades to one key-partitioned shuffle. */
+    * plus genuinely-new keys lifted above the key domain). The lift is
+    * DATA-DERIVED — the smallest multiple of 1e6 above max(custkey)
+    * ([[Tables.tableMax]]): a constant +1e6 stopped being injective at
+    * the sf1.0 rehearsal (the 10× corpus's real custkeys reach 9e6, so
+    * planted "inserts" landed on existing keys and the anti-join/union
+    * merge emitted colliding key pairs whose relative order diverged
+    * between engines). At shipped SFs max(custkey) < 1e6, so the lift
+    * IS +1000000 — hashes unchanged. At scale the anti join broadcasts
+    * when the change-set is small (the common case — a day's changes
+    * vs the full table), making the merge map-only; a big change-set
+    * degrades to one key-partitioned shuffle. */
   val oUpsert: Entry = Entry("o_upsert",
     (s, d) => {
+      val lift = 1000000L *
+        (Tables.tableMax(s, d, "customer", "c_custkey") / 1000000L + 1L)
       val base = cust(s, d).select(col("c_custkey"), col("c_name"),
         round(col("c_acctbal"), 2).as("acctbal"))
       val changes = cust(s, d).where(col("c_custkey") % 10 === 0)
         .select(col("c_custkey"), col("c_name"),
           round(col("c_acctbal") + 100, 2).as("acctbal"))
         .unionByName(cust(s, d).where(col("c_custkey") % 97 === 0)
-          .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+          .select((col("c_custkey") + lift).as("c_custkey"), col("c_name"),
             round(col("c_acctbal"), 2).as("acctbal")))
       base.join(changes.select("c_custkey"), Seq("c_custkey"), "left_anti")
         .unionByName(changes)
@@ -180,11 +189,13 @@ object QueriesAggWindow {
           col("acctbal"))
         .orderBy("custkey")
     },
-    Some("""WITH changes AS (
+    Some("""WITH lift AS (
+      | SELECT 1000000 * (max(c_custkey) // 1000000 + 1) AS k FROM customer),
+      |changes AS (
       | SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS acctbal
       | FROM customer WHERE c_custkey % 10 = 0
       | UNION ALL
-      | SELECT c_custkey + 1000000, c_name, round(c_acctbal, 2)
+      | SELECT c_custkey + (SELECT k FROM lift), c_name, round(c_acctbal, 2)
       | FROM customer WHERE c_custkey % 97 = 0)
       |SELECT c_custkey AS custkey, c_name AS name, round(c_acctbal, 2) AS acctbal
       |FROM customer c
@@ -384,10 +395,18 @@ object QueriesAggWindow {
   val oCdcApply: Entry = Entry("o_cdc_apply",
     (s, d) => {
       val c = cust(s, d)
+      // I-plant lift: 2× o_upsert's data-derived multiple-of-1e6 above
+      // max(custkey) — +2000000 at shipped SFs, collision-free at any
+      // SF (the sf1.0 rehearsal: constant +2e6 landed on copy-2 keys,
+      // giving two log rows the SAME (lkey, seq) and the max_by
+      // tie-break diverged between engines; injective lift restores
+      // the by-construction seq-uniqueness per key)
+      val lift = 2000000L *
+        (Tables.tableMax(s, d, "customer", "c_custkey") / 1000000L + 1L)
       def slice(cond: org.apache.spark.sql.Column, seq: Int, op: String,
           bal: org.apache.spark.sql.Column) =
         c.where(cond).select(
-          (if (op == "I") col("c_custkey") + 2000000 else col("c_custkey")).as("lkey"),
+          (if (op == "I") col("c_custkey") + lift else col("c_custkey")).as("lkey"),
           lit(seq).as("seq"), lit(op).as("op"),
           col("c_name").as("lname"), round(bal, 2).as("lbal"))
       val log = slice(col("c_custkey") % 7 === 0, 1, "U", col("c_acctbal") + 50)
@@ -407,7 +426,9 @@ object QueriesAggWindow {
           when(col("lkey").isNull, col("bal")).otherwise(col("lbal")).as("bal"))
         .orderBy("key")
     },
-    Some("""WITH log AS (
+    Some("""WITH lift AS (
+      | SELECT 2000000 * (max(c_custkey) // 1000000 + 1) AS k FROM customer),
+      |log AS (
       | SELECT c_custkey AS lkey, 1 AS seq, 'U' AS op, c_name AS lname,
       |   round(c_acctbal + 50, 2) AS lbal FROM customer WHERE c_custkey % 7 = 0
       | UNION ALL
@@ -417,7 +438,7 @@ object QueriesAggWindow {
       | SELECT c_custkey, 3, 'U', c_name, round(c_acctbal + 100, 2)
       | FROM customer WHERE c_custkey % 21 = 0
       | UNION ALL
-      | SELECT c_custkey + 2000000, 1, 'I', c_name, round(c_acctbal, 2)
+      | SELECT c_custkey + (SELECT k FROM lift), 1, 'I', c_name, round(c_acctbal, 2)
       | FROM customer WHERE c_custkey % 97 = 0),
       |last AS (SELECT lkey, max_by(op, seq) AS op, max_by(lname, seq) AS lname,
       |  max_by(lbal, seq) AS lbal FROM log GROUP BY lkey),
@@ -768,16 +789,22 @@ object QueriesAggWindow {
     * gate-literal pattern (VERDICT r10 #1): the HLL estimate itself is
     * engine-internal (no DuckDB replay exists), so it is folded into
     * the `quality_ok` boolean — the estimate must sit within 5% of the
-    * exact count computed in the same query (default rsd 0.05; HLL++
-    * at default p lands ~1.6% typical) — and the hashed result carries
-    * only the DETERMINISTIC spine (group, exact count, row count) plus
-    * that gate. The oracle recomputes the spine and asserts the gate
-    * LITERALLY true, so a drifted/broken sketch flips the boolean and
-    * hash-fails the round — the driver can now falsify what was
-    * previously a rows-only entry. */
+    * exact count computed in the same query — and the hashed result
+    * carries only the DETERMINISTIC spine (group, exact count, row
+    * count) plus that gate. The oracle recomputes the spine and asserts
+    * the gate LITERALLY true, so a drifted/broken sketch flips the
+    * boolean and hash-fails the round.
+    *
+    * Sketch precision 0.01 (p=14 registers), NOT the 0.05 default: the
+    * gate must sit far outside the sketch's own noise. Spark sizes the
+    * register count FROM the requested rsd, so rsd 0.05 builds a p=9
+    * sketch whose 1σ error is ~4.6% — the 5% gate was a coin flip at
+    * every SF, and the sf1.0 rehearsal (2M distinct parts per flag)
+    * flipped it. At rsd 0.01 the sketch's 1σ is ~0.8%, putting the
+    * unchanged 5% gate at ~6σ; 2^14 registers per group is KBs. */
   val gApproxDistinct: Entry = Entry("g_approx_distinct",
     (s, d) => li(s, d).groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
       .withColumn("quality_ok",

@@ -120,6 +120,34 @@ object Tables {
     }
   }
 
+  /** Memoized max of a key column — [[tableCount]]'s twin, same
+    * get-then-put discipline. Exists for DATA-DERIVED key lifts: an
+    * entry that plants "new" rows at `key + CONSTANT` stops being
+    * injective the moment a bigger corpus reaches the constant (the
+    * r14 sf1.0 rehearsal: o_upsert/o_cdc_apply's +1e6/+2e6 plants
+    * landed on the 10× corpus's real custkeys, and the collision
+    * tie-breaks diverged between engines). Lifting by a multiple of
+    * the constant ABOVE max(key) keeps the plant injective at every
+    * SF and is the identity at shipped SFs (max < constant there);
+    * the oracle replays it as a scalar subquery. Parquet max(col) is
+    * footer metadata — cheap, but still an action, hence the memo. */
+  private val tblMaxCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), (String, Long)]()
+
+  private[graft] def tableMax(spark: SparkSession, dir: String,
+      name: String, column: String): Long = {
+    val ver = dataVer(dir, name)
+    val key = (dir, name, column)
+    val cur = tblMaxCache.get(key)
+    if (cur != null && cur._1 == ver) cur._2
+    else {
+      val v = (ver, tbl(spark, dir, name)
+        .agg(org.apache.spark.sql.functions.max(column)).head().getLong(0))
+      tblMaxCache.put(key, v)
+      v._2
+    }
+  }
+
   /** Data-version token for derived-fixture cache keys: mtime+length of
     * the source parquet files. Folding this into every `target/tmp`
     * fixture path makes a regenerated testdata dir retarget the cache
