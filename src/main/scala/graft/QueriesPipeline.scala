@@ -47,13 +47,36 @@ object QueriesPipeline {
   private[graft] val MinhashOracleCap = 5000L
 
   /** The dd_minhash_lsh / st_stream_minhash BASE corpus: documents
-    * under the sf-conditional sample (k = 1, a no-op, at shipped
-    * SFs — see [[Tables.modSample]]). Shared so the two entries and
-    * their common oracle can never sample differently. */
-  private[graft] def minhashBaseDocs(s: SparkSession, d: String): DataFrame =
-    Tables.modSample(
-      docs(s, d).select(col("doc_id").as("id"), col("text")),
-      "id", MinhashOracleCap, Tables.tableCount(s, d, "documents"))
+    * under an sf-conditional HEAD sample (identity, no filter, at
+    * shipped SFs). Shared so the two entries and their common oracle
+    * can never sample differently.
+    *
+    * HEAD (lowest-cap doc_ids), NOT [[Tables.modSample]]'s `% k`
+    * (r14 sf1.0 rehearsal): the banded-LSH operator's recall is
+    * PROBABILISTIC in pair similarity — P(candidate) = 1-(1-s^r)^b,
+    * ≈0.3-5% miss at s 0.73-0.86 with (b=6, r=3) — and the entry's
+    * equality-with-brute-force contract rests on the corpus keeping
+    * its engineered similarity GAP (planted variants ~0.9+, natural
+    * pairs far below threshold). A `% k` sample whose k divides the
+    * rehearsal fixture's copy stride (k=10 vs 1e7 offsets) selects
+    * the SAME base docs from every copy — mass near-duplication at
+    * s 0.73-0.86, the exact band where banding misses (measured: 33
+    * of 27755 truth pairs missed at sf1.0, all cross-copy, none
+    * borderline). The head sample yields the shipped sf0.1 corpus
+    * verbatim at any rehearsal SF, preserving the gap the operator's
+    * recall argument is built on; real 10× growth adds new
+    * identities, not 10 copies of each old one, so the head corpus
+    * is the more realistic bounded truth, not a dodge. */
+  private[graft] def minhashBaseDocs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id").as("id"), col("text"))
+    if (Tables.tableCount(s, d, "documents") <= MinhashOracleCap) base
+    else {
+      val bound = docs(s, d).select(col("doc_id"))
+        .orderBy("doc_id").limit(MinhashOracleCap.toInt)
+        .agg(max("doc_id")).head().getLong(0)
+      base.where(col("id") <= bound)
+    }
+  }
 
   private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = minhashBaseDocs(s, d)
@@ -69,8 +92,9 @@ object QueriesPipeline {
   private[graft] val minhashLshOracle: String =
     s"""WITH basedocs AS (
       | SELECT doc_id, text FROM documents
-      | WHERE doc_id % ((SELECT (count(*) + ${MinhashOracleCap - 1})
-      |                  // $MinhashOracleCap FROM documents)) = 0),
+      | WHERE doc_id <= (SELECT max(doc_id) FROM
+      |   (SELECT doc_id FROM documents ORDER BY doc_id
+      |    LIMIT $MinhashOracleCap))),
       |corpus AS (
       | SELECT doc_id AS id, text FROM basedocs
       | UNION ALL

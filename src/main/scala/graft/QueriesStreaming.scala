@@ -1032,10 +1032,12 @@ object QueriesStreaming {
     (outer, d) => {
       val s = sizedStreamSession(outer, 2)
       import s.implicits._
-      // v2: base corpus under the shared sf-conditional sample (a
-      // no-op at shipped SFs; bounds the O(N²) oracle above them)
+      // v3: base corpus under the shared sf-conditional HEAD sample
+      // (a no-op at shipped SFs; bounds the O(N²) oracle above them —
+      // v2→v3 folds the r14 %k→head sample-shape change into the
+      // stage key, which dataVer alone can't see)
       val stage = stageBatchFiles("stream_mh", d,
-        "v2_" + Tables.dataVer(d, "documents"), {
+        "v3_" + Tables.dataVer(d, "documents"), {
           // the SAME base + plant rule as dd_minhash_lsh, by reference
           val base = QueriesPipeline.minhashBaseDocs(outer, d)
           Seq("b0" -> base, "b1" -> QueriesPipeline.nearDupVariants(base))
