@@ -795,16 +795,19 @@ object QueriesAggWindow {
     * the gate LITERALLY true, so a drifted/broken sketch flips the
     * boolean and hash-fails the round.
     *
-    * Sketch precision 0.01 (p=14 registers), NOT the 0.05 default: the
-    * gate must sit far outside the sketch's own noise. Spark sizes the
-    * register count FROM the requested rsd, so rsd 0.05 builds a p=9
-    * sketch whose 1σ error is ~4.6% — the 5% gate was a coin flip at
-    * every SF, and the sf1.0 rehearsal (2M distinct parts per flag)
-    * flipped it. At rsd 0.01 the sketch's 1σ is ~0.8%, putting the
-    * unchanged 5% gate at ~6σ; 2^14 registers per group is KBs. */
+    * Sketch precision 0.015 (p=13 registers), NOT the 0.05 default:
+    * the gate must sit far outside the sketch's own noise. Spark sizes
+    * the register count FROM the requested rsd, so rsd 0.05 builds a
+    * p=9 sketch whose 1σ error is ~4.6% — the 5% gate was a coin flip
+    * at every SF, and the sf1.0 rehearsal (2M distinct parts per flag)
+    * flipped it. At rsd 0.015 the sketch's 1σ is ~1.15%, putting the
+    * unchanged 5% gate at ~4.3σ (per-group flip odds ~1e-5). Not
+    * tighter: measured suite cost scales with the register count
+    * (1.2 s at p=9, 2.8 s at p=13, 4.2 s at p=14 isolated at sf0.1) —
+    * p=13 buys robustness without doubling the entry. */
   val gApproxDistinct: Entry = Entry("g_approx_distinct",
     (s, d) => li(s, d).groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.015).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
       .withColumn("quality_ok",
