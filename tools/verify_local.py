@@ -49,6 +49,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_ok = n_fail = n_noracle = 0
+    # identical oracle SQL -> one evaluation (r14 ADVICE): entries that
+    # SHARE a truth by design (dd_minhash_lsh / st_stream_minhash use
+    # one oracle string so their plants can't drift apart) would
+    # otherwise pay it twice - ~25 min each at rehearsal SFs
+    oracle_memo = {}
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):
@@ -61,9 +66,13 @@ def main():
             n_noracle += 1
             continue
         try:
-            exp = con.execute(oracle[name])
-            ecols = [d[0] for d in exp.description]
-            erows = exp.fetchall()
+            if oracle[name] in oracle_memo:
+                ecols, erows = oracle_memo[oracle[name]]
+            else:
+                exp = con.execute(oracle[name])
+                ecols = [d[0] for d in exp.description]
+                erows = exp.fetchall()
+                oracle_memo[oracle[name]] = (ecols, erows)
         except Exception as e:
             print(f"  [FAIL-sql ] {name}: oracle error: {str(e)[:200]}")
             n_fail += 1
