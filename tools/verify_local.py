@@ -52,7 +52,12 @@ def main():
     # identical oracle SQL -> one evaluation (r14 ADVICE): entries that
     # SHARE a truth by design (dd_minhash_lsh / st_stream_minhash use
     # one oracle string so their plants can't drift apart) would
-    # otherwise pay it twice - ~25 min each at rehearsal SFs
+    # otherwise pay it twice - ~25 min each at rehearsal SFs. Only SQL
+    # that actually repeats is retained: memoizing every result would
+    # hold the whole gate's rows in RAM at once (GBs at rehearsal SFs)
+    # for no benefit.
+    from collections import Counter
+    sql_uses = Counter(oracle.values())
     oracle_memo = {}
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(qdir)
@@ -72,7 +77,8 @@ def main():
                 exp = con.execute(oracle[name])
                 ecols = [d[0] for d in exp.description]
                 erows = exp.fetchall()
-                oracle_memo[oracle[name]] = (ecols, erows)
+                if sql_uses[oracle[name]] > 1:
+                    oracle_memo[oracle[name]] = (ecols, erows)
         except Exception as e:
             print(f"  [FAIL-sql ] {name}: oracle error: {str(e)[:200]}")
             n_fail += 1
