@@ -23,6 +23,37 @@ import org.apache.spark.sql.SparkSession
   *  - queries run in sorted-name order (stable across rounds).
   */
 object Bench {
+  /** Heavy-control pins (see the RE-PIN POLICY comment at the use
+    * site): isolated idle minima of three CPU-saturating live entries,
+    * pinned r14. Object-level so [[heavyRefPlanPin]]'s enforcement spec
+    * can cross-check them. */
+  val heavyRef: Map[String, Double] = Map(
+    "dd_components" -> 2.69, "gr_pagerank" -> 2.54, "ml_stack" -> 2.07)
+
+  /** RE-PIN POLICY, ENFORCED (r15, VERDICT r14 #1): the deterministic
+    * plan vector of each heavy-pin entry AT PIN TIME, copied from the
+    * PLAN_BASELINE.json the pin run produced. `HeavyPinSpec` asserts
+    * the committed PLAN_BASELINE.json still carries exactly these
+    * values — so a code change to a pinned entry (which changes its
+    * plan vector, and which bench_compare's exit-1 gate forces into a
+    * refreshed baseline) FAILS THE TEST SUITE until `heavyRef` is
+    * re-measured and BOTH maps are updated together. Without this, a
+    * regressed pin entry silently inflates host_factor_heavy and
+    * launders its own delta into "weather" — the exact failure mode
+    * the r13→r14 adjudication diagnosed for the light pins. Fields are
+    * the exact-deterministic subset (counts + shuffle rows at the
+    * pinned sf0.1); bytes are excluded (codec-sensitive). */
+  val heavyRefPlanPin: Map[String, Map[String, Long]] = Map(
+    "dd_components" -> Map(
+      "exchanges" -> 15L, "broadcasts" -> 6L, "scans" -> 9L,
+      "shuffle_rows" -> 37378L),
+    "gr_pagerank" -> Map(
+      "exchanges" -> 10L, "broadcasts" -> 8L, "scans" -> 4L,
+      "shuffle_rows" -> 351435L),
+    "ml_stack" -> Map(
+      "exchanges" -> 2L, "broadcasts" -> 1L, "scans" -> 0L,
+      "shuffle_rows" -> 15001L))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -143,6 +174,15 @@ object Bench {
     val pass1 = names.map(n => n -> runOnce(n)).toMap
     planAgg.clear() // plan metrics record pass 2's steady state only
     val pass2 = names.map(n => n -> runOnce(n)).toMap
+    // harness-teardown leak guard (r15, mirror of Verify's): after both
+    // passes every streaming entry must have purged its single-use RAM
+    // checkpoint; leftovers = a non-purging entry leaking JVM-lifetime
+    // bytes (stderr — the stdout JSON line's byte budget is sacred)
+    val ckptLeak = graft.streaming.EphemeralCheckpointFileManager.totalFiles
+    if (ckptLeak > 0)
+      System.err.println(s"[bench] LEAK: $ckptLeak RAM-checkpoint files " +
+        "still tracked after both passes — sample: " +
+        graft.streaming.EphemeralCheckpointFileManager.sampleKeys(5).mkString(", "))
     // per-query min of the two passes; a pass that errored (-1) defers
     // to the other — a query is an error only if BOTH passes failed
     val results = names.map { n =>
@@ -220,13 +260,15 @@ object Bench {
     // it — these are live suite entries, not frozen controls, so a
     // round that touches one must re-measure its isolated minimum or
     // the factor launders that entry's own win/regression into
-    // weather. Pinned r14: per-entry min over 3 isolated runs x
-    // min-of-two-passes (SPARK_GRAFT_ONLY with the light pins riding
-    // along) on a near-idle host window — the same runs' light pins
-    // read hf 1.02/1.12/1.02 against the r10 idle base, so these
+    // weather. Since r15 the policy is ENFORCED: HeavyPinSpec pins each
+    // entry's PLAN_BASELINE.json vector to heavyRefPlanPin (above), so
+    // a plan-changing edit to a pinned entry fails `sbt test` until the
+    // pin is re-measured. Pinned r14: per-entry min over 3 isolated
+    // runs x min-of-two-passes (SPARK_GRAFT_ONLY with the light pins
+    // riding along) on a near-idle host window — the same runs' light
+    // pins read hf 1.02/1.12/1.02 against the r10 idle base, so these
     // minima are within ~2% of true idle (BASELINE.md r14 row).
-    val heavyRef = Map(
-      "dd_components" -> 2.69, "gr_pagerank" -> 2.54, "ml_stack" -> 2.07)
+    // (heavyRef itself is object-level, above main.)
     val heavyCtl = heavyRef.keys.toSeq.sorted
       .flatMap(k => resultMap.get(k).map(_._1).filter(_ >= 0).map(k -> _))
     val heavyFactor: Option[Double] =

@@ -157,19 +157,59 @@ object Verify {
       case c => c.toString
     } + "\""
     // The dumped oracle map covers every entry whose parquet dump is
-    // PRESENT in outDir, plus the entries this run (re)dumped. Both
+    // PRESENT in outDir, plus the entries this run (re)dumped, plus
+    // every key the PREVIOUS on-disk oracle_sql.json carried. All
     // modes stay correct: a fresh filtered outDir gets a map matching
-    // its dumps (verify_local's missing-dump check holds), while a
-    // filtered re-dump into a FULL outDir keeps the other entries'
-    // oracles instead of truncating the map to the filter (r14
-    // near-miss: a 2-entry re-dump into the sf1.0 rehearsal dir
-    // clobbered the 204-entry map, silently turning the full compare
-    // into rows-only no-ops).
+    // its dumps (verify_local's missing-dump check holds); a filtered
+    // re-dump into a FULL outDir keeps the other entries' oracles
+    // instead of truncating the map to the filter (r14 near-miss: a
+    // 2-entry re-dump into the sf1.0 rehearsal dir clobbered the
+    // 204-entry map, silently turning the full compare into rows-only
+    // no-ops); and an entry that FAILED in the earlier full run (dump
+    // deleted, not in this filter) keeps its oracle via the prior-map
+    // merge, so its FAIL-miss signal in verify_local stays red until
+    // re-run green instead of silently vanishing (r14 ADVICE).
+    val priorKeys: Set[String] = {
+      val f = Paths.get(s"$outDir/oracle_sql.json")
+      if (!Files.isRegularFile(f)) Set.empty
+      else {
+        // the file is this code's own flat {"k": "v", ...} output; a
+        // minimal escape-aware string scan recovers the keys (every
+        // even-indexed top-level string) without a JSON dependency
+        val txt = Files.readString(f)
+        val strs = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < txt.length) {
+          if (txt.charAt(i) == '"') {
+            val sb = new StringBuilder
+            i += 1
+            while (i < txt.length && txt.charAt(i) != '"') {
+              if (txt.charAt(i) == '\\' && i + 1 < txt.length) i += 1
+              sb.append(txt.charAt(i)); i += 1
+            }
+            strs += sb.toString()
+          }
+          i += 1
+        }
+        strs.zipWithIndex.collect { case (s, j) if j % 2 == 0 => s }.toSet
+      }
+    }
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) ||
-        new java.io.File(s"$outDir/$k/_SUCCESS").isFile }
+        new java.io.File(s"$outDir/$k/_SUCCESS").isFile || priorKeys(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // harness-teardown leak guard (r15): every streaming entry's
+    // single-use RAM checkpoint must be purged by its own finally —
+    // leftovers here mean a non-purging entry is leaking JVM-lifetime
+    // bytes (loud, not fatal: a RAM leak must not fail the correctness
+    // dump that just succeeded)
+    val leaked = graft.streaming.EphemeralCheckpointFileManager.totalFiles
+    if (leaked > 0)
+      System.err.println(s"[verify] LEAK: $leaked RAM-checkpoint files " +
+        "still tracked after all entries — some streaming entry skipped " +
+        "dropCheckpoint. Sample: " +
+        graft.streaming.EphemeralCheckpointFileManager.sampleKeys(5).mkString(", "))
     spark.stop()
   }
 }

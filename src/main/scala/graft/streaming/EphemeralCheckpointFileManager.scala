@@ -125,7 +125,18 @@ object EphemeralCheckpointFileManager {
   private val files = new ConcurrentHashMap[String, (Array[Byte], Long)]()
   private val dirs = ConcurrentHashMap.newKeySet[String]()
 
-  private def norm(p: Path): String = p.toUri.getPath
+  /** Scheme-less ABSOLUTE key. Spark hands the manager the raw
+    * checkpointLocation string uninterpreted — entries pass a relative
+    * `target/tmp/ckpt_*`, so without resolution the stored keys were
+    * relative while [[purge]] resolved its argument absolute, and NO
+    * purge ever matched: every streaming entry's RAM checkpoint leaked
+    * for the JVM lifetime (found by EphemeralCkptSpec's teardown
+    * contract, r15 — the r14 ADVICE latent, live in every run). Both
+    * sides now resolve against the JVM working dir. */
+  private def norm(p: Path): String = {
+    val u = p.toUri.getPath
+    if (u.startsWith("/")) u else new java.io.File(u).getAbsolutePath
+  }
 
   private def parent(key: String): String = {
     val i = key.lastIndexOf('/')
@@ -148,6 +159,24 @@ object EphemeralCheckpointFileManager {
     val prefix = if (key.endsWith("/")) key else key + "/"
     files.keySet().removeIf(k => k == key || k.startsWith(prefix))
     dirs.removeIf(d => d == key || d.startsWith(prefix))
+  }
+
+  /** Harness-teardown leak guard (r15, VERDICT r14 #2): total tracked
+    * files across ALL checkpoints. The map is JVM-global and relies on
+    * every finished query purging its root — after a harness has run
+    * and stopped all its streaming queries, nonzero here means an
+    * entry configured the manager but skipped `dropCheckpoint`, and
+    * its bytes would sit in RAM for the JVM lifetime. Verify/Bench
+    * check this at end-of-run; EphemeralCkptSpec pins the entry-level
+    * purge contract. */
+  def totalFiles: Int = files.size()
+
+  /** Leak-report aid: up to `n` tracked keys (which roots leaked). */
+  def sampleKeys(n: Int): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = files.keySet().iterator()
+    while (it.hasNext && out.length < n) out += it.next()
+    out.toSeq
   }
 
   /** Testing/introspection: number of tracked files under a prefix. */

@@ -38,6 +38,10 @@ object StreamMetrics {
   private val pending =
     new java.util.concurrent.ConcurrentLinkedQueue[Array[Long]]()
 
+  /** Once-per-JVM marker for the saturation-sentinel log line. */
+  private val saturationLogged =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Sentinel for a query that SATURATED the progress-retention buffer
     * (`spark.sql.streaming.numRecentProgressUpdates`, default 100):
     * `recentProgress` silently drops the oldest events past the cap, so
@@ -69,11 +73,24 @@ object StreamMetrics {
     // silent under-count. The conf is read off q.sparkSession (the
     // stream's CLONED session — the clone snapshots the conf at
     // start(), which is the value the reporter trimmed with).
-    val cap = try q.sparkSession.conf
-      .get("spark.sql.streaming.numRecentProgressUpdates").toInt
-    catch { case _: Throwable => 100 }
-    if (ps.length >= cap - 1)
+    // NonFatal only (r14 ADVICE): a fatal error (OOM, linkage) must
+    // propagate, not silently become cap=100. Clamped to ≥ 2 so a
+    // retention conf of 1 (or any unparsable/tiny value) can't make
+    // `ps.length >= cap - 1` vacuously true for EVERY query; when the
+    // sentinel does fire, the cause is logged once per JVM so a diff
+    // reader can find the conf knob instead of guessing.
+    val cap = math.max(2,
+      try q.sparkSession.conf
+        .get("spark.sql.streaming.numRecentProgressUpdates").toInt
+      catch { case scala.util.control.NonFatal(_) => 100 })
+    if (ps.length >= cap - 1) {
+      if (saturationLogged.compareAndSet(false, true))
+        System.err.println(s"[StreamMetrics] progress buffer saturated " +
+          s"(${ps.length} events >= retention-1 = ${cap - 1}) — vector is " +
+          "the Saturated sentinel; raise " +
+          "spark.sql.streaming.numRecentProgressUpdates for a real vector")
       return Array(Saturated, Saturated, Saturated, Saturated)
+    }
     val batches = ps.length.toLong
     val input = ps.map(_.numInputRows).sum
     val state = ps.reverseIterator

@@ -46,6 +46,9 @@ class EphemeralCkptSpec extends AnyFunSuite with Matchers with SparkSpec {
     val in2 = m.open(f)
     val b2 = new Array[Byte](8)
     new String(b2, 0, in2.read(b2), "UTF-8") shouldBe "v2"
+    // leave the JVM-global map as found (the totalFiles teardown guard
+    // reads it across suites)
+    EphemeralCheckpointFileManager.purge(root)
   }
 
   test("list returns direct children only; delete is recursive; purge frees the footprint") {
@@ -104,5 +107,23 @@ class EphemeralCkptSpec extends AnyFunSuite with Matchers with SparkSpec {
     val fs = run(ephemeral = false, "fs")
     ram.nonEmpty shouldBe true
     ram shouldBe fs
+  }
+
+  test("harness-teardown contract: a completed streaming entry leaves zero tracked RAM files") {
+    // the leak latent (r14 ADVICE): the file map is JVM-global and an
+    // entry that configures the manager but skips dropCheckpoint leaks
+    // its checkpoint bytes for the JVM lifetime. Pin the contract on a
+    // real entry: run st_stream_exec end-to-end (its own finally purges)
+    // and assert the global footprint returns to its pre-run level.
+    // Relative before/after: suites run sequentially in the forked JVM,
+    // so no other test mutates the map mid-flight.
+    val before = EphemeralCheckpointFileManager.totalFiles
+    val df = SparkEntry.queries("st_stream_exec")(spark, "/root/testdata/sf0.001")
+    df.count() should be > 0L
+    withClue("st_stream_exec left RAM-checkpoint files tracked — its " +
+      "dropCheckpoint purge regressed (JVM-lifetime leak); tracked: " +
+      EphemeralCheckpointFileManager.sampleKeys(20).mkString(" | ") + " : ") {
+      EphemeralCheckpointFileManager.totalFiles shouldBe before
+    }
   }
 }

@@ -175,6 +175,25 @@ def main():
                       + ("  [sustained-throttle regime: heavy/light drift "
                          f"{(hhb / hb) / (hha / ha):.2f}x]"
                          if (hhb / hb) / (hha / ha) > 1.15 else ""))
+            # mixed-pin signal (r14 ADVICE): host weather moves all three
+            # heavy pins TOGETHER; ONE pin diverging sharply from its
+            # siblings means that entry's own code/plan changed — the
+            # factor is laundering a real per-entry delta into "weather"
+            # and heavyRef must be re-pinned (Bench.scala RE-PIN POLICY;
+            # HeavyPinSpec enforces the plan-vector side of the chain).
+            for rec, tag in ((a, sys.argv[1]), (b, sys.argv[2])):
+                rr = {k: rec["queries"][k] / href[k] for k in href
+                      if rec.get("queries", {}).get(k, -1) > 0}
+                if len(rr) == len(href) >= 2:
+                    hi, lo = max(rr.values()), min(rr.values())
+                    if lo > 0 and hi / lo > 1.5:
+                        print(f"WARNING: mixed heavy-pin signal in {tag}: "
+                              + ", ".join(f"{k}={v:.2f}x"
+                                          for k, v in sorted(rr.items()))
+                              + " — one pin diverges from its siblings; that"
+                              " is a code/plan change IN the pin, not host"
+                              " weather. Re-pin per Bench.scala RE-PIN"
+                              " POLICY before trusting host_factor_heavy.")
     else:
         print("host_factor: not factor-comparable (pre-r10 record without pins)")
         # a stored factor we can't rebase is IGNORED, not trusted —

@@ -71,14 +71,22 @@ def main():
             n_noracle += 1
             continue
         try:
-            if oracle[name] in oracle_memo:
-                ecols, erows = oracle_memo[oracle[name]]
+            sql = oracle[name]
+            if sql in oracle_memo:
+                ecols, erows = oracle_memo[sql]
             else:
-                exp = con.execute(oracle[name])
+                exp = con.execute(sql)
                 ecols = [d[0] for d in exp.description]
                 erows = exp.fetchall()
-                if sql_uses[oracle[name]] > 1:
-                    oracle_memo[oracle[name]] = (ecols, erows)
+                if sql_uses[sql] > 1:
+                    oracle_memo[sql] = (ecols, erows)
+            # evict after the LAST consumer: without this, several full
+            # result sets (GB-scale at rehearsal SFs) sit in RAM for the
+            # rest of the run; with it, peak memo memory is one shared
+            # result set at a time (r14 ADVICE)
+            sql_uses[sql] -= 1
+            if sql in oracle_memo and sql_uses[sql] <= 0:
+                del oracle_memo[sql]
         except Exception as e:
             print(f"  [FAIL-sql ] {name}: oracle error: {str(e)[:200]}")
             n_fail += 1
