@@ -3555,6 +3555,49 @@ object QueriesPipeline {
        |   AS kept_id_sum
        |FROM k GROUP BY host ORDER BY host""".stripMargin))
 
+  /** Incremental corpus ingestion — the crawl-merge step a LIVE corpus
+    * runs instead of re-deduping everything: a new increment (fresh
+    * docs + re-crawls of already-held pages) lands, and only docs
+    * whose content digest is ABSENT from the base corpus are admitted.
+    * Fixture: base = doc_id % 10 ≠ 9; the increment is the % 10 == 9
+    * slice re-keyed +200000 (novel content) unioned with re-crawls of
+    * base docs (% 13 == 0, re-keyed +300000) that must ALL be refused.
+    * The two lifts are injective against each other at EVERY SF by a
+    * mod-10 argument (fresh ids ≡ 9, so a cross-lift collision would
+    * need a base id ≡ 9 mod 10 — excluded by construction; the r14
+    * key-lift discipline, proof in KeyLiftSpec). Plan shape: the base
+    * side projects to DIGESTS ONLY before the anti join, so corpus
+    * text never shuffles — the exchange carries (int64, int64) rows
+    * on both sides; at 100 TB the base digest index is a bucketed
+    * table the increment co-partitions against, and nothing else
+    * changes. Oracle parity rides the dd_exact contract: Spark keys on
+    * xxhash64(text), the oracle anti-joins on text itself — identical
+    * results while the 64-bit digest is collision-free on the corpus
+    * (the documented dd_exact assumption). */
+  val plIncrementalIngest: Entry = Entry("pl_incremental_ingest",
+    (s, d) => {
+      val base = docs(s, d).where(col("doc_id") % 10 =!= 9)
+      val increment = docs(s, d).where(col("doc_id") % 10 === 9)
+        .select((col("doc_id") + 200000L).as("new_id"), col("text"))
+        .unionByName(base.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 300000L).as("new_id"), col("text")))
+      val baseIdx = base.select(xxhash64(col("text")).as("digest"))
+      increment
+        .select(col("new_id"), xxhash64(col("text")).as("digest"),
+          length(col("text")).cast("long").as("tlen"))
+        .join(baseIdx, Seq("digest"), "left_anti")
+        .select(col("new_id"), col("tlen"))
+        .orderBy("new_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+      |incr AS (SELECT doc_id + 200000 AS new_id, text FROM documents
+      |   WHERE doc_id % 10 = 9
+      | UNION ALL
+      | SELECT doc_id + 300000 AS new_id, text FROM base WHERE doc_id % 13 = 0)
+      |SELECT new_id, CAST(length(text) AS BIGINT) AS tlen FROM incr
+      |WHERE text NOT IN (SELECT text FROM base)
+      |ORDER BY new_id""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddContainment, ddMinhash, ddSimhash, ddComponents,
     txEntropy,
@@ -3570,7 +3613,7 @@ object QueriesPipeline {
     plSubstringDup, plSuffixDedup, plHashFeatures, plLengthBuckets,
     plScoreCalibration,
     plSoftDedup, plDsir, plWeightedSample, plStratifiedSample,
-    plUrlCanonical, plHostDedup,
+    plUrlCanonical, plHostDedup, plIncrementalIngest,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simAnnRecall,
     simKmeans, simKmeansLloyd,
     simNearDup, plSemDedup, plSemDedupTrained, simRrfFusion,

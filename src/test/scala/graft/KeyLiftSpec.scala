@@ -61,4 +61,26 @@ class KeyLiftSpec extends SparkSpec {
     f.setLastModified(f.lastModified() + 5000) shouldBe true
     Tables.tableMax(spark, dir.getPath, "customer", "c_custkey") shouldBe 4321L
   }
+
+  test("pl_incremental_ingest: the two increment lifts are disjoint at every SF (mod-10 proof holds on a crossing domain)") {
+    // the +200000 (fresh, ids ≡ 9 mod 10) and +300000 (re-crawl, ids
+    // ≢ 9 mod 10) lifts collide only if some base id ≡ 9 mod 10 —
+    // excluded by construction. Exercise it on a doc_id domain that
+    // CROSSES both constants (the regime a rehearsal fixture creates),
+    // with texts unique per id so every fresh doc must be admitted.
+    val dir = java.nio.file.Files.createTempDirectory("incr").toFile
+    val ids = (0L to 50L) ++ (199990L to 200010L) ++ (299990L to 300010L)
+    ids.toSeq.map(i => (i, s"doc text $i", "en", s"src${i % 3}", 10L + i % 5))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"${dir.getPath}/documents.parquet")
+    val out = QueriesPipeline.plIncrementalIngest.fn(spark, dir.getPath).cache()
+    // injectivity: one output row per new_id
+    out.select("new_id").distinct().count() shouldBe out.count()
+    // exactness: every fresh doc admitted (unique texts), every
+    // re-crawl refused — the output is exactly the lifted fresh slice
+    val freshIds = ids.filter(_ % 10 == 9).map(_ + 200000L).sorted
+    out.orderBy("new_id").select("new_id").collect().map(_.getLong(0))
+      .toSeq shouldBe freshIds
+    out.unpersist()
+  }
 }
