@@ -793,6 +793,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pl_url_canonical: canonicalization is scan-stage map work, no hash exchange") {
+    val p = plan(QueriesPipeline.plUrlCanonical.fn(spark, sf))
+    withClue(p) {
+      // every rule (case fold, port/www/fragment/utm strip, param sort)
+      // is a projection over the scan; the ONLY exchange is the
+      // output-contract orderBy's range partitioner
+      hashEx(p) shouldBe 0
+      "- Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
+  test("pl_host_dedup: keep-best stays in HashAggregate (packed key), two hash exchanges") {
+    val p = plan(QueriesPipeline.plHostDedup.fn(spark, sf))
+    withClue(p) {
+      // url_canon keep-best + host rollup, both with map-side partial
+      // aggs; the packed-BIGINT max must NOT fall back to the
+      // SortAggregate a struct-max would force
+      hashEx(p) shouldBe 2
+      p should not include "SortAggregate"
+      "- Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    }
+  }
+
+  test("pl_incremental_ingest: digests-only anti join, corpus text never shuffles") {
+    val p = staticPlan(QueriesPipeline.plIncrementalIngest.fn(spark, sf))
+    withClue(p) {
+      p should include ("LeftAnti")
+      // both anti-join shuffles carry (int64, int64) rows at most —
+      // no exchange row may carry the text column
+      val exchanges = p.linesIterator.filter(_.contains("- Exchange")).toSeq
+      exchanges.foreach { line => line should not include "text" }
+    }
+  }
+
   test("w_pareto_abc: facts collapse in the agg BEFORE any window runs") {
     val p = staticPlan(QueriesAggWindow.wParetoAbc.fn(spark, sf))
     withClue(p) {
