@@ -3598,6 +3598,56 @@ object QueriesPipeline {
       |WHERE text NOT IN (SELECT text FROM base)
       |ORDER BY new_id""".stripMargin))
 
+  /** Corpus snapshot diff — the release audit run between two corpus
+    * versions ("what changed from v1 to v2"): per-doc classification
+    * into added / removed / changed / unchanged plus a per-class
+    * census, the numbers a dataset card publishes per release. v2 is
+    * derived from v1 deterministically: doc_id % 13 == 0 removed,
+    * % 17 == 0 edited (token appended), the % 10 == 9 slice re-keyed
+    * +200000 as additions (injective vs base ids at every SF: fixture
+    * ids ≥ 0 and the lift exceeds nothing it can collide with inside
+    * v2, whose base ids are UNLIFTED — a lifted id equals a base id
+    * only if some base id ≡ 9 mod 10 sat in v2's id set, excluded by
+    * construction). Plan shape: both sides project to (doc_id, digest)
+    * BEFORE the full-outer join — text never shuffles, the join
+    * exchange carries (int64, int64) rows; the census is a partial agg
+    * over the joined classes. Oracle parity rides the dd_exact digest
+    * contract (Spark compares xxhash64(text), the oracle compares text
+    * itself — identical while the digest is collision-free). */
+  val plCorpusDiff: Entry = Entry("pl_corpus_diff",
+    (s, d) => {
+      val v1 = docs(s, d).where(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id"), col("text"))
+      val v2 = v1.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs(s, d).where(col("doc_id") % 10 === 9)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      val a = v1.select(col("doc_id"), xxhash64(col("text")).as("dig_a"))
+      val b = v2.select(col("doc_id"), xxhash64(col("text")).as("dig_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(when(col("dig_a").isNull, "added")
+          .when(col("dig_b").isNull, "removed")
+          .when(col("dig_a") =!= col("dig_b"), "changed")
+          .otherwise("unchanged").as("change"))
+        .groupBy("change").agg(count(lit(1)).as("n"))
+        .orderBy("change")
+    },
+    Some("""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+      |v2 AS (SELECT doc_id,
+      |   CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM v1 WHERE doc_id % 13 <> 0
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 10 = 9),
+      |j AS (SELECT CASE WHEN a.text IS NULL THEN 'added'
+      |  WHEN b.text IS NULL THEN 'removed'
+      |  WHEN a.text <> b.text THEN 'changed' ELSE 'unchanged' END AS change
+      | FROM v1 a FULL OUTER JOIN v2 b USING (doc_id))
+      |SELECT change, CAST(count(*) AS BIGINT) AS n FROM j
+      |GROUP BY change ORDER BY change""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddContainment, ddMinhash, ddSimhash, ddComponents,
     txEntropy,
@@ -3613,7 +3663,7 @@ object QueriesPipeline {
     plSubstringDup, plSuffixDedup, plHashFeatures, plLengthBuckets,
     plScoreCalibration,
     plSoftDedup, plDsir, plWeightedSample, plStratifiedSample,
-    plUrlCanonical, plHostDedup, plIncrementalIngest,
+    plUrlCanonical, plHostDedup, plIncrementalIngest, plCorpusDiff,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simAnnRecall,
     simKmeans, simKmeansLloyd,
     simNearDup, plSemDedup, plSemDedupTrained, simRrfFusion,
