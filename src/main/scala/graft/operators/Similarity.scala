@@ -304,6 +304,16 @@ object Similarity {
 
   /** Approximate nearest neighbours via random-projection LSH buckets.
     * Returns (vec_id, distCol) for the k nearest to the probe row. */
+  /** NOTE on mass ties (r15 sf3.0 rehearsal): MLlib's
+    * `approxNearestNeighbors` has no deterministic tie-break, so a
+    * probe whose k-NN set is a tied class of EXACT duplicates gets an
+    * arbitrary subset of that class — dedup before indexing (this
+    * library's dedup and semantic-dedup stages exist for exactly that).
+    * On deduped data, distance ties are measure-zero and the final
+    * (dist, vec_id) sort below makes the output total-ordered. The
+    * rehearsal generator now perturbs embedding copies so scale
+    * fixtures model real growth (new identities), not mass
+    * duplication. */
   def annTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
     val feat = emb.select(col("vec_id"),
       array_to_vector(ArrayOps.asDouble(col("embedding"))).as("features"))

@@ -42,6 +42,19 @@ PERTURB_COLS = {
     "customer": {"c_name": "~"},
 }
 
+# embedding perturbation per copy under --perturb (r15, found by the
+# sf3.0 rehearsal): verbatim embedding copies put a probe's TRUE
+# top-10 at 29 exact duplicates (dist 0), and k-NN under mass ties has
+# no deterministic tie-break (MLlib approxNearestNeighbors returns an
+# arbitrary subset of the tied class) — the lsh recall gate read 7/10
+# against a truth the fixture, not the operator, had corrupted. A
+# +i*0.12 per-component shift keeps every copy ≥0.96 L2 from its
+# original and from sibling copies — far outside every engineered
+# plant offset (≤0.192), the near-dup threshold (0.5), and the
+# semantic-dedup/contamination cosine cuts — so rehearsal growth adds
+# NEW identities in embedding space, like real growth does.
+EMB_STEP = 0.12
+
 # per-table: {column: per-copy offset}; absent column -> unchanged
 OFFSETS = {
     "region": None,      # single copy
@@ -75,6 +88,9 @@ def main():
                         return f"{c} + {i * offs[c]} AS {c}"
                     if i > 0 and c in pert:
                         return f"{c} || '{pert[c]}{i}' AS {c}"
+                    if i > 0 and PERTURB and t == "embeddings" and c == "embedding":
+                        return (f"CAST(list_transform({c}, "
+                                f"x -> x + {i * EMB_STEP}) AS FLOAT[]) AS {c}")
                     return c
                 sel = ", ".join(sel_col(c) for c in cols)
                 parts.append(f"SELECT {sel} FROM {src}")
