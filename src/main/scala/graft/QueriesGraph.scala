@@ -120,12 +120,17 @@ object QueriesGraph {
         .select(col("u"), col("v"))
     }
 
-  /** The shared oracle preamble building the same bidirected edge set. */
+  /** The shared oracle preamble building the same bidirected edge set.
+    * MATERIALIZED (r15 sf3.0 rehearsal): DuckDB inlines CTEs, and `e`
+    * is referenced from EVERY iteration CTE — inlined, the 18M-row
+    * lineitem⨝orders + DISTINCT re-executes ~2× per iteration and the
+    * concurrent hash builds spilled >75 GB to disk at sf3.0 (IO-error
+    * abort). Materializing pins one execution; results are identical. */
   private val sqlEdges: String =
-    s"""e0 AS (SELECT DISTINCT o_custkey AS a,
+    s"""e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS a,
       |  l_suppkey + $SuppOffset AS b
       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      |e AS (SELECT a AS src, b AS dst FROM e0
+      |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
       |      UNION ALL SELECT b, a FROM e0)""".stripMargin
 
   val grPageRank: Entry = Entry("gr_pagerank",
@@ -146,8 +151,8 @@ object QueriesGraph {
     },
     Some(s"""WITH $sqlEdges,
       |$sqlScale,
-      |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-      |n AS (SELECT DISTINCT src AS node FROM e),
+      |d AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      |n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
       |r0 AS (SELECT node, (SELECT scale FROM sc) AS rank FROM n)
       |${(1 to Iters).map(sqlIter).mkString("\n")}
       |SELECT node, rank FROM r$Iters
@@ -381,11 +386,17 @@ object QueriesGraph {
   private val CoreK = 8
   private val CoreRounds = 4
 
+  /** MATERIALIZED (r15 sf3.0 rehearsal): each round references the
+    * previous round's edge set THREE times (degree census + both
+    * semi-join sides) — inlined, DuckDB re-executes the chain ~3^round
+    * times and the concurrent hash builds filled >75 GB of spill at
+    * sf3.0. Materializing every round makes the replay linear; results
+    * are identical. */
   private def kcIter(i: Int): String =
-    s""",d$i AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+    s""",d$i AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
        | FROM a${i - 1} GROUP BY 1),
-       |k$i AS (SELECT src AS node FROM d$i WHERE deg >= $CoreK),
-       |a$i AS (SELECT t.src, t.dst FROM a${i - 1} t
+       |k$i AS MATERIALIZED (SELECT src AS node FROM d$i WHERE deg >= $CoreK),
+       |a$i AS MATERIALIZED (SELECT t.src, t.dst FROM a${i - 1} t
        | JOIN k$i x ON t.src = x.node
        | JOIN k$i y ON t.dst = y.node)""".stripMargin
 
@@ -410,13 +421,13 @@ object QueriesGraph {
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       operators.KCore.peelCensus(edges, CoreK, CoreRounds)
     },
-    Some(s"""WITH e0 AS (SELECT DISTINCT o_custkey AS a,
+    Some(s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS a,
       |  l_suppkey + $SuppOffset AS b
       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       | WHERE l_quantity > 45),
       |e AS (SELECT a AS src, b AS dst FROM e0
       |      UNION ALL SELECT b, a FROM e0),
-      |a0 AS (SELECT src, dst FROM e)
+      |a0 AS MATERIALIZED (SELECT src, dst FROM e)
       |${(1 to CoreRounds + 1).map(i =>
            if (i <= CoreRounds) kcIter(i)
            else s""",d$i AS (SELECT src, CAST(count(*) AS BIGINT) AS deg

@@ -44,6 +44,18 @@ def canon(rows, cols):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # optional resource bounds for rehearsal-scale runs (r15: two
+    # concurrent compares' spills transiently filled the disk and one
+    # DuckDB aborted the whole process with a C++ IO exception — cap
+    # memory so spills start earlier but stay bounded, and point temp
+    # at a scratch dir that is observable/cleanable)
+    if os.environ.get("VERIFY_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['VERIFY_DUCKDB_MEM']}'")
+    if os.environ.get("VERIFY_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['VERIFY_DUCKDB_THREADS'])}")
+    if os.environ.get("VERIFY_DUCKDB_TEMP"):
+        os.makedirs(os.environ["VERIFY_DUCKDB_TEMP"], exist_ok=True)
+        con.execute(f"SET temp_directory='{os.environ['VERIFY_DUCKDB_TEMP']}'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
