@@ -69,7 +69,13 @@ def main():
     # hold the whole gate's rows in RAM at once (GBs at rehearsal SFs)
     # for no benefit.
     from collections import Counter
-    sql_uses = Counter(oracle.values())
+    # count uses only among entries that HAVE a dump: an oracle shared
+    # with a failed (undumped) entry would otherwise never reach zero
+    # uses and its memoized result would sit in RAM to process end
+    dumped_names = {os.path.basename(p)
+                    for p in glob.glob(os.path.join(out_dir, "*"))
+                    if os.path.isdir(p)}
+    sql_uses = Counter(v for k, v in oracle.items() if k in dumped_names)
     oracle_memo = {}
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(qdir)
