@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Parallel verify_local over an outDir (harness-side, for rehearsal
+SFs where the compare is python-canon-bound on multi-million-row
+results — the r15 sf3.0 phase ran ~4× faster sharded).
+
+Usage: python3 tools/shard_compare.py <sfDir> <outDir> [nShards] [only_regex]
+
+Splits the outDir's entries into nShards symlink dirs (each with its
+own oracle_sql.json subset — so every shard's missing-dump accounting
+stays correct), runs one verify_local per shard concurrently, streams
+their logs to <outDir>_shard<i>.log, and prints the combined tally.
+Resource bounds per shard via the verify_local envs (defaults here:
+memory_limit = 80GB/nShards, threads = 24/nShards, shared temp dir) —
+the r15 lesson: unbounded concurrent spills can fill the disk and
+DuckDB aborts the whole process with a C++ IO exception.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import glob
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    only = re.compile(sys.argv[4]) if len(sys.argv) > 4 else None
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    dirs = sorted(os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
+                  if os.path.isdir(d) and (only is None or only.search(os.path.basename(d))))
+    shards = [dirs[i::n] for i in range(n)]
+    procs = []
+    env_base = dict(os.environ)
+    env_base.setdefault("VERIFY_DUCKDB_MEM", f"{max(8, 80 // n)}GB")
+    env_base.setdefault("VERIFY_DUCKDB_THREADS", str(max(2, 24 // n)))
+    env_base.setdefault("VERIFY_DUCKDB_TEMP", f"{out_dir}_duck_tmp")
+    for i, names in enumerate(shards):
+        sd = f"{out_dir}_shard{i}"
+        os.makedirs(sd, exist_ok=True)
+        for name in names:
+            dst = os.path.join(sd, name)
+            if not os.path.islink(dst):
+                os.symlink(os.path.abspath(os.path.join(out_dir, name)), dst)
+        json.dump({k: oracle[k] for k in names if k in oracle},
+                  open(os.path.join(sd, "oracle_sql.json"), "w"))
+        log = open(f"{sd}.log", "w")
+        procs.append((subprocess.Popen(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "verify_local.py"),
+             sf_dir, sd], stdout=log, stderr=subprocess.STDOUT, env=env_base), sd))
+        print(f"shard{i}: {len(names)} entries -> {sd}.log")
+    ok = fail = 0
+    for p, sd in procs:
+        p.wait()
+        txt = open(f"{sd}.log").read()
+        ok += len(re.findall(r"\[OK\s*\]", txt))
+        fail += len(re.findall(r"\[FAIL", txt))
+        if p.returncode != 0:
+            print(f"WARNING: {sd} exited {p.returncode} (DuckDB abort? check its log)")
+    print(f"== combined: {ok} ok, {fail} fail across {len(dirs)} entries")
+    sys.exit(1 if fail or ok < len(dirs) else 0)
+
+
+if __name__ == "__main__":
+    main()
