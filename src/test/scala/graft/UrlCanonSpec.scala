@@ -25,7 +25,7 @@ class UrlCanonSpec extends SparkSpec {
     // doc 2: www. stripped, query params SORTED
     byId(2L) shouldBe ("https://WWW.example-0.com/page/0?b=2&a=1",
       "https://example-0.com/page/0?a=1&b=2")
-    // doc 5: https default :443 spelled only when scheme is https-class
+    // doc 10: https default :443 stripped (spelled only for https-class raws)
     byId(10L)._1 should include (":443")
     byId(10L)._2 should not include ":443"
     // doc 4: bare URL is already canonical apart from case
