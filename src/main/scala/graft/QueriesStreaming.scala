@@ -807,50 +807,131 @@ object QueriesStreaming {
     * the driver's own still-open session never finalizes (excluded by
     * key anyway). Oracle: the same declarative lag/gap construction
     * st_session uses, driver key filtered. */
+  /** The session-window choreography fixture, shared by
+    * st_stream_session_window and st_batch_parity_session: real events
+    * split by event_id parity (most users have rows in BOTH data
+    * batches, so open-session state must merge across the boundary),
+    * then two 2031 driver rows that advance the watermark past every
+    * real session's end — eviction uses the PREVIOUS batch's watermark,
+    * hence the second driver batch — flushing ALL real sessions to the
+    * append sink. */
+  private def stagedSessionWindowFixture(outer: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    def at(t: String) = lit(s"2031-01-01 $t").cast("timestamp")
+    stageBatchFiles("stream_sesswin", d,
+      "v1_" + Tables.dataVer(d, "events"), {
+        val base = tbl(outer, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val driver1 = base.limit(1)
+          .select(lit(-1L).as("user_id"), at("00:00:00").as("ts"))
+        val driver2 = base.limit(1)
+          .select(lit(-1L).as("user_id"), at("16:00:00").as("ts"))
+        Seq(
+          "b0" -> base.where(col("event_id") % 2 === 0).select(col("user_id"), col("ts")),
+          "b1" -> base.where(col("event_id") % 2 =!= 0).select(col("user_id"), col("ts")),
+          "b2" -> driver1,
+          "b3" -> driver2)
+      })
+  }
+
+  /** Run the native session_window aggregation over the staged fixture
+    * under REAL micro-batch execution (append mode, watermark-driven
+    * finalization) and return the finalized real-user sessions from the
+    * memory sink. Shared engine of the two entries below. */
+  private def runStreamSessionWindow(s: org.apache.spark.sql.SparkSession,
+      stage: String, tag: String): org.apache.spark.sql.DataFrame = {
+    val name = s"${tag}_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+    val q = s.readStream
+      .schema(s.read.parquet(s"$stage/b0.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .withWatermark("ts", "40 days")
+      .groupBy(session_window(col("ts"), "8 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"target/tmp/ckpt_$name")
+      .outputMode("append").start()
+    try {
+      graft.streaming.StreamMetrics.drainAndRecord(q)
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      require(fed >= 4,
+        s"expected >=4 data micro-batches (cross-batch session merge + flush), saw $fed")
+    } finally {
+      q.stop()
+      dropCheckpoint(s"target/tmp/ckpt_$name")
+    }
+    s.table(name).where(col("user_id") >= 0)
+  }
+
   val stStreamSessionWindow: Entry = Entry("st_stream_session_window",
     (outer, d) => {
       val s = sizedStreamSession(outer, 2)
-      def at(t: String) = lit(s"2031-01-01 $t").cast("timestamp")
-      val stage = stageBatchFiles("stream_sesswin", d,
-        "v1_" + Tables.dataVer(d, "events"), {
-          val base = tbl(outer, d, "events")
-            .select(col("event_id"), col("user_id"), col("ts"))
-          val driver1 = base.limit(1)
-            .select(lit(-1L).as("user_id"), at("00:00:00").as("ts"))
-          val driver2 = base.limit(1)
-            .select(lit(-1L).as("user_id"), at("16:00:00").as("ts"))
-          Seq(
-            "b0" -> base.where(col("event_id") % 2 === 0).select(col("user_id"), col("ts")),
-            "b1" -> base.where(col("event_id") % 2 =!= 0).select(col("user_id"), col("ts")),
-            "b2" -> driver1,
-            "b3" -> driver2)
-        })
-      val name = s"st_sesswin_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
-      val q = s.readStream
-        .schema(s.read.parquet(s"$stage/b0.parquet").schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-        .withWatermark("ts", "40 days")
-        .groupBy(session_window(col("ts"), "8 hours"), col("user_id"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end"), col("n"))
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"target/tmp/ckpt_$name")
-        .outputMode("append").start()
-      try {
-        graft.streaming.StreamMetrics.drainAndRecord(q)
-        val fed = q.recentProgress.count(_.numInputRows > 0)
-        require(fed >= 4,
-          s"expected >=4 data micro-batches (cross-batch session merge + flush), saw $fed")
-      } finally {
-        q.stop()
-        dropCheckpoint(s"target/tmp/ckpt_$name")
-      }
-      s.table(name).where(col("user_id") >= 0)
+      val stage = stagedSessionWindowFixture(outer, d)
+      runStreamSessionWindow(s, stage, "st_sesswin")
         .orderBy("user_id", "session_start")
     },
     Some(sessionOracle))
+
+  /** STATEFUL streaming↔batch parity audit (VERDICT r15 #1) — the
+    * st_batch_parity pattern pushed to the operator class where stream
+    * and batch semantics genuinely diverge: session windows with state
+    * merged across micro-batch boundaries and emitted only by
+    * watermark-driven append finalization (late data, state eviction,
+    * output-mode timing — none of which the stateless tumbling row
+    * exercises). ONE plan runs the native session_window both ways —
+    * a real 4-micro-batch file-source execution (fixture choreography
+    * in [[stagedSessionWindowFixture]]: parity-split events force
+    * cross-batch session merges; 2031 driver rows advance the
+    * watermark past every real session's end so append mode flushes
+    * them all) and the identical batch spelling over the same events
+    * table — then full-outer joins on the complete session identity
+    * (user_id, start, end) and counts any disagreement, including the
+    * per-session row count n. All compared values are exact (BIGINT
+    * counts, micros timestamps), so equality is bitwise. The oracle
+    * recomputes the session census declaratively (the same lag/gap
+    * construction st_session pins) and asserts the mismatch count
+    * literally zero. A lost micro-batch, an unmerged cross-boundary
+    * session, a watermark that fails to flush, or an eviction that
+    * drops a still-open session all flip parity_ok. */
+  val stBatchParitySession: Entry = Entry("st_batch_parity_session",
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 2)
+      val stage = stagedSessionWindowFixture(outer, d)
+      val streamRes = runStreamSessionWindow(s, stage, "st_parity_sess")
+        .select(col("user_id"), col("session_start").as("ss"),
+          col("session_end").as("se"), col("n").as("n_s"))
+      val batchRes = ev(s, d)
+        .groupBy(session_window(col("ts"), "8 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_b"))
+        .select(col("user_id"), col("session_window.start").as("ss"),
+          col("session_window.end").as("se"), col("n_b"))
+      streamRes.join(batchRes, Seq("user_id", "ss", "se"), "full_outer")
+        .agg(
+          sum(when(col("n_s").isNotNull, 1L).otherwise(0L)).as("n_stream"),
+          sum(when(col("n_b").isNotNull, 1L).otherwise(0L)).as("n_batch"),
+          sum(when(col("n_s").isNull || col("n_b").isNull ||
+            col("n_s") =!= col("n_b"), 1L).otherwise(0L)).as("n_mismatch"))
+        .withColumn("parity_ok",
+          col("n_mismatch") === 0 && col("n_stream") === col("n_batch") &&
+            col("n_stream") > 0)
+    },
+    Some("""WITH o AS (
+      | SELECT user_id, ts,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |        OR date_diff('microsecond', lag(ts) OVER w, ts) >= 28800000000 THEN 1
+      |       ELSE 0 END AS brk
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      | FROM o),
+      |g AS (SELECT user_id, sid FROM s GROUP BY user_id, sid)
+      |SELECT CAST(count(*) AS BIGINT) AS n_stream,
+      | CAST(count(*) AS BIGINT) AS n_batch,
+      | CAST(0 AS BIGINT) AS n_mismatch, TRUE AS parity_ok
+      |FROM g""".stripMargin))
 
   /** Streaming per-key top-k under REAL micro-batch execution —
     * [[StreamingOps.topKPerKey]]: a SpaceSaving summary per language
@@ -1140,5 +1221,6 @@ object QueriesStreaming {
     stStreamExec, stStreamSessionExec, stStreamDedup, stStreamJoin,
     stStreamRecovery, stStreamWmDedup, stStreamQuantile, stStreamTopK,
     stStreamCdc,
-    stStreamSessionWindow, stStreamMinhash, stBatchParity)
+    stStreamSessionWindow, stStreamMinhash, stBatchParity,
+    stBatchParitySession)
 }

@@ -74,15 +74,30 @@ object StreamMetrics {
     // stream's CLONED session — the clone snapshots the conf at
     // start(), which is the value the reporter trimmed with).
     // NonFatal only (r14 ADVICE): a fatal error (OOM, linkage) must
-    // propagate, not silently become cap=100. Clamped to ≥ 2 so a
-    // retention conf of 1 (or any unparsable/tiny value) can't make
-    // `ps.length >= cap - 1` vacuously true for EVERY query; when the
-    // sentinel does fire, the cause is logged once per JVM so a diff
-    // reader can find the conf knob instead of guessing.
-    val cap = math.max(2,
+    // propagate, not silently become cap=100.
+    val cap =
       try q.sparkSession.conf
         .get("spark.sql.streaming.numRecentProgressUpdates").toInt
-      catch { case scala.util.control.NonFatal(_) => 100 })
+      catch { case scala.util.control.NonFatal(_) => 100 }
+    // r15 ADVICE found the old `math.max(2, conf)` clamp made conf=2
+    // sentinel on every 1-event query; its suggested `max(3, conf)`
+    // would instead make the sentinel UNREACHABLE at conf≤2 (the buffer
+    // never exceeds conf−1 ≤ 1 < cap−1 = 2), silently under-counting
+    // multi-batch queries — the exact failure this sentinel exists to
+    // prevent. The honest semantics: a retention of ≤ 2 retains at most
+    // ONE progress event, so no reading from it can distinguish 1 batch
+    // from N — the instrument is too small to measure anything, and the
+    // only non-lying output is the sentinel, always (logged, so the
+    // reader finds the conf knob). From conf ≥ 3 the usual trim-line
+    // test applies unclamped.
+    if (cap <= 2) {
+      if (saturationLogged.compareAndSet(false, true))
+        System.err.println(s"[StreamMetrics] progress retention conf = " +
+          s"$cap retains at most ${math.max(0, cap - 1)} event(s) — too " +
+          "small to measure; vector is the Saturated sentinel; raise " +
+          "spark.sql.streaming.numRecentProgressUpdates for a real vector")
+      return Array(Saturated, Saturated, Saturated, Saturated)
+    }
     if (ps.length >= cap - 1) {
       if (saturationLogged.compareAndSet(false, true))
         System.err.println(s"[StreamMetrics] progress buffer saturated " +

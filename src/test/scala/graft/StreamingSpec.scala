@@ -470,4 +470,34 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     } finally spark.conf.set(key, old)
   }
+
+  test("retention conf <= 2 is too small to measure: always the sentinel, never an under-count") {
+    implicit val sqlCtx = spark.sqlContext
+    // r15 ADVICE: the old max(2, conf) clamp made conf=2 sentinel on
+    // every 1-event query; the suggested max(3, conf) would instead
+    // make the sentinel unreachable at conf<=2 (buffer never exceeds
+    // conf-1 <= 1 < 2), silently reporting a multi-batch query as
+    // 1 batch. Pinned contract: retention <= 2 retains at most one
+    // event, so NO reading can distinguish 1 batch from N — vectorOf
+    // must emit the sentinel unconditionally, for the 1-batch query
+    // too (conservative, "raise the conf"), and NEVER the exact-looking
+    // but under-counted vector (1, 1, ...) for a 3-batch query.
+    val key = "spark.sql.streaming.numRecentProgressUpdates"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try {
+      val mem = MemoryStream[Long]
+      val q = mem.toDF().toDF("v").writeStream.format("memory")
+        .queryName("progress_tiny_cap_test").outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(1L); q.processAllAvailable()
+        mem.addData(2L); q.processAllAvailable()
+        mem.addData(3L); q.processAllAvailable()
+        // 3 batches executed; retention 2 keeps 1 progress event — an
+        // exact vector here would be the lie (1, 1, _, 1)
+        val v = graft.streaming.StreamMetrics.vectorOf(q)
+        v.toSeq shouldBe Seq.fill(4)(graft.streaming.StreamMetrics.Saturated)
+      } finally q.stop()
+    } finally spark.conf.set(key, old)
+  }
 }

@@ -6,8 +6,10 @@ results — the r15 sf3.0 phase ran ~4× faster sharded).
 Usage: python3 tools/shard_compare.py <sfDir> <outDir> [nShards] [only_regex]
 
 Splits the outDir's entries into nShards symlink dirs (each with its
-own oracle_sql.json subset — so every shard's missing-dump accounting
-stays correct), runs one verify_local per shard concurrently, streams
+own oracle_sql.json subset; oracle entries with NO dump dir are
+reported up front as [FAIL-miss] and counted into the combined fail
+tally — they belong to no shard), runs one verify_local per shard
+concurrently, streams
 their logs to <outDir>_shard<i>.log, and prints the combined tally.
 Resource bounds per shard via the verify_local envs (defaults here:
 memory_limit = 80GB/nShards, threads = 24/nShards, shared temp dir) —
@@ -29,19 +31,37 @@ def main():
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     dirs = sorted(os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
                   if os.path.isdir(d) and (only is None or only.search(os.path.basename(d))))
+    # r15 ADVICE (medium): oracle entries with NO dump dir (a failed
+    # query — Verify deletes its stale dump) would otherwise land in no
+    # shard's oracle subset, and the FAIL-miss red signal an unsharded
+    # verify_local emits for them would be silently lost. Surface them
+    # here, up front, and count them into the combined fail tally.
+    missing = sorted(k for k in oracle if k not in set(dirs)
+                     and (only is None or only.search(k)))
+    for k in missing:
+        print(f"[FAIL-miss] {k}: oracle entry has no dumped result dir")
     shards = [dirs[i::n] for i in range(n)]
     procs = []
     env_base = dict(os.environ)
     env_base.setdefault("VERIFY_DUCKDB_MEM", f"{max(8, 80 // n)}GB")
     env_base.setdefault("VERIFY_DUCKDB_THREADS", str(max(2, 24 // n)))
     env_base.setdefault("VERIFY_DUCKDB_TEMP", f"{out_dir}_duck_tmp")
+    # r15 ADVICE (low): shard dirs persist across runs — a rerun with a
+    # different nShards/only_regex would re-verify stale symlinks (or
+    # crash a shard on a dangling one). Empty every existing shard dir,
+    # including higher-numbered leftovers from a previous wider run.
+    for sd in glob.glob(f"{out_dir}_shard*"):
+        if os.path.isdir(sd):
+            for entry in os.listdir(sd):
+                p = os.path.join(sd, entry)
+                if os.path.islink(p) or os.path.isfile(p):
+                    os.unlink(p)
     for i, names in enumerate(shards):
         sd = f"{out_dir}_shard{i}"
         os.makedirs(sd, exist_ok=True)
         for name in names:
             dst = os.path.join(sd, name)
-            if not os.path.islink(dst):
-                os.symlink(os.path.abspath(os.path.join(out_dir, name)), dst)
+            os.symlink(os.path.abspath(os.path.join(out_dir, name)), dst)
         json.dump({k: oracle[k] for k in names if k in oracle},
                   open(os.path.join(sd, "oracle_sql.json"), "w"))
         log = open(f"{sd}.log", "w")
@@ -49,7 +69,7 @@ def main():
             [sys.executable, os.path.join(os.path.dirname(__file__), "verify_local.py"),
              sf_dir, sd], stdout=log, stderr=subprocess.STDOUT, env=env_base), sd))
         print(f"shard{i}: {len(names)} entries -> {sd}.log")
-    ok = fail = 0
+    ok, fail = 0, len(missing)
     for p, sd in procs:
         p.wait()
         txt = open(f"{sd}.log").read()
@@ -57,7 +77,9 @@ def main():
         fail += len(re.findall(r"\[FAIL", txt))
         if p.returncode != 0:
             print(f"WARNING: {sd} exited {p.returncode} (DuckDB abort? check its log)")
-    print(f"== combined: {ok} ok, {fail} fail across {len(dirs)} entries")
+    print(f"== combined: {ok} ok, {fail} fail "
+          f"across {len(dirs) + len(missing)} entries"
+          + (f" ({len(missing)} FAIL-miss: oracle with no dump)" if missing else ""))
     sys.exit(1 if fail or ok < len(dirs) else 0)
 
 
