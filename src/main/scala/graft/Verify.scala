@@ -194,22 +194,59 @@ object Verify {
         strs.zipWithIndex.collect { case (s, j) if j % 2 == 0 => s }.toSet
       }
     }
-    val json = SparkEntry.oracleSql
+    // harness-teardown leak guard, promoted WARN → RED (r16, VERDICT
+    // r15 #3): runs BEFORE the oracle map is written so a leak appends
+    // its synthetic red row to the same compare the driver runs
+    val guardPairs = ckptLeakGuard(spark, outDir)
+    val json = (SparkEntry.oracleSql
       .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) ||
         new java.io.File(s"$outDir/$k/_SUCCESS").isFile || priorKeys(k) }
+      ++ guardPairs)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // harness-teardown leak guard (r15): every streaming entry's
-    // single-use RAM checkpoint must be purged by its own finally —
-    // leftovers here mean a non-purging entry is leaking JVM-lifetime
-    // bytes (loud, not fatal: a RAM leak must not fail the correctness
-    // dump that just succeeded)
+    spark.stop()
+  }
+
+  /** Synthetic correctness key of the RAM-checkpoint leak guard — "zz"
+    * so it sorts after every real entry and reads as harness-authored
+    * in a red round's CORRECTNESS diff. */
+  val LeakGuardKey = "zz_ckpt_leak_guard"
+
+  /** RAM-checkpoint leak guard, promoted from a stderr WARN to a RED
+    * correctness row (r16, VERDICT r15 #3 / r15 ADVICE "treat a
+    * warning as a failure"): every streaming entry's single-use RAM
+    * checkpoint must be purged by its own finally, and leftovers here
+    * mean a non-purging entry is leaking JVM-lifetime bytes. On a
+    * leak this writes a 1-row dump {leaked_files = n, leak_ok = false}
+    * under [[LeakGuardKey]] and returns the matching oracle pair
+    * asserting {0, TRUE} — a guaranteed hash mismatch, so the driver's
+    * compare (and verify_local) turns the round red without failing
+    * the 211 real dumps that just succeeded. When clean it returns
+    * empty AND removes any stale guard dump from a previous leaking
+    * run into the same outDir, so green rounds keep the judge's
+    * invariant CORRECTNESS keys == registered Entry names exactly.
+    * VerifyGuardSpec trips it with a planted non-purged file. */
+  private[graft] def ckptLeakGuard(spark: SparkSession,
+      outDir: String): Map[String, String] = {
     val leaked = graft.streaming.EphemeralCheckpointFileManager.totalFiles
-    if (leaked > 0)
+    val dump = new java.io.File(s"$outDir/$LeakGuardKey")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    if (leaked > 0) {
       System.err.println(s"[verify] LEAK: $leaked RAM-checkpoint files " +
         "still tracked after all entries — some streaming entry skipped " +
-        "dropCheckpoint. Sample: " +
+        s"dropCheckpoint; writing the $LeakGuardKey RED row. Sample: " +
         graft.streaming.EphemeralCheckpointFileManager.sampleKeys(5).mkString(", "))
-    spark.stop()
+      import spark.implicits._
+      Seq((leaked.toLong, false)).toDF("leaked_files", "leak_ok")
+        .coalesce(1).write.mode("overwrite").parquet(dump.toString)
+      Map(LeakGuardKey ->
+        "SELECT CAST(0 AS BIGINT) AS leaked_files, TRUE AS leak_ok")
+    } else {
+      rm(dump)
+      Map.empty
+    }
   }
 }

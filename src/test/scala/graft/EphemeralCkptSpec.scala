@@ -109,21 +109,53 @@ class EphemeralCkptSpec extends AnyFunSuite with Matchers with SparkSpec {
     ram shouldBe fs
   }
 
-  test("harness-teardown contract: a completed streaming entry leaves zero tracked RAM files") {
-    // the leak latent (r14 ADVICE): the file map is JVM-global and an
-    // entry that configures the manager but skips dropCheckpoint leaks
-    // its checkpoint bytes for the JVM lifetime. Pin the contract on a
-    // real entry: run st_stream_exec end-to-end (its own finally purges)
-    // and assert the global footprint returns to its pre-run level.
-    // Relative before/after: suites run sequentially in the forked JVM,
-    // so no other test mutates the map mid-flight.
-    val before = EphemeralCheckpointFileManager.totalFiles
-    val df = SparkEntry.queries("st_stream_exec")(spark, "/root/testdata/sf0.001")
-    df.count() should be > 0L
-    withClue("st_stream_exec left RAM-checkpoint files tracked — its " +
-      "dropCheckpoint purge regressed (JVM-lifetime leak); tracked: " +
-      EphemeralCheckpointFileManager.sampleKeys(20).mkString(" | ") + " : ") {
-      EphemeralCheckpointFileManager.totalFiles shouldBe before
+  test("harness-teardown contract: EVERY streaming entry leaves zero tracked RAM files") {
+    // the leak latent (r14 ADVICE; a REAL purge-key bug found via this
+    // contract in r15): the file map is JVM-global and an entry that
+    // configures the manager but skips dropCheckpoint leaks its
+    // checkpoint bytes for the JVM lifetime. r16 (VERDICT r15 #3):
+    // iterate the WHOLE st_* family, not st_stream_exec alone — a
+    // future entry that forgets its finally-purge fails HERE, by name,
+    // not as a log line at the end of a Verify run. Relative
+    // before/after per entry: suites run sequentially in the forked
+    // JVM, so no other test mutates the map mid-flight.
+    val stEntries = Queries.all.filter(_.name.startsWith("st_"))
+    stEntries.size should be >= 17 // the family as of r16; grows, never shrinks
+    for (e <- stEntries) {
+      val before = EphemeralCheckpointFileManager.totalFiles
+      val df = e.fn(spark, "/root/testdata/sf0.001")
+      df.count() should be > 0L
+      withClue(s"${e.name} left RAM-checkpoint files tracked — its " +
+        "dropCheckpoint purge regressed (JVM-lifetime leak); tracked: " +
+        EphemeralCheckpointFileManager.sampleKeys(20).mkString(" | ") + " : ") {
+        EphemeralCheckpointFileManager.totalFiles shouldBe before
+      }
     }
+  }
+
+  test("trip test: a planted non-purged checkpoint turns the Verify round RED via the guard row") {
+    // VERDICT r15 #3 done-criterion: a non-purging entry must turn a
+    // round red. Plant exactly what such an entry leaves behind (a
+    // tracked RAM file), run the harness guard, and assert it emits
+    // the synthetic red row: a dump whose (leaked_files, leak_ok)
+    // contradicts the returned oracle's (0, TRUE) — a guaranteed hash
+    // mismatch in the driver's compare. Then purge and assert the
+    // clean path removes the stale red row and returns no oracle pair,
+    // so green rounds keep CORRECTNESS keys == Entry names.
+    val out = java.nio.file.Files.createTempDirectory("leakguard_trip").toString
+    val root = s"/leak_trip_${System.nanoTime()}"
+    val m = mgr(root)
+    val o = m.createAtomic(new Path(s"$root/offsets/0"), true)
+    o.write(1); o.close()
+    try {
+      val pairs = Verify.ckptLeakGuard(spark, out)
+      pairs.keySet shouldBe Set(Verify.LeakGuardKey)
+      pairs(Verify.LeakGuardKey) should include("TRUE AS leak_ok")
+      val row = spark.read.parquet(s"$out/${Verify.LeakGuardKey}").collect().head
+      row.getAs[Long]("leaked_files") should be >= 1L
+      row.getAs[Boolean]("leak_ok") shouldBe false
+    } finally EphemeralCheckpointFileManager.purge(root)
+    Verify.ckptLeakGuard(spark, out) shouldBe Map.empty
+    new java.io.File(s"$out/${Verify.LeakGuardKey}").exists() shouldBe false
   }
 }

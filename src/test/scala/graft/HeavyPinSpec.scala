@@ -27,6 +27,48 @@ class HeavyPinSpec extends AnyFunSuite with Matchers {
 
   test("heavy pins and their plan fingerprints cover the same entries") {
     Bench.heavyRefPlanPin.keySet shouldBe Bench.heavyRef.keySet
+    Bench.heavyRefSourceUnits.keySet shouldBe Bench.heavyRef.keySet
+    Bench.heavyRefSourceDigest.keySet shouldBe Bench.heavyRef.keySet
+  }
+
+  test("working-tree source of each pinned entry still matches its pin-time digest") {
+    // The plan-vector pin below is blind to edits that don't move the
+    // vector (a UDF body, an MLlib hyperparameter, a constant inside an
+    // unchanged plan shape) — this digest isn't (r16, VERDICT r15 #6).
+    // Comments and whitespace are stripped first, so doc-only edits
+    // never force a re-pin; any behavior-adjacent edit does.
+    val moved = Bench.heavyRefSourceUnits.toSeq.sortBy(_._1).flatMap {
+      case (entry, units) =>
+        val got = Bench.sourceDigestOf(units)
+        if (got == Bench.heavyRefSourceDigest(entry)) None
+        else Some(s"""    "$entry" -> "$got",""")
+    }
+    withClue("source digest of heavy-pin entries moved — their defining " +
+      "code changed in a way the plan vector may not see. RE-PIN: " +
+      "re-measure each isolated idle minimum (Bench.scala RE-PIN " +
+      "POLICY), then update Bench.heavyRef, heavyRefPlanPin AND " +
+      "heavyRefSourceDigest together. Fresh digests:\n" +
+      moved.mkString("\n") + "\n: ") {
+      moved shouldBe empty
+    }
+  }
+
+  test("the digest tripwire actually trips on a code edit and ignores comment/format edits") {
+    // self-test of the normalizer: the three properties the pin relies on
+    val code = "object X {\n  // c\n  val a = 1 /* b */\n  val s = \"x // y\"\n}\n"
+    val reformatted = "object X { val a=1\n  val s = \"x // y\" }"
+    val edited = code.replace("= 1", "= 2")
+    Bench.stripScala(code) shouldBe Bench.stripScala(reformatted)
+    Bench.stripScala(code) should not be Bench.stripScala(edited)
+    // string literals survive verbatim (the // inside is NOT a comment)
+    Bench.stripScala(code) should include("\"x // y\"")
+    // entrySlice isolates one declaration: a sibling edit doesn't move it
+    val reg = "object R {\n  val aEntry: Entry = Entry(\"a\",\n    body1)\n\n" +
+      "  val bEntry: Entry = Entry(\"b\",\n    body2)\n}\n"
+    val sliceA = Bench.entrySlice(reg, "aEntry")
+    sliceA should include("body1")
+    sliceA should not include "body2"
+    Bench.entrySlice(reg.replace("body2", "body2x"), "aEntry") shouldBe sliceA
   }
 
   test("PLAN_BASELINE.json still matches the heavy pins' pin-time plan vectors") {

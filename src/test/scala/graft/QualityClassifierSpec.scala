@@ -28,4 +28,31 @@ class QualityClassifierSpec extends SparkSpec {
     ll should be <= 0.15
     r.getAs[Boolean]("quality_ok") shouldBe true
   }
+
+  test("label token's HashingTF bucket is collision-free on the current fixture vocabulary") {
+    // The invariant the classifier's linear separability rides on
+    // (r15 ADVICE #1 / VERDICT r15 #7): the planted label counts 'join'
+    // tokens, and the count features can express it exactly only while
+    // no OTHER fixture token hashes into 'join's D=1024 bucket — a
+    // collision adds a confound the LR cannot subtract and the gate
+    // margin erodes silently. Assert it LOUD, per scale the gates run
+    // at: every distinct token sharing the bucket must BE the label
+    // token. The vocab is bounded (synthetic fixture text), so the
+    // driver-side indexOf sweep is O(vocab), not O(corpus).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.ml.feature.HashingTF
+    val tf = new HashingTF().setNumFeatures(1024) // must match the entry's featurizer
+    val bucket = tf.indexOf("join")
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val vocab = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .select(explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+        .where(org.apache.spark.sql.functions.length(col("t")) > 0).distinct()
+        .collect().map(_.getString(0))
+      val colliders = vocab.filter(t => t != "join" && tf.indexOf(t) == bucket)
+      withClue(s"[$sf] tokens colliding with 'join' in bucket $bucket " +
+        "(testdata regen broke the classifier's separability invariant): ") {
+        colliders shouldBe empty
+      }
+    }
+  }
 }

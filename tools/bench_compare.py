@@ -15,6 +15,10 @@ def load(path):
     return json.loads(line[line.index("{"):])
 
 
+# set when the mixed heavy-pin divergence check fires; main() exits 3
+_mixed_pin_tripped = False
+
+
 # Idle minima of the pinned control queries under the r10 harness.
 # Since r11 the bench record carries its own pins ("control_ref"), so
 # this literal is only the fallback for r10-harness records written
@@ -187,13 +191,17 @@ def main():
                 if len(rr) == len(href) >= 2:
                     hi, lo = max(rr.values()), min(rr.values())
                     if lo > 0 and hi / lo > 1.5:
-                        print(f"WARNING: mixed heavy-pin signal in {tag}: "
+                        print(f"ERROR: mixed heavy-pin signal in {tag}: "
                               + ", ".join(f"{k}={v:.2f}x"
                                           for k, v in sorted(rr.items()))
                               + " — one pin diverges from its siblings; that"
                               " is a code/plan change IN the pin, not host"
                               " weather. Re-pin per Bench.scala RE-PIN"
-                              " POLICY before trusting host_factor_heavy.")
+                              " POLICY before trusting host_factor_heavy."
+                              " (exit 3; BENCH_ALLOW_MIXED_PINS=1 to"
+                              " downgrade for a forensic read)")
+                        global _mixed_pin_tripped
+                        _mixed_pin_tripped = True
     else:
         print("host_factor: not factor-comparable (pre-r10 record without pins)")
         # a stored factor we can't rebase is IGNORED, not trusted —
@@ -236,6 +244,12 @@ def main():
               + ", ".join(f"{k}={v:.2f}" for k, v in sorted(added.items())))
     if removed:
         print("removed: " + ", ".join(removed))
+    # a tripped mixed-pin signal exits nonzero BY DEFAULT (r16, VERDICT
+    # r15 #6): a pin diverging >1.5x from its siblings is never weather,
+    # and a warning nobody reads defeats the whole pin chain
+    import os
+    if _mixed_pin_tripped and os.environ.get("BENCH_ALLOW_MIXED_PINS") != "1":
+        sys.exit(3)
 
 
 if __name__ == "__main__":
