@@ -238,6 +238,88 @@ object QueriesPipeline {
       .orderBy("id_a", "id_b"),
     Some(minhashLshOracle))
 
+  /** Standing MinHash-LSH banding recall audit (VERDICT r15 #4) — the
+    * measurement the r14 sf1.0 rehearsal made once, ad hoc (33/27755
+    * cross-copy truth pairs missed), promoted to a permanent gate row
+    * in the sim_ann_recall_audit pattern. dd_minhash_lsh proves 100%
+    * recall ON ITS OWN corpus, but that corpus is engineered with a
+    * similarity GAP (plants ≤ 0.15 distance, nothing else near the
+    * 0.4 threshold) — it never exercises the band where banded LSH
+    * genuinely misses. This entry plants a similarity LADDER instead:
+    * id%3 source docs get k = 3 + (id%8)·5 unique junk tokens
+    * appended, spreading exact pair Jaccard across ~0.5–0.95, so the
+    * truth pairs inside the threshold live exactly in the marginal
+    * catch band (P = 1−(1−s³)⁶ ≈ 0.79–0.99 at s 0.6–0.9). Truth is
+    * O(N), not all-pairs: each planted pair's exact Jaccard is a
+    * per-row computation on (text, variant-text) — the 100 TB-safe
+    * recall canary shape. Measured side: [[Dedup.minHashPairs]] over
+    * base ∪ variants, filtered to the planted relation (banding is
+    * the only lossy stage; the exact verify keeps every true pair it
+    * sees, so caught ⊆ truth by construction). The gate asserts
+    * recall ≥ 0.93 — measured 126/131 = 0.962 and 124/131 = 0.947 at
+    * sf0.001/sf0.01 and 1163/1224 = 0.950 at sf0.1 with the fixed
+    * hash family (deterministic — the misses ARE the banding loss the
+    * audit exists to observe; exact counts pinned in
+    * PipelineOpsSpec). Rehearsal SFs head-sample back to the sf0.1
+    * corpus, so the gate only ever sees these three values and the
+    * floor has real margin; a banding regression (broken band key,
+    * dropped band, bucket truncation) fails loud — and a SUBTLE one
+    * (e.g. one lost band ≈ −2% recall) fails the spec's exact pins.
+    * The oracle recomputes the planted-truth census by replaying the
+    * ladder in SQL and asserts the gate literally true. */
+  val ddMinhashRecall: Entry = Entry("dd_minhash_recall_audit",
+    (s, d) => {
+      val base = minhashBaseDocs(s, d)
+      // k junk tokens, each carrying the SOURCE id so no two docs'
+      // junk shingles ever intersect (a shared junk run would add
+      // spurious variant-variant similarity)
+      val kTok = (lit(3) + (col("id") % 8) * lit(5)).cast("int")
+      val vtext = concat(col("text"),
+        array_join(transform(sequence(lit(1), kTok),
+          j => concat(lit(" zq"), col("id").cast("string"),
+            lit("x"), j.cast("string"))), ""))
+      val planted = base.where(col("id") % 3 === 0)
+      val truthAgg = planted
+        .select((lit(1.0) - Dedup.jaccardText(col("text"), vtext)).as("dist"))
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when(col("dist") <= 0.4, 1L).otherwise(0L)).as("n_truth"))
+      val corpus = base.unionByName(
+        planted.select((col("id") + 200000L).as("id"), vtext.as("text")))
+      val caught = Dedup.minHashPairs(corpus, threshold = 0.4)
+        .where(col("id_b") === col("id_a") + 200000L && col("id_a") % 3 === 0)
+        .agg(count(lit(1)).as("n_caught"))
+      truthAgg.crossJoin(caught)
+        .select(col("n_planted"), col("n_truth"),
+          (col("n_truth") > 0 && col("n_caught") <= col("n_truth") &&
+            col("n_caught").cast("double") >= col("n_truth") * lit(0.93))
+            .as("recall_ok"))
+    },
+    Some(s"""WITH basedocs AS (
+      | SELECT doc_id AS id, text FROM documents
+      | WHERE doc_id <= (SELECT max(doc_id) FROM
+      |   (SELECT doc_id FROM documents ORDER BY doc_id
+      |    LIMIT $MinhashOracleCap))),
+      |pl AS (
+      | SELECT id, string_split(text, ' ') AS w,
+      |   string_split(text || array_to_string(
+      |     list_transform(range(1, (3 + (id % 8) * 5) + 1),
+      |       j -> ' zq' || id || 'x' || j), ''), ' ') AS wv
+      | FROM basedocs WHERE id % 3 = 0),
+      |sh AS (SELECT id,
+      | list_distinct(list_transform(range(1, len(w) - 1),
+      |   i -> array_to_string(w[i:i+2], ' '))) AS sa,
+      | list_distinct(list_transform(range(1, len(wv) - 1),
+      |   i -> array_to_string(wv[i:i+2], ' '))) AS sb
+      | FROM pl),
+      |d AS (SELECT id, 1.0 - coalesce(
+      |   CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+      |   len(list_distinct(list_concat(sa, sb))), 0.0) AS dist
+      | FROM sh)
+      |SELECT CAST(count(*) AS BIGINT) AS n_planted,
+      | CAST(sum(CASE WHEN dist <= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+      | TRUE AS recall_ok
+      |FROM d""".stripMargin))
+
   /** SimHash near-dup detection, RECALL-PROOF on the provable slice.
     * The planted variants REVERSE the word order: different text (a
     * true near-dup, not a byte copy) but the identical token multiset —
@@ -3649,7 +3731,8 @@ object QueriesPipeline {
       |GROUP BY change ORDER BY change""".stripMargin))
 
   val all: Seq[Entry] = Seq(
-    ddExact, ddNgramJaccard, ddContainment, ddMinhash, ddSimhash, ddComponents,
+    ddExact, ddNgramJaccard, ddContainment, ddMinhash, ddMinhashRecall,
+    ddSimhash, ddComponents,
     txEntropy,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
     txRedactPii, txBigramLm, txBpePairs, txBpeEncode, txUnigramLm,

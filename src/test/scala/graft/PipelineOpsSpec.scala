@@ -102,6 +102,34 @@ class PipelineOpsSpec extends SparkSpec {
     got should contain((5L, 100L))
   }
 
+  test("minhash recall audit: exact miss census pinned (the banding loss is deterministic)") {
+    // dd_minhash_recall_audit's entry gate is a >=0.93 floor; the
+    // EXACT caught/truth counts live here (the QualityClassifierSpec
+    // division of labor), so a subtle banding change — one lost band
+    // costs ~2% recall, inside the gate floor — fails by name. Pinned
+    // from the r16 calibration run (fixed hash family, head-sampled
+    // corpus => fully deterministic): sf0.001 caught 126 of 131.
+    val d = "/root/testdata/sf0.001"
+    val row = QueriesPipeline.ddMinhashRecall.fn(spark, d).collect()(0)
+    row.getAs[Long]("n_planted") shouldBe 167L
+    row.getAs[Long]("n_truth") shouldBe 131L
+    row.getAs[Boolean]("recall_ok") shouldBe true
+    // the un-aggregated caught count (not in the hashed row — the
+    // oracle can't replay the hash family — so pin it here)
+    val base = QueriesPipeline.minhashBaseDocs(spark, d)
+    val kTok = (lit(3) + (col("id") % 8) * lit(5)).cast("int")
+    val vtext = concat(col("text"),
+      array_join(transform(sequence(lit(1), kTok),
+        j => concat(lit(" zq"), col("id").cast("string"),
+          lit("x"), j.cast("string"))), ""))
+    val corpus = base.unionByName(base.where(col("id") % 3 === 0)
+      .select((col("id") + 200000L).as("id"), vtext.as("text")))
+    val caught = Dedup.minHashPairs(corpus, threshold = 0.4)
+      .where(col("id_b") === col("id_a") + 200000L && col("id_a") % 3 === 0)
+      .count()
+    caught shouldBe 126L
+  }
+
   test("jaccard3 properties: symmetric, in [0,1], self-similarity 1 (seeded sweep)") {
     val rnd = new scala.util.Random(31)
     val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
