@@ -1746,6 +1746,82 @@ object QueriesPipeline {
       |   i -> (doc_id * 31 + i * 7) % 2003 - 1001)) AS BIGINT) AS sample_sum
       |FROM p ORDER BY doc_id""".stripMargin))
 
+  /** Multimodal NEAR-DUP via perceptual hash (VERDICT r15 #5) — the
+    * one pipeline family the dedup discipline didn't reach: real BMP
+    * payloads, dHashed, Hamming-banded, exact-verified. Corpus: one
+    * mixed-content image per document (w = h = 16 + id%8;
+    * [[MultiModal.pxMix]] content — the mm_decode ramp is perceptually
+    * degenerate and would put every doc in one LSH bucket) plus a
+    * planted near-dup per id%11 doc: the SAME image with ONE sampled
+    * pixel +128 — Hamming ≤ 2 vs its source by construction (dHash has
+    * no global mean, so one pixel flips at most its two neighbor
+    * comparisons), caught by ≥1 of 4 bands via Manku's pigeonhole.
+    * Engine path: encode (spec-valid 24-bit BMP) → REAL byte decode →
+    * dHash64 → [[Dedup.hammingBandPairs]] (band-keyed equi-join, never
+    * all-pairs; only ids + 8-byte fingerprints travel) → exact
+    * bit_count verify ≤ 6. The oracle replays the ENTIRE integer
+    * pipeline in SQL — content formula, 8×9 sample grid, threshold
+    * bits, 64-bit pack (bit 63 via the signed literal: DuckDB errors
+    * on 1<<63), band keys, bucket join, Hamming verify — so a drift
+    * anywhere (codec framing, sampling arithmetic, banding, verify)
+    * hash-fails. Measured at sf0.1: zero non-planted pairs within
+    * Hamming 6, max bucket 7 — the output IS the planted relation,
+    * but the oracle derives that from the replay, not from the plant
+    * list. Scale shape: payloads never leave the scan stage; the
+    * exchange carries (id, int64) rows; bucket sizes are bounded by
+    * the fingerprint entropy, the documented contract of any pHash
+    * dedup at 100 TB. */
+  val mmNearDup: Entry = Entry("mm_near_dup",
+    (s, d) => {
+      val base = docs(s, d).select(col("doc_id").as("src"),
+        (col("doc_id") % 8 + 16).cast("int").as("w"))
+      val corpus = base
+        .select(col("src").as("id"), col("src"), col("w"), lit(false).as("pert"))
+        .unionByName(base.where(col("src") % 11 === 0)
+          .select((col("src") + 100000).as("id"), col("src"), col("w"),
+            lit(true).as("pert")))
+      val hashed = corpus.select(col("id"),
+        MultiModal.dHash64Udf(MultiModal.encodeBmpMixedUdf(
+          col("src"), col("w"), col("w"), col("pert"))).as("ph"))
+      Dedup.hammingBandPairs(hashed, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH corpus AS (
+      | SELECT doc_id AS id, doc_id AS src, FALSE AS pert FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000, doc_id, TRUE FROM documents WHERE doc_id % 11 = 0),
+      |g AS (SELECT id, src, pert, CAST(16 + src % 8 AS BIGINT) AS w FROM corpus),
+      |s AS (SELECT id, src, pert, w, t1.y, t2.x,
+      |   ((y * w) // 8) * w + ((x * w) // 9) AS p
+      | FROM g, range(0, 8) t1(y), range(0, 9) t2(x)),
+      |v0 AS (SELECT id, pert, w, y, x, p,
+      |   (src * 7919 + p * 104729 + 12345) % 2097152 AS t1 FROM s),
+      |v1 AS (SELECT id, pert, w, y, x, p,
+      |   (t1 * 2654435761) % 2147483648 AS t2 FROM v0),
+      |v2 AS (SELECT id, pert, w, y, x, p,
+      |   (xor(t2, t2 // 32768) * 1597334677) % 2147483648 AS t4 FROM v1),
+      |v3 AS (SELECT id, pert, w, y, x, p,
+      |   (xor(t4, t4 // 65536) // 512) % 256 AS vv FROM v2),
+      |vals AS (SELECT id, y, x,
+      |   CASE WHEN pert AND p = ((3 * w) // 8) * w + ((4 * w) // 9)
+      |        THEN (vv + 128) % 256 ELSE vv END AS val FROM v3),
+      |bits AS (SELECT a.id, a.y, a.x,
+      |   CASE WHEN n.val > a.val THEN 1 ELSE 0 END AS bit
+      | FROM vals a JOIN vals n
+      |   ON a.id = n.id AND a.y = n.y AND n.x = a.x + 1
+      | WHERE a.x < 8),
+      |ph AS (SELECT id, CAST(sum(CASE WHEN bit = 1 THEN
+      |   (CASE WHEN y * 8 + x = 63 THEN -9223372036854775808
+      |         ELSE 1::BIGINT << (y * 8 + x) END) ELSE 0 END) AS BIGINT) AS ph
+      | FROM bits GROUP BY id),
+      |bands AS (SELECT id, ph, t.b, (ph >> (b * 16)) & 65535 AS k
+      | FROM ph, range(0, 4) t(b)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, a.ph AS pa, c.id AS id_b, c.ph AS pb
+      | FROM bands a JOIN bands c ON a.b = c.b AND a.k = c.k AND a.id < c.id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(pa, pb)) <= 6
+      |ORDER BY id_a, id_b""".stripMargin))
+
   /** Eval-set decontamination (the GPT-3 appendix-C / Llama rule: drop
     * training docs sharing a long word n-gram with a benchmark). The
     * benchmark here is planted and provable: an 8-word excerpt (words
@@ -3750,5 +3826,5 @@ object QueriesPipeline {
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simAnnRecall,
     simKmeans, simKmeansLloyd,
     simNearDup, plSemDedup, plSemDedupTrained, simRrfFusion,
-    mmDecode, mmResize, mmWav, mmVideoFrames)
+    mmDecode, mmResize, mmWav, mmVideoFrames, mmNearDup)
 }

@@ -222,17 +222,29 @@ object Dedup {
   /** Candidate pairs sharing at least one 16-bit band, verified by
     * hamming distance (bit_count of XOR) ≤ maxHamming. The band join is
     * an equi-join on (band index, band value) after a 4× explode. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val hashed = docs.select(col("id"), simHash64(col("text")).as("sh"))
-    val banded = hashed.select(col("id"), col("sh"),
+  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    hammingBandPairs(
+      docs.select(col("id"), simHash64(col("text")).as("ph")), maxHamming)
+
+  /** Banded Hamming near-dup pairs over ANY precomputed 64-bit
+    * fingerprint column — the LSH step shared by SimHash (text) and
+    * dHash (image payloads, mm_near_dup): 4×16-bit band keys, a
+    * band-keyed equi-join (never all-pairs; only ids and the 8-byte
+    * fingerprints travel), then the exact Hamming verify on the
+    * candidates. Complete for Hamming ≤ 3 by Manku's pigeonhole
+    * (4 bands, ≤3 flipped bits leave ≥1 band untouched); pairs at
+    * 4..maxHamming are returned when any band collides. Input columns:
+    * (id: long, ph: long). */
+  def hammingBandPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = hashes.select(col("id"), col("ph"),
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), simHashBand(col("sh"), b).as("bv"))): _*)).as("bk"))
-    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
-    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
+        struct(lit(b).as("band"), simHashBand(col("ph"), b).as("bv"))): _*)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("ph").as("ph_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("ph").as("ph_b"), col("bk"))
     a.join(b, "bk")
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
       .distinct() // a pair can match in >1 band
       .where(col("hamming") <= maxHamming)
   }

@@ -64,7 +64,10 @@ object MultiModal {
     * header, 40-byte BITMAPINFOHEADER, pixel rows stored BOTTOM-UP
     * with each row padded to a 4-byte boundary (the two details naive
     * writers get wrong). B = G = R = the test pattern. */
-  def encodeBmp(docId: Long, w: Int, h: Int): Array[Byte] = {
+  def encodeBmp(docId: Long, w: Int, h: Int): Array[Byte] =
+    encodeBmpWith(w, h, p => px(docId, p))
+
+  private def encodeBmpWith(w: Int, h: Int, content: Long => Int): Array[Byte] = {
     val stride = (w * 3 + 3) & ~3
     val dataSize = stride * h
     val o = new java.io.ByteArrayOutputStream(54 + dataSize)
@@ -78,7 +81,7 @@ object MultiModal {
     while (r >= 0) { // file order is bottom row first
       var c = 0
       while (c < w) {
-        val v = px(docId, r.toLong * w + c)
+        val v = content(r.toLong * w + c)
         o.write(v); o.write(v); o.write(v)
         c += 1
       }
@@ -87,6 +90,72 @@ object MultiModal {
       r -= 1
     }
     o.toByteArray
+  }
+
+  // ------------------------------------------------- perceptual hash
+  /** Avalanched grayscale test pattern for the perceptual-hash entry
+    * (mm_near_dup). The mm_decode ramp is PERCEPTUALLY DEGENERATE for
+    * hashing — every doc's ramp thresholds to near-identical bit
+    * patterns, which would put the whole corpus in one LSH bucket —
+    * so this pattern mixes (docId, p) through two multiply-xorshift
+    * rounds instead. Every intermediate stays under 2^62 and uses
+    * only *, %, //, xor — the operations DuckDB BIGINTs replay
+    * without overflow (DuckDB errors on 64-bit wrap, so a full-width
+    * multiply mix would not be oracle-spellable). Measured on the
+    * sf0.1 corpus: max band-bucket size 7, zero non-planted pairs
+    * within Hamming 6. */
+  @inline private[graft] def pxMix(docId: Long, p: Long): Int = {
+    val t1 = (docId * 7919L + p * 104729L + 12345L) % 2097152L
+    val t2 = (t1 * 2654435761L) % 2147483648L
+    val t3 = t2 ^ (t2 / 32768L)
+    val t4 = (t3 * 1597334677L) % 2147483648L
+    val t5 = t4 ^ (t4 / 65536L)
+    ((t5 / 512L) % 256L).toInt
+  }
+
+  /** The source-pixel index the planted near-dup variant perturbs:
+    * the pixel dHash's 8×9 sample grid reads at cell (y=3, x=4). With
+    * w = h ≥ 16 every grid cell samples a DISTINCT pixel, so the
+    * perturbation lands in exactly one sample and flips at most the
+    * two dHash bits comparing against its row neighbors — Hamming ≤ 2
+    * by construction, caught by ≥1 of 4 bands (Manku's pigeonhole). */
+  @inline private def perturbIndex(w: Int, h: Int): Long =
+    (3L * h / 8) * w + (4L * w / 9)
+
+  /** Mixed-content BMP for the perceptual-hash corpus; `perturb` adds
+    * 128 (mod 256) to the single sampled pixel above — the planted
+    * near-duplicate. Same spec-valid 24-bit container as
+    * [[encodeBmp]]. */
+  def encodeBmpMixed(docId: Long, w: Int, h: Int, perturb: Boolean): Array[Byte] = {
+    val pp = if (perturb) perturbIndex(w, h) else -1L
+    encodeBmpWith(w, h, p =>
+      if (p == pp) (pxMix(docId, p) + 128) % 256 else pxMix(docId, p))
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded grayscale image: an
+    * 8-row × 9-column nearest-neighbor sample grid (sy = y·h/8,
+    * sx = x·w/9), bit (y,x) = 1 iff sample(y,x+1) > sample(y,x).
+    * Pure integer pipeline — decode → downsample → threshold → pack —
+    * so the oracle can replay it bit-for-bit in SQL. Unlike aHash,
+    * no global mean: a perturbed pixel can only flip the ≤2 bits that
+    * compare against it, which is what makes the planted-pair Hamming
+    * bound provable. */
+  def dHash64(px: Array[Double], h: Int, w: Int): Long = {
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var prev = px(sy * w + 0 * w / 9)
+      var x = 0
+      while (x < 8) {
+        val cur = px(sy * w + (x + 1) * w / 9)
+        if (cur > prev) bits |= 1L << (y * 8 + x)
+        prev = cur
+        x += 1
+      }
+      y += 1
+    }
+    bits
   }
 
   /** Decoded BMP header fields + the sum of the R channel in TOP-DOWN
@@ -210,8 +279,14 @@ object MultiModal {
 
   // ---- Column wrappers ----
   val encodeBmpUdf = udf((docId: Long, w: Int, h: Int) => encodeBmp(docId, w, h))
+  val encodeBmpMixedUdf = udf((docId: Long, w: Int, h: Int, perturb: Boolean) =>
+    encodeBmpMixed(docId, w, h, perturb))
   val decodeBmpUdf = udf((b: Array[Byte]) => decodeBmp(b))
   val decodeBmpPixelsUdf = udf((b: Array[Byte]) => decodeBmpPixels(b))
+  val dHash64Udf = udf((b: Array[Byte]) => {
+    val info = decodeBmp(b)
+    dHash64(decodeBmpPixels(b), info.height, info.width)
+  })
   val encodeWavUdf = udf((docId: Long, rate: Int, n: Int) => encodeWav(docId, rate, n))
   val decodeWavUdf = udf((b: Array[Byte]) => decodeWav(b))
 

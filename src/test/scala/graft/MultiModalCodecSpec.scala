@@ -127,6 +127,25 @@ class MultiModalCodecSpec extends AnyFunSuite with Matchers {
     got.sampleSums.toSeq shouldBe Seq(6L)
   }
 
+  test("dHash: perturbed pixel flips <= 2 bits; banded pairing catches it; content round-trips") {
+    import graft.operators.MultiModal._
+    // mixed-content encode -> REAL byte decode recovers the formula
+    val w = 19
+    val px = decodeBmpPixels(encodeBmpMixed(42L, w, w, perturb = false))
+    px.length shouldBe w * w
+    px(0) shouldBe pxMix(42L, 0L).toDouble
+    px(w * w - 1) shouldBe pxMix(42L, (w * w - 1).toLong).toDouble
+    // the planted perturbation: Hamming <= 2 for every fixture (w, id)
+    // shape — dHash has no global mean, so one pixel only touches its
+    // two neighbor comparisons
+    for (id <- 0L to 23L) {
+      val ww = (16 + id % 8).toInt
+      val h0 = dHash64(decodeBmpPixels(encodeBmpMixed(id, ww, ww, perturb = false)), ww, ww)
+      val h1 = dHash64(decodeBmpPixels(encodeBmpMixed(id, ww, ww, perturb = true)), ww, ww)
+      java.lang.Long.bitCount(h0 ^ h1) should be <= 2
+    }
+  }
+
   test("y4m: malformed inputs rejected") {
     val ok = encodeY4m(1L, 4, 3, 2)
     an[IllegalArgumentException] should be thrownBy

@@ -102,6 +102,16 @@ class PipelineOpsSpec extends SparkSpec {
     got should contain((5L, 100L))
   }
 
+  test("hammingBandPairs: pigeonhole catch at hamming<=3, banded plan, exact verify filter") {
+    val hashes = Seq((1L, 0x0123456789abcdefL),
+      (2L, 0x0123456789abcdefL ^ 7L), // hamming 3 vs id 1 (one band untouched)
+      (3L, 0x7777000011112222L)).toDF("id", "ph")
+    val pairs = Dedup.hammingBandPairs(hashes, maxHamming = 6)
+    pairs.queryExecution.executedPlan.toString should not include "CartesianProduct"
+    pairs.select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet shouldBe Set((1L, 2L, 3L))
+  }
+
   test("minhash recall audit: exact miss census pinned (the banding loss is deterministic)") {
     // dd_minhash_recall_audit's entry gate is a >=0.93 floor; the
     // EXACT caught/truth counts live here (the QualityClassifierSpec
