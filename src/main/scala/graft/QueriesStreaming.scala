@@ -484,42 +484,52 @@ object QueriesStreaming {
     * in-query require pins that ≥2 data micro-batches actually ran.
     * The finite input means every qualifying pair is emitted, so the
     * oracle is the plain batch self-join. */
+  /** Run the click→purchase interval join over the staged halves as a
+    * REAL micro-batch stream-stream join and return the memory-sink
+    * result. Shared engine of st_stream_join_exec and
+    * st_batch_parity_join. */
+  private def runStreamIntervalJoin(s: org.apache.spark.sql.SparkSession,
+      stage: String, tag: String): org.apache.spark.sql.DataFrame = {
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$stage/e0.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val stream = Tables.normalizeTs(raw)
+    val clicks = stream.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "0 seconds")
+    val buys = stream.where(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"), col("value").as("buy_value"))
+      .withWatermark("buy_ts", "0 seconds")
+    val name = s"${tag}_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+    val q = clicks.join(buys,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("buy_id"), col("buy_value"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"target/tmp/ckpt_$name")
+      .outputMode("append").start()
+    try {
+      graft.streaming.StreamMetrics.drainAndRecord(q)
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      require(fed >= 2,
+        s"expected >=2 data micro-batches (cross-batch join state), saw $fed")
+    } finally {
+      q.stop()
+      dropCheckpoint(s"target/tmp/ckpt_$name")
+    }
+    s.table(name)
+  }
+
   val stStreamJoin: Entry = Entry("st_stream_join_exec",
     (outer, d) => {
       val stage = stagedEventHalves(outer, d)
       val s = sizedStreamSession(outer, 2)
-      val raw = s.readStream
-        .schema(s.read.parquet(s"$stage/e0.parquet").schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-      val stream = Tables.normalizeTs(raw)
-      val clicks = stream.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("click_ts"),
-          col("event_id").as("click_id"))
-        .withWatermark("click_ts", "0 seconds")
-      val buys = stream.where(col("event_type") === "purchase")
-        .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
-          col("event_id").as("buy_id"), col("value").as("buy_value"))
-        .withWatermark("buy_ts", "0 seconds")
-      val name = s"st_stream_join_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
-      val q = clicks.join(buys,
-          col("user_id") === col("buy_user") &&
-            col("buy_ts") >= col("click_ts") &&
-            col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-        .select(col("user_id"), col("click_id"), col("buy_id"), col("buy_value"))
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"target/tmp/ckpt_$name")
-        .outputMode("append").start()
-      try {
-        graft.streaming.StreamMetrics.drainAndRecord(q)
-        val fed = q.recentProgress.count(_.numInputRows > 0)
-        require(fed >= 2,
-          s"expected >=2 data micro-batches (cross-batch join state), saw $fed")
-      } finally {
-        q.stop()
-        dropCheckpoint(s"target/tmp/ckpt_$name")
-      }
-      s.table(name).orderBy("click_id", "buy_id")
+      runStreamIntervalJoin(s, stage, "st_stream_join")
+        .orderBy("click_id", "buy_id")
     },
     Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
       | p.value AS buy_value
@@ -528,6 +538,65 @@ object QueriesStreaming {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
       |ORDER BY click_id, buy_id""".stripMargin))
+
+  /** Stream-stream JOIN parity audit (r16, completing the parity
+    * matrix beside st_batch_parity / st_batch_parity_session): the
+    * interval click→purchase join run as a REAL 2+-micro-batch
+    * stream-stream join — both sides' state crossing the batch
+    * boundary (the staged halves split events so matches straddle) —
+    * AND as the identical batch join over the same events table, in
+    * ONE plan. Full-outer join on the complete output identity
+    * (click_id, buy_id) counts per-side presence plus any
+    * user_id/buy_value disagreement; ids are BIGINTs and buy_value is
+    * read (never aggregated) on both sides, so equality is bitwise. A
+    * dropped straddle pair (join state lost at the boundary), a
+    * doubled emission (re-played batch), or a value mixup all flip
+    * parity_ok. Oracle recomputes the join census declaratively and
+    * asserts zero mismatches literally. */
+  val stBatchParityJoin: Entry = Entry("st_batch_parity_join",
+    (outer, d) => {
+      val stage = stagedEventHalves(outer, d)
+      val s = sizedStreamSession(outer, 2)
+      val streamRes = runStreamIntervalJoin(s, stage, "st_parity_join")
+        .select(col("click_id"), col("buy_id"),
+          col("user_id").as("user_s"), col("buy_value").as("val_s"))
+      val evs = ev(s, d)
+      val clicks = evs.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val buys = evs.where(col("event_type") === "purchase")
+        .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"), col("value").as("buy_value"))
+      val batchRes = clicks.join(buys,
+          col("user_id") === col("buy_user") &&
+            col("buy_ts") >= col("click_ts") &&
+            col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("buy_id"),
+          col("user_id").as("user_b"), col("buy_value").as("val_b"))
+      // independent per-side counts (see st_batch_parity_session): a
+      // doubled stream emission must land as n_stream ≠ n_batch, not
+      // vanish into 2:1 join multiplicity
+      val nS = streamRes.agg(count(lit(1)).as("n_stream"))
+      val nB = batchRes.agg(count(lit(1)).as("n_batch"))
+      val mm = streamRes.join(batchRes, Seq("click_id", "buy_id"), "full_outer")
+        .agg(sum(when(col("user_s").isNull || col("user_b").isNull ||
+          col("user_s") =!= col("user_b") ||
+          col("val_s") =!= col("val_b"), 1L).otherwise(0L)).as("n_mismatch"))
+      nS.crossJoin(nB).crossJoin(mm)
+        .withColumn("parity_ok",
+          col("n_mismatch") === 0 && col("n_stream") === col("n_batch") &&
+            col("n_stream") > 0)
+    },
+    Some("""WITH j AS (
+      | SELECT c.event_id AS click_id, p.event_id AS buy_id
+      | FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+      | WHERE c.event_type = 'click' AND p.event_type = 'purchase')
+      |SELECT CAST(count(*) AS BIGINT) AS n_stream,
+      | CAST(count(*) AS BIGINT) AS n_batch,
+      | CAST(0 AS BIGINT) AS n_mismatch, TRUE AS parity_ok
+      |FROM j""".stripMargin))
 
   /** CHECKPOINT RECOVERY under the oracle — the fault-tolerance
     * contract a production ingestion pipeline actually relies on: stop
@@ -907,12 +976,17 @@ object QueriesStreaming {
         .agg(count(lit(1)).as("n_b"))
         .select(col("user_id"), col("session_window.start").as("ss"),
           col("session_window.end").as("se"), col("n_b"))
-      streamRes.join(batchRes, Seq("user_id", "ss", "se"), "full_outer")
-        .agg(
-          sum(when(col("n_s").isNotNull, 1L).otherwise(0L)).as("n_stream"),
-          sum(when(col("n_b").isNotNull, 1L).otherwise(0L)).as("n_batch"),
-          sum(when(col("n_s").isNull || col("n_b").isNull ||
-            col("n_s") =!= col("n_b"), 1L).otherwise(0L)).as("n_mismatch"))
+      // per-side counts are taken BEFORE the reconciliation join: a
+      // doubled emission joined 2:1 against its batch row would
+      // otherwise inflate BOTH joined-side counts equally and slip
+      // through — independent counts make any multiplicity a
+      // n_stream ≠ n_batch red
+      val nS = streamRes.agg(count(lit(1)).as("n_stream"))
+      val nB = batchRes.agg(count(lit(1)).as("n_batch"))
+      val mm = streamRes.join(batchRes, Seq("user_id", "ss", "se"), "full_outer")
+        .agg(sum(when(col("n_s").isNull || col("n_b").isNull ||
+          col("n_s") =!= col("n_b"), 1L).otherwise(0L)).as("n_mismatch"))
+      nS.crossJoin(nB).crossJoin(mm)
         .withColumn("parity_ok",
           col("n_mismatch") === 0 && col("n_stream") === col("n_batch") &&
             col("n_stream") > 0)
@@ -1222,5 +1296,5 @@ object QueriesStreaming {
     stStreamRecovery, stStreamWmDedup, stStreamQuantile, stStreamTopK,
     stStreamCdc,
     stStreamSessionWindow, stStreamMinhash, stBatchParity,
-    stBatchParitySession)
+    stBatchParitySession, stBatchParityJoin)
 }
