@@ -2693,7 +2693,22 @@ object QueriesPipeline {
     * 1-row-broadcast plan shape is unchanged. The per-doc familiarity
     * exchange appears under both the threshold agg and the final
     * bucketing scan and canonicalizes equal → ReuseExchange computes
-    * it once. */
+    * it once.
+    *
+    * Boundary-tie ulp guard (r16, found by the sf10 rehearsal): when a
+    * TIE GROUP sits exactly at a tertile rank (90 of 500 000 docs
+    * shared the rank-2(n−1)/3 value at sf10), the two engines'
+    * interpolations of the SAME bracketing values differ in the last
+    * bit — Spark's `lower + (upper−lower)·frac` returned the tie value
+    * v exactly while DuckDB's lerp returned v + 1 ulp (+2.33e-10) —
+    * and the whole tie group flipped buckets. Familiarity is rounded
+    * to 6 dp, so doc values live on a 1e-6 grid while interpolated
+    * thresholds land on grid or ±⅓-grid points; comparing against
+    * `t − 5e-7` (half a grid step) puts the decision boundary ≥1.6e-7
+    * from every possible doc value, which no cross-engine ulp
+    * difference (~1e-9 at this magnitude) can bridge. Deterministic
+    * while |familiarity| ≲ 1e9 (where double ulp reaches ~1e-7);
+    * beyond that, rescale the score, not the epsilon. */
   val plPerplexityFilter: Entry = Entry("pl_perplexity_filter",
     (s, d) => {
       val bg = docs(s, d)
@@ -2706,12 +2721,13 @@ object QueriesPipeline {
       val th = fam.agg(
         percentile(col("familiarity"), lit(1.0 / 3)).as("t1"),
         percentile(col("familiarity"), lit(2.0 / 3)).as("t2"))
+      val eps = lit(0.0000005) // half the 6-dp value grid — see scaladoc
       fam.crossJoin(broadcast(th))
         .select(col("doc_id"), col("familiarity"),
-          when(col("familiarity") >= col("t2"), lit("head"))
-            .when(col("familiarity") >= col("t1"), lit("middle"))
+          when(col("familiarity") >= col("t2") - eps, lit("head"))
+            .when(col("familiarity") >= col("t1") - eps, lit("middle"))
             .otherwise(lit("tail")).as("bucket"),
-          (col("familiarity") >= col("t1")).cast("int").as("kept"))
+          (col("familiarity") >= col("t1") - eps).cast("int").as("kept"))
         .orderBy("doc_id")
     },
     Some("""WITH bg AS (SELECT doc_id,
@@ -2724,9 +2740,9 @@ object QueriesPipeline {
       |t AS (SELECT quantile_cont(familiarity, 1.0/3) AS t1,
       |             quantile_cont(familiarity, 2.0/3) AS t2 FROM f)
       |SELECT doc_id, familiarity,
-      |  CASE WHEN familiarity >= t2 THEN 'head'
-      |       WHEN familiarity >= t1 THEN 'middle' ELSE 'tail' END AS bucket,
-      |  CAST(CASE WHEN familiarity >= t1 THEN 1 ELSE 0 END AS INT) AS kept
+      |  CASE WHEN familiarity >= t2 - 0.0000005 THEN 'head'
+      |       WHEN familiarity >= t1 - 0.0000005 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  CAST(CASE WHEN familiarity >= t1 - 0.0000005 THEN 1 ELSE 0 END AS INT) AS kept
       |FROM f, t ORDER BY doc_id""".stripMargin))
 
   /** Overlapping sliding-window chunking (window 32 words, stride 24 →
