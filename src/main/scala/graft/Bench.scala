@@ -70,26 +70,32 @@ object Bench {
   val heavyRefSourceUnits: Map[String, Seq[String]] = Map(
     "dd_components" -> Seq(
       "src/main/scala/graft/operators/Components.scala",
-      "src/main/scala/graft/QueriesPipeline.scala#ddComponents"),
+      "src/main/scala/graft/QueriesPipeline.scala#ddComponents",
+      "src/main/scala/graft/QueriesPipeline.scala#chainCorpus"),
     "gr_pagerank" -> Seq(
       "src/main/scala/graft/operators/PageRank.scala",
-      "src/main/scala/graft/QueriesGraph.scala"),
+      "src/main/scala/graft/QueriesGraph.scala#grPageRank",
+      "src/main/scala/graft/QueriesGraph.scala#tradingPairs",
+      "src/main/scala/graft/QueriesGraph.scala#grFixture",
+      "src/main/scala/graft/QueriesGraph.scala#sqlEdges"),
     "ml_stack" -> Seq(
-      "src/main/scala/graft/QueriesMl.scala",
+      "src/main/scala/graft/QueriesMl.scala#mlStack",
+      "src/main/scala/graft/QueriesMl.scala#stackScores",
       "src/main/scala/graft/Model.scala",
       "src/main/scala/graft/Ensemble.scala"))
 
   /** Pin-time digests of [[heavyRefSourceUnits]], snapshotted at r16
-    * HEAD. The r14-pinned heavyRef minima remain the measured base:
-    * no pinned entry's DEFINING code changed since that pin (plan
-    * vectors held through r15/r16, and the only edit inside a unit
-    * file — r15's quality classifier in QueriesMl.scala — is a sibling
-    * entry ml_stack never calls). From here on, ANY unit edit moves a
-    * digest and forces the full re-pin dance. */
+    * HEAD. The r14-pinned heavyRef minima remain the measured base: no
+    * pinned entry's DEFINING code changed since that pin (plan vectors
+    * held through r15/r16; the r16 edits inside unit FILES — the
+    * quality classifier, the gr_triangles oracle MATERIALIZED fix —
+    * are sibling members outside every pinned slice, which is why the
+    * units are slices). From here on, ANY unit edit moves a digest and
+    * forces the full re-pin dance. */
   val heavyRefSourceDigest: Map[String, String] = Map(
-    "dd_components" -> "9672d4e0e68dd0486ee0299d26d594f9cad860a5ab6aeddb6952924dd2d4061d",
-    "gr_pagerank" -> "fb9e25ab6cd88979d09dfba601f127a438b06892e6e59987944628af29cfe68c",
-    "ml_stack" -> "aa55fbb4d527c4bb11ddde0651dd081c02c7d930c0f1f6400494c8e2c1289ba4")
+    "dd_components" -> "da456c860c025e6d29fa70942083cf656713f9b85c0fd70c1273fe6ab2a02c94",
+    "gr_pagerank" -> "9be28a74d0006feec7a0067249db342f5d001a9e8ba98a47e3eb6332cf2723de",
+    "ml_stack" -> "2e00a86420686b787a87def0bc6c5ff88a5aaf20b7cbdc862310beab52ae4178")
 
   /** Comment- and whitespace-stripped Scala source: line + (nested)
     * block comments removed, string literals ("…", """…""") and char
@@ -138,16 +144,23 @@ object Bench {
     sb.toString
   }
 
-  /** The `val <name>: Entry = Entry(…)` declaration slice of a shared
-    * registry file: from its declaration line to the next two-space-
-    * indented member declaration (or closing brace). Keeps sibling
-    * entries' edits from tripping this pin's digest. */
+  /** The named member's declaration slice of a shared registry file —
+    * a `val <name>: Entry = Entry(…)` OR any two-space-indented
+    * `val`/`def` helper (r16: pinned entries' in-file helpers like
+    * `stackScores`/`tradingPairs` are part of the pinned behavior;
+    * whole-file digests over-trip on sibling-entry edits, as the
+    * gr_triangles oracle fix demonstrated day one). The slice runs
+    * from the declaration line to the next two-space-indented member
+    * declaration (or closing brace). Residual: a pinned entry gaining
+    * a NEW in-file helper needs that helper added to its unit list —
+    * the plan-vector pin still watches for what the digest misses. */
   private[graft] def entrySlice(fileText: String, valName: String): String = {
     val lines = fileText.split("\n", -1)
-    val decl = raw"^  (private(\[\w+\])? )?val\s+$valName\s*:\s*Entry\b".r
-    val next = raw"^  (private(\[\w+\])? )?(val|def|object)\s|^\}".r
+    val decl =
+      raw"^  (private(\[\w+\])? )?(lazy )?(val|def)\s+$valName\b".r
+    val next = raw"^  (private(\[\w+\])? )?(lazy )?(val|def|object)\s|^\}".r
     val start = lines.indexWhere(l => decl.findFirstIn(l).isDefined)
-    require(start >= 0, s"entrySlice: no `val $valName: Entry` declaration found")
+    require(start >= 0, s"entrySlice: no `$valName` member declaration found")
     val endRel = lines.drop(start + 1).indexWhere(l => next.findFirstIn(l).isDefined)
     val end = if (endRel < 0) lines.length else start + 1 + endRel
     lines.slice(start, end).mkString("\n")

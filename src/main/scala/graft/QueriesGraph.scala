@@ -366,9 +366,9 @@ object QueriesGraph {
           expr("""CAST(CAST(n_triangles AS DECIMAL(38,0)) * 3 * 1000000
             | div n_wedges AS BIGINT)""".stripMargin).as("clustering_ppm"))
     },
-    Some("""WITH a AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+    Some("""WITH a AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
       |  FROM lineitem),
-      |ep AS (SELECT x.p AS u, y.p AS v FROM a x JOIN a y
+      |ep AS MATERIALIZED (SELECT x.p AS u, y.p AS v FROM a x JOIN a y
       |  ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2 HAVING count(*) >= 2),
       |deg AS (SELECT node, count(*) AS deg FROM (
       |  SELECT u AS node FROM ep UNION ALL SELECT v FROM ep) GROUP BY 1),
