@@ -161,8 +161,14 @@ object QueriesGraph {
   /** One BFS relaxation round as a CTE pair-in-one: new dist = min over
     * (previous dists ∪ previous dists + 1 pushed along an edge) — the
     * exact integer recurrence [[graft.operators.Bfs]] runs. */
+  /** MATERIALIZED (r16 sf10 rehearsal, the kcIter lesson one entry
+    * over): each hop references the previous hop TWICE (carry-forward
+    * union branch + relaxation join) — inlined, DuckDB re-executes the
+    * chain 2^hop times and the concurrent hash builds OOM'd the capped
+    * shard at sf10. Materializing makes the replay linear; results are
+    * identical. */
   private def bfsIter(i: Int): String =
-    s""",d$i AS (SELECT node, min(dist) AS dist FROM (
+    s""",d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
        |  SELECT node, dist FROM d${i - 1}
        |  UNION ALL
        |  SELECT e.dst, d.dist + 1 FROM e JOIN d${i - 1} d ON e.src = d.node)
