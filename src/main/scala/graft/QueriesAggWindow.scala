@@ -763,17 +763,24 @@ object QueriesAggWindow {
       |FROM v1 FULL OUTER JOIN v2 USING (k)
       |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** O-intersect: part brands present in both cheap and expensive parts. */
+  /** O-intersect: part brands present in both cheap and expensive
+    * parts. Cuts 905/915 sit INSIDE the fixture's price range at every
+    * SF (r16 sf10 rehearsal find: the original 1200/1800 cuts were
+    * both outside the 900–999.9 fixture range, so the entry had been
+    * comparing empty ∩ empty — a vacuous 0-row gate — since it
+    * landed; 905/915 yields a 20-brand proper subset at sf0.001 and
+    * all 25 brands at larger SFs, so the INTERSECT genuinely
+    * intersects). */
   val oIntersect: Entry = Entry("o_intersect",
     (s, d) => {
       val p = tbl(s, d, "part")
-      p.filter(col("p_retailprice") < 1200.0).select(col("p_brand"))
-        .intersect(p.filter(col("p_retailprice") > 1800.0).select(col("p_brand")))
+      p.filter(col("p_retailprice") < 905.0).select(col("p_brand"))
+        .intersect(p.filter(col("p_retailprice") > 915.0).select(col("p_brand")))
         .orderBy("p_brand")
     },
-    Some("""SELECT p_brand FROM part WHERE p_retailprice < 1200.0
+    Some("""SELECT p_brand FROM part WHERE p_retailprice < 905.0
       |INTERSECT
-      |SELECT p_brand FROM part WHERE p_retailprice > 1800.0
+      |SELECT p_brand FROM part WHERE p_retailprice > 915.0
       |ORDER BY p_brand""".stripMargin))
 
   /** O-distinct: dropDuplicates on a projection (the dedup primitive). */
