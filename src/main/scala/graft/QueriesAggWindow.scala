@@ -56,17 +56,20 @@ object QueriesAggWindow {
 
   /** O-except: customer nations with no 'F'-status orders anywhere
     * (EXCEPT = distinct set difference in both engines). */
+  /** Customers with NO completed ('F') order — keyed per CUSTOMER, not
+    * per nation (r16 sf10 rehearsal find: the original nation-keyed
+    * spelling was vacuous — every nation has ≥1 customer with an 'F'
+    * order at every SF, so the EXCEPT compared a 0-row result since
+    * it landed; per-customer it retains 5/71/511 rows at
+    * sf0.001/0.01/0.1, a genuine anti-set). */
   val oExcept: Entry = Entry("o_except",
-    (s, d) => cust(s, d).select(col("c_nationkey").as("k")).except(
-        cust(s, d)
-          .join(ord(s, d).filter(col("o_orderstatus") === "F"),
-            col("c_custkey") === col("o_custkey"))
-          .select(col("c_nationkey").as("k")))
+    (s, d) => cust(s, d).select(col("c_custkey").as("k")).except(
+        ord(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("k")))
       .orderBy("k"),
-    Some("""SELECT c_nationkey AS k FROM customer
+    Some("""SELECT c_custkey AS k FROM customer
       |EXCEPT
-      |SELECT c_nationkey AS k FROM customer JOIN orders ON c_custkey = o_custkey
-      |WHERE o_orderstatus = 'F'
+      |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY k""".stripMargin))
 
   /** G-corr: correlation / population covariance / regression slope per
