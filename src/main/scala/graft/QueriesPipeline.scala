@@ -1279,23 +1279,30 @@ object QueriesPipeline {
     * spelled as (s − pmod(s,n)) // n so the numerator is exactly
     * divisible and any engine's integer division agrees with
     * Math.floorDiv. */
+  /** MATERIALIZED (r16 sf10 rehearsal, the kcIter/bfsIter class one
+    * family over): each round references c_{i−1} TWICE (the distance
+    * cross join AND the empty-cluster carry) — inlined, DuckDB
+    * re-executes the whole Lloyd chain 2^round times, and at 200k×64
+    * embeddings the concurrent spills transiently filled the disk
+    * (pl_semdedup_trained IO-error abort at sf10). Materializing each
+    * round's frames pins one execution; results are identical. */
   private def lloydIterSql(i: Int): String =
-    s"""d$i AS (SELECT e.vec_id, c.cid,
+    s"""d$i AS MATERIALIZED (SELECT e.vec_id, c.cid,
        |  list_sum(list_transform(list_zip(e.v, c.cv),
        |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
        | FROM e, c${i - 1} c),
-       |a$i AS (SELECT vec_id, cid AS cluster, d2,
+       |a$i AS MATERIALIZED (SELECT vec_id, cid AS cluster, d2,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
        | FROM d$i),
-       |s$i AS (SELECT a.cluster, t.p,
+       |s$i AS MATERIALIZED (SELECT a.cluster, t.p,
        |  CAST(sum(e.v[t.p + 1]) AS BIGINT) AS s, count(*) AS n
        | FROM a$i a JOIN e ON a.vec_id = e.vec_id AND a.rn = 1,
        |  range(0, 64) t(p)
        | GROUP BY 1, 2),
-       |u$i AS (SELECT cluster AS cid,
+       |u$i AS MATERIALIZED (SELECT cluster AS cid,
        |  list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT) ORDER BY p) AS cv
        | FROM s$i GROUP BY 1),
-       |c$i AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv
+       |c$i AS MATERIALIZED (SELECT c.cid, coalesce(u.cv, c.cv) AS cv
        | FROM c${i - 1} c LEFT JOIN u$i u USING (cid))""".stripMargin
 
   private val LloydIters = 2
@@ -1315,11 +1322,11 @@ object QueriesPipeline {
   val simKmeansLloyd: Entry = Entry("sim_kmeans_lloyd",
     (s, d) => Similarity.kmeansLloyd(emb(s, d), k = 8, iters = LloydIters)
       .orderBy("vec_id"),
-    Some(s"""WITH e AS (SELECT vec_id,
+    Some(s"""WITH e AS MATERIALIZED (SELECT vec_id,
       |  list_transform(CAST(embedding AS DOUBLE[]),
       |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
       | FROM embeddings),
-      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
       |${(1 to LloydIters).map(lloydIterSql).mkString(",\n")},
       |df AS (SELECT e.vec_id, c.cid,
       |  list_sum(list_transform(list_zip(e.v, c.cv),
@@ -1443,15 +1450,15 @@ object QueriesPipeline {
     },
     Some(s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       | FROM embeddings),
-      |ed AS (SELECT vec_id, v FROM base
+      |ed AS MATERIALIZED (SELECT vec_id, v FROM base
       | UNION ALL
       | SELECT vec_id + 100000 AS vec_id,
       |        list_transform(v, x -> x + 0.002) AS v
       | FROM base WHERE vec_id % 7 = 0),
-      |e AS (SELECT vec_id,
+      |e AS MATERIALIZED (SELECT vec_id,
       |  list_transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
       | FROM ed),
-      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
       |${(1 to LloydIters).map(lloydIterSql).mkString(",\n")},
       |cd AS (SELECT cid,
       |  list_transform(cv, x -> CAST(x AS DOUBLE) / 1000000) AS cv
