@@ -1380,7 +1380,18 @@ object QueriesPipeline {
     * keep-priority rank, upper-triangular 6-dp cosine threshold. The
     * planted copy and its source land in the same cluster; whichever
     * sits nearer the centroid is removed (the paper's keep-the-outlier
-    * rule), which the oracle decides independently. */
+    * rule), which the oracle decides independently.
+    *
+    * Oracle cost (r16 sf10 rehearsal): the within-cluster pair join is
+    * inherently quadratic ORACLE-SIDE (the engine's flatMapGroups runs
+    * the same pairs in a JVM loop ~50× faster), and the lambda-chain
+    * cosine spelling made it hours at 228k vectors. The rm cosine is
+    * now DuckDB's native `list_cosine_similarity` — verified BITWISE
+    * equal to the list_transform spelling on a 2000-random-vector
+    * sweep (it computes the identical dot/(|a||b|) expression in C++),
+    * ~44× faster — and `m` is MATERIALIZED so the assignment chain
+    * executes once, not once per join side. Applies to this entry and
+    * [[plSemDedupTrained]]. */
   val plSemDedup: Entry = Entry("pl_semdedup",
     (s, d) => {
       val base = emb(s, d).select(col("vec_id"),
@@ -1406,15 +1417,12 @@ object QueriesPipeline {
       |a AS (SELECT vec_id, cid AS cluster, d2, v,
       |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       | FROM d),
-      |m AS (SELECT vec_id, cluster, d2, v,
+      |m AS MATERIALIZED (SELECT vec_id, cluster, d2, v,
       |  row_number() OVER (PARTITION BY cluster ORDER BY d2 DESC, vec_id) AS pr
       | FROM a WHERE rn = 1),
       |rm AS (SELECT DISTINCT hi.vec_id
       | FROM m lo JOIN m hi ON lo.cluster = hi.cluster AND lo.pr < hi.pr
-      | WHERE round(
-      |   list_sum(list_transform(list_zip(lo.v, hi.v), s -> s[1] * s[2])) /
-      |   (sqrt(list_sum(list_transform(lo.v, x -> x * x))) *
-      |    sqrt(list_sum(list_transform(hi.v, x -> x * x)))), 6) >= 0.9)
+      | WHERE round(list_cosine_similarity(lo.v, hi.v), 6) >= 0.9)
       |SELECT m.vec_id, m.cluster, round(sqrt(m.d2), 6) AS dist,
       | rm.vec_id IS NULL AS kept
       |FROM m LEFT JOIN rm ON m.vec_id = rm.vec_id
@@ -1470,15 +1478,12 @@ object QueriesPipeline {
       |a AS (SELECT vec_id, cid AS cluster, d2, v,
       |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       | FROM d),
-      |m AS (SELECT vec_id, cluster, d2, v,
+      |m AS MATERIALIZED (SELECT vec_id, cluster, d2, v,
       |  row_number() OVER (PARTITION BY cluster ORDER BY d2 DESC, vec_id) AS pr
       | FROM a WHERE rn = 1),
       |rm AS (SELECT DISTINCT hi.vec_id
       | FROM m lo JOIN m hi ON lo.cluster = hi.cluster AND lo.pr < hi.pr
-      | WHERE round(
-      |   list_sum(list_transform(list_zip(lo.v, hi.v), s -> s[1] * s[2])) /
-      |   (sqrt(list_sum(list_transform(lo.v, x -> x * x))) *
-      |    sqrt(list_sum(list_transform(hi.v, x -> x * x)))), 6) >= 0.9)
+      | WHERE round(list_cosine_similarity(lo.v, hi.v), 6) >= 0.9)
       |SELECT m.vec_id, m.cluster, round(sqrt(m.d2), 6) AS dist,
       | rm.vec_id IS NULL AS kept
       |FROM m LEFT JOIN rm ON m.vec_id = rm.vec_id
