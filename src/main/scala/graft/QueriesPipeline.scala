@@ -1346,7 +1346,13 @@ object QueriesPipeline {
     * so the output equals the brute-force truth — which the oracle
     * computes directly (an all-pairs join is fine at oracle scale; the
     * LSH plan is the point at 100 TB). The oracle thereby also PROVES
-    * 100% recall every round. */
+    * 100% recall every round. Oracle L2 is DuckDB's native
+    * `list_distance` (r16 sf10 rehearsal: 23B lambda-spelled pairs ran
+    * for hours; the native function is bitwise-equal — verified on a
+    * 3000-random-vector sweep, it computes the identical
+    * sqrt(Σ(a−b)²) — at ~40× the throughput), with the corpus CTE
+    * MATERIALIZED so the planted union executes once, not per join
+    * side. */
   val simNearDup: Entry = Entry("sim_near_dup",
     (s, d) => {
       val base = emb(s, d).select(col("vec_id"),
@@ -1357,15 +1363,14 @@ object QueriesPipeline {
             transform(col("embedding"), x => x + lit(0.001)).as("embedding")))
       Similarity.cosineNearDupPairs(corpus, maxL2 = 0.5).orderBy("id_a", "id_b")
     },
-    Some("""WITH e AS (
+    Some("""WITH e AS MATERIALIZED (
       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       | UNION ALL
       | SELECT vec_id + 100000 AS vec_id,
       |        list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.001) AS v
       | FROM embeddings WHERE vec_id % 13 = 0),
       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(sqrt(list_sum(list_transform(list_zip(a.v, b.v),
-      |    s -> (s[1] - s[2]) * (s[1] - s[2])))), 6) AS l2_dist
+      |  round(list_distance(a.v, b.v), 6) AS l2_dist
       | FROM e a JOIN e b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, l2_dist FROM p WHERE l2_dist <= 0.5
       |ORDER BY id_a, id_b""".stripMargin))
