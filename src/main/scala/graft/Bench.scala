@@ -367,8 +367,17 @@ object Bench {
     // w_distribution 0.86→0.94, j2 ~flat — light scans carry no
     // meaningful garbage debt; the GC effect is confined to
     // driver-compute-heavy entries), so no re-base was owed.
+    // r16 RE-PIN (w_distribution only): its gate moved to the exact
+    // integer-ppm spelling (sf10 midpoint-rounding fix), changing the
+    // timed plan — per the policy the pin was re-measured: isolated
+    // min 0.843 s over 2 runs whose sibling pins read the residual
+    // host at ≈1.34× idle (rehearsal compares still draining), so
+    // 0.843 is an UPPER bound on the true idle minimum — a
+    // conservative pin (it can only UNDERSTATE host_factor and
+    // inflate normalized totals against us). Tighten at true idle
+    // next round if the slack matters.
     val controlRef = Map(
-      "g_cube" -> 0.912, "w_distribution" -> 0.988, "j2_semi_join" -> 0.265)
+      "g_cube" -> 0.912, "w_distribution" -> 0.843, "j2_semi_join" -> 0.265)
     val resultMap = results.toMap
     val ctl = controlRef.keys.toSeq.sorted
       .flatMap(k => resultMap.get(k).map(_._1).filter(_ >= 0).map(k -> _))

@@ -1561,22 +1561,45 @@ object QueriesAggWindow {
     * PARTITIONED by priority (a global unpartitioned rank would funnel
     * the table through one task — the scale anti-pattern). Divisions
     * are exact rationals of rank and n, rounded to pin the quotient. */
+  /** Distribution windows in exact integer ppm (r16 sf10 rehearsal
+    * find): `round(percent_rank(), 6)` hit 93 of 15M rows whose
+    * (rank−1)/(n−1) double landed exactly on a 6-dp decimal midpoint,
+    * where Spark's BigDecimal HALF_UP and DuckDB's double rounding
+    * resolve to DIFFERENT 6th digits — unreachable at shipped SFs
+    * (zero midpoints below 3M-row partitions), deterministic-divergent
+    * above. The gate now spells both fractions as exact integer
+    * floor-ppm ((rank−1)·10⁶ div (n−1), rank·10⁶ div n) — pure BIGINT
+    * arithmetic, no float rounding anywhere; percent_rank()/cume_dist()
+    * stay the production spelling, this is the oracle-exact twin (the
+    * g_simpson_ppm discipline). The window order (price, orderkey) is
+    * total, so rank ≡ row_number and the ppm identities are exact. */
   val wDistribution: Entry = Entry("w_distribution",
     (s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wp = Window.partitionBy(col("o_orderpriority"))
       ord(s, d).select(col("o_orderkey"), col("o_orderpriority"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          rank().over(w).as("rnk"),
+          count(lit(1)).over(wp).as("cnt"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("quartile"),
+          // rank() is IntegerType and ×10⁶ wraps 32-bit silently under
+          // non-ANSI — widen BEFORE the multiply
+          expr("CASE WHEN cnt = 1 THEN CAST(0 AS BIGINT) " +
+            "ELSE (CAST(rnk AS BIGINT) - 1) * 1000000 div (cnt - 1) END")
+            .as("pct_rank_ppm"),
+          expr("CAST(rnk AS BIGINT) * 1000000 div cnt").as("cume_ppm"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_orderpriority,
       | CAST(ntile(4) OVER w AS INT) AS quartile,
-      | round(percent_rank() OVER w, 6) AS pct_rank,
-      | round(cume_dist() OVER w, 6) AS cume
+      | CAST(CASE WHEN count(*) OVER p = 1 THEN 0
+      |   ELSE (rank() OVER w - 1) * 1000000 // (count(*) OVER p - 1)
+      |   END AS BIGINT) AS pct_rank_ppm,
+      | CAST(rank() OVER w * 1000000 // count(*) OVER p AS BIGINT) AS cume_ppm
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+      |       p AS (PARTITION BY o_orderpriority)
       |ORDER BY o_orderkey""".stripMargin))
 
   /** Ordered-funnel conversion over the events stream: which stage of
