@@ -40,7 +40,22 @@ def main():
                      and (only is None or only.search(k)))
     for k in missing:
         print(f"[FAIL-miss] {k}: oracle entry has no dumped result dir")
-    shards = [dirs[i::n] for i in range(n)]
+    # r16 (ADVICE #2): the old round-robin split serialized giant
+    # entries into whichever shard alphabetical order dealt them (one
+    # sf10 shard drew 3 of the 15M-row giants and ran hours behind its
+    # siblings). Largest-first bin packing (LPT greedy on dump bytes —
+    # the best stand-in for compare cost): sort entries by total
+    # parquet size descending, assign each to the currently-lightest
+    # shard.
+    def _dump_bytes(name):
+        return sum(os.path.getsize(f)
+                   for f in glob.glob(os.path.join(out_dir, name, "*.parquet")))
+    shards = [[] for _ in range(n)]
+    loads = [0] * n
+    for name in sorted(dirs, key=_dump_bytes, reverse=True):
+        i = loads.index(min(loads))
+        shards[i].append(name)
+        loads[i] += _dump_bytes(name)
     procs = []
     env_base = dict(os.environ)
     env_base.setdefault("VERIFY_DUCKDB_MEM", f"{max(8, 80 // n)}GB")
@@ -73,7 +88,7 @@ def main():
     for p, sd in procs:
         p.wait()
         txt = open(f"{sd}.log").read()
-        ok += len(re.findall(r"\[OK\s*\]", txt))
+        ok += len(re.findall(r"\[OK[^\]]*\]", txt))
         fail += len(re.findall(r"\[FAIL", txt))
         if p.returncode != 0:
             print(f"WARNING: {sd} exited {p.returncode} (DuckDB abort? check its log)")

@@ -8,9 +8,169 @@ compare: schema (column names sorted), row count, and values (exact for
 ints/strings, bitwise for floats — the strictest plausible driver compare).
 
 Usage: python3 tools/verify_local.py <sfDir> <outDir>
+
+Giant-result fast path (r16, ADVICE #1): the python tuple canon is
+O(rows) RAM and wall — a 45M-row result is a multi-hour single-threaded
+compare holding ~20 GB. For results past VERIFY_FASTPATH_ROWS
+(default 1,000,000; set 1 to force it everywhere for parity testing),
+both sides are instead canonicalized and hash-aggregated INSIDE DuckDB:
+each row reduces to hash(col_exprs...) over columns sorted by name,
+and the compare is (count, bit_xor(rowhash), sum(rowhash)) — one
+digest triple per side, streamed, never materializing rows in python.
+The per-column expressions mirror canon()'s semantics exactly:
+type-CLASS tags so int/float/decimal/bool cross-class equality fails
+like the tuple compare does; floats widened REAL->DOUBLE then compared
+via shortest-roundtrip text (bijective with the double value, i.e.
+bitwise modulo the same -0.0==0.0 and NaN==NaN normalizations python
+== applies); list float elements rounded to 9 dp like canon(); decimal
+trailing-zero trim mirroring Decimal numeric equality. Unsupported
+types (structs, nested lists) fall back to the python path regardless
+of size. One DOCUMENTED semantic difference: the digest is a multiset
+compare (order-insensitive), per the prescription — ordering defects
+still surface through the python path at the small SFs every entry
+also runs at. Self-test: tools/fastpath_selftest.py proves tally
+parity vs the python path on a full gate dump plus planted-mismatch
+trips.
 """
 import json, math, sys, glob, os
 import duckdb
+
+# ---------------------------------------------------------------- fast path
+
+def _elem_expr(duck_type, x):
+    """Canonical VARCHAR expr for a LIST element of the given inner type
+    (python canon() rounds list floats to 9 dp; null element -> 'N')."""
+    t = duck_type.upper()
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        d = f"CAST({x} AS DOUBLE)"
+        return (f"CASE WHEN {x} IS NULL THEN 'N' "
+                f"WHEN isnan({d}) THEN 'f:NaN' "
+                f"WHEN round({d}, 9) = 0 THEN 'f:0.0' "
+                f"ELSE 'f:' || CAST(round({d}, 9) AS VARCHAR) END")
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"):
+        return f"CASE WHEN {x} IS NULL THEN 'N' ELSE 'i:' || CAST({x} AS VARCHAR) END"
+    if t == "VARCHAR":
+        return f"CASE WHEN {x} IS NULL THEN 'N' ELSE 's:' || {x} END"
+    if t == "BOOLEAN":
+        return f"CASE WHEN {x} IS NULL THEN 'N' ELSE 'b:' || CAST({x} AS VARCHAR) END"
+    return None
+
+def _col_expr(duck_type, c):
+    """Canonical expr for column `c` of DuckDB type `duck_type`, or None
+    if the type isn't fast-path-supported. NULL stays SQL NULL (hash()
+    treats it uniformly, mirroring python None == None across types)."""
+    t = duck_type.upper()
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        # scalar floats: canon() does NOT round — python == is value
+        # equality, i.e. bitwise modulo -0.0==0.0 / NaN==NaN. Shortest-
+        # roundtrip text of the widened DOUBLE is bijective with its
+        # value, so text equality == python float equality after the
+        # same two normalizations.
+        d = f"CAST({c} AS DOUBLE)"
+        return (f"CASE WHEN {c} IS NULL THEN NULL "
+                f"WHEN isnan({d}) THEN 'f:NaN' "
+                f"WHEN {d} = 0 THEN 'f:0.0' "
+                f"ELSE 'f:' || CAST({d} AS VARCHAR) END")
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"):
+        return f"'i:' || CAST({c} AS VARCHAR)"
+    if t == "VARCHAR":
+        return f"'s:' || {c}"
+    if t == "BOOLEAN":
+        return f"'b:' || CAST({c} AS VARCHAR)"
+    if t.startswith("DECIMAL"):
+        # python Decimal equality is numeric (5.0 == 5.00): trim
+        # trailing fraction zeros; -0.00 normalizes to 0
+        v = f"CAST({c} AS VARCHAR)"
+        return (f"CASE WHEN {c} IS NULL THEN NULL WHEN {c} = 0 THEN 'd:0' "
+                f"ELSE 'd:' || CASE WHEN {v} LIKE '%.%' "
+                f"THEN rtrim(rtrim({v}, '0'), '.') ELSE {v} END END")
+    if t == "DATE":
+        return f"'D:' || CAST({c} AS VARCHAR)"
+    if t.startswith("TIMESTAMP"):
+        # python datetime is µs-precision; normalize both sides to µs
+        return f"'T:' || CAST(CAST({c} AS TIMESTAMP) AS VARCHAR)"
+    if t == "BLOB":
+        return f"'x:' || hex({c})"
+    if t.endswith("[]"):
+        inner = _elem_expr(t[:-2], "x")
+        if inner is None:
+            return None
+        return (f"CASE WHEN {c} IS NULL THEN NULL "
+                f"ELSE 'l:' || CAST(list_transform({c}, x -> {inner}) AS VARCHAR) END")
+    return None
+
+def _digest_exprs(cols_types):
+    """hash(...) over canonical col exprs in sorted-column-name order,
+    or None if any column type is unsupported."""
+    exprs = []
+    for name, t in sorted(cols_types, key=lambda ct: ct[0]):
+        e = _col_expr(t, f'"{name}"')
+        if e is None:
+            return None
+        exprs.append(e)
+    return f"hash({', '.join(exprs)})"
+
+def _digest(con, src_sql, cols_types):
+    """(count, bit_xor(rowhash), sum(rowhash)) over src_sql, or None if
+    a column type is unsupported."""
+    h = _digest_exprs(cols_types)
+    if h is None:
+        return None
+    q = (f"SELECT count(*), bit_xor(h), sum(CAST(h AS HUGEINT)) "
+         f"FROM (SELECT {h} AS h FROM ({src_sql}))")
+    n, hx, hs = con.execute(q).fetchone()
+    return (int(n), None if hx is None else int(hx),
+            None if hs is None else int(hs))
+
+def _describe(con, src_sql):
+    return [(r[0], r[1]) for r in
+            con.execute(f"DESCRIBE ({src_sql})").fetchall()]
+
+def _fast_compare(con, name, spark_src, sql, memo, uses):
+    """Digest compare for a giant result. Returns True (OK) / False
+    (FAIL, already printed) / None (not eligible or errored -> caller
+    falls back to the python tuple compare)."""
+    try:
+        gct = _describe(con, spark_src)
+        if _digest_exprs(gct) is None:
+            print(f"  [fastpath ] {name}: unsupported spark column type -> python compare")
+            return None
+        ect = _describe(con, sql)
+        if _digest_exprs(ect) is None:
+            print(f"  [fastpath ] {name}: unsupported oracle column type -> python compare")
+            return None
+        gnames, enames = sorted(c for c, _ in gct), sorted(c for c, _ in ect)
+        if gnames != enames:
+            print(f"  [FAIL-cols] {name}: spark={gnames} duckdb={enames}")
+            uses[sql] -= 1
+            return False
+        dg = _digest(con, spark_src, gct)
+        if sql in memo:
+            de = memo[sql]
+        else:
+            de = _digest(con, sql, ect)
+            if uses[sql] > 1:
+                memo[sql] = de
+        uses[sql] -= 1
+        if sql in memo and uses[sql] <= 0:
+            del memo[sql]
+        if dg[0] != de[0]:
+            print(f"  [FAIL-rows] {name}: spark={dg[0]} duckdb={de[0]} (fastpath)")
+            return False
+        if dg != de:
+            print(f"  [FAIL-vals] {name}: digest mismatch over {dg[0]} rows "
+                  f"(fastpath xor/sum: spark={dg[1]}/{dg[2]} duckdb={de[1]}/{de[2]}) "
+                  f"-- rerun with VERIFY_FASTPATH_ROWS unset high for row diagnostics")
+            return False
+        print(f"  [OK-digest] {name}: {dg[0]} rows (fastpath)")
+        return True
+    except Exception as e:
+        print(f"  [fastpath ] {name}: error ({str(e)[:160]}) -> python compare")
+        return None
+
+# --------------------------------------------------------------- python path
 
 def _tag(x):
     # r7 lesson: the driver's compare distinguishes int64 from float64
@@ -77,17 +237,30 @@ def main():
                     if os.path.isdir(p)}
     sql_uses = Counter(v for k, v in oracle.items() if k in dumped_names)
     oracle_memo = {}
+    digest_memo = {}
+    fast_rows = int(os.environ.get("VERIFY_FASTPATH_ROWS", "1000000"))
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):
             continue
-        got = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        gcols = [d[0] for d in got.description]
-        grows = got.fetchall()
+        spark_src = f"SELECT * FROM read_parquet('{qdir}/*.parquet')"
+        nrows = con.execute(f"SELECT count(*) FROM ({spark_src})").fetchone()[0]
         if name not in oracle:
-            print(f"  [rows-only] {name}: {len(grows)} rows")
+            print(f"  [rows-only] {name}: {nrows} rows")
             n_noracle += 1
             continue
+        if nrows >= fast_rows:
+            res = _fast_compare(con, name, spark_src, oracle[name],
+                                digest_memo, sql_uses)
+            if res is not None:
+                if res:
+                    n_ok += 1
+                else:
+                    n_fail += 1
+                continue
+        got = con.execute(spark_src)
+        gcols = [d[0] for d in got.description]
+        grows = got.fetchall()
         try:
             sql = oracle[name]
             if sql in oracle_memo:
