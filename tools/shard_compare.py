@@ -60,7 +60,11 @@ def main():
     env_base = dict(os.environ)
     env_base.setdefault("VERIFY_DUCKDB_MEM", f"{max(8, 80 // n)}GB")
     env_base.setdefault("VERIFY_DUCKDB_THREADS", str(max(2, 24 // n)))
-    env_base.setdefault("VERIFY_DUCKDB_TEMP", f"{out_dir}_duck_tmp")
+    # NOTE: the temp dir is suffixed per shard below — concurrent
+    # DuckDB instances sharing one temp_directory collide on the same
+    # duckdb_temp_storage-N.tmp names, and one instance unlinking the
+    # other's spill file aborts the whole process with an IOException
+    # (bit the r16 sf10 run: shard1 died SIGABRT mid-gate).
     # r15 ADVICE (low): shard dirs persist across runs — a rerun with a
     # different nShards/only_regex would re-verify stale symlinks (or
     # crash a shard on a dangling one). Empty every existing shard dir,
@@ -80,9 +84,12 @@ def main():
         json.dump({k: oracle[k] for k in names if k in oracle},
                   open(os.path.join(sd, "oracle_sql.json"), "w"))
         log = open(f"{sd}.log", "w")
+        env = dict(env_base)
+        env["VERIFY_DUCKDB_TEMP"] = env_base.get(
+            "VERIFY_DUCKDB_TEMP", f"{out_dir}_duck_tmp") + f"_{i}"
         procs.append((subprocess.Popen(
             [sys.executable, os.path.join(os.path.dirname(__file__), "verify_local.py"),
-             sf_dir, sd], stdout=log, stderr=subprocess.STDOUT, env=env_base), sd))
+             sf_dir, sd], stdout=log, stderr=subprocess.STDOUT, env=env), sd))
         print(f"shard{i}: {len(names)} entries -> {sd}.log")
     ok, fail = 0, len(missing)
     for p, sd in procs:
