@@ -1839,6 +1839,94 @@ object QueriesPipeline {
       |FROM cand WHERE bit_count(xor(pa, pb)) <= 6
       |ORDER BY id_a, id_b""".stripMargin))
 
+  /** VIDEO near-dup via temporal perceptual hashing — [[mmNearDup]]
+    * lifted to the sequence modality: every document carries a real
+    * Cmono YUV4MPEG2 payload (2–4 frames of avalanched pxMix luma,
+    * [[MultiModal.encodeY4mMixed]]), decoded by the real FRAME-walk
+    * codec into one dHash64 PER FRAME, and near-dup identity is the
+    * aligned fingerprint sequence: banding keys on (frame_no, 16-bit
+    * band) — temporal alignment is part of the blocking key, the way
+    * production video fingerprinting buckets (frame, phash) — with
+    * equal frame counts required and the exact verify summing Hamming
+    * over the aligned frames ([[Dedup.hammingBandPairsFramed]]).
+    * Planted pairs: every src % 11 == 0 gets a copy whose FRAME 0 has
+    * one sampled pixel +128 — ≤ 2 bits flip on frame 0's hash and
+    * every later frame is bit-identical, so recall is guaranteed by
+    * the untouched frames' bands while the pair's hamming (≤ 2) sits
+    * far under the 6 cut and cross-video avalanched content sits far
+    * above it. The oracle replays the ENTIRE integer pipeline —
+    * per-frame pxMix seeds, the 8×9 dHash grid, banding with the
+    * frame key, candidate verify — in SQL. Scale shape: payload bytes
+    * never leave the scan stage (encode → decode → 8-byte hashes in
+    * one scan-stage UDF chain); only (id, frame, hash) rows and the
+    * band keys shuffle; exact verify touches candidates only. */
+  val mmVideoNearDup: Entry = Entry("mm_video_near_dup",
+    (s, d) => {
+      val base = docs(s, d).select(col("doc_id").as("src"),
+        (col("doc_id") % 8 + 16).cast("int").as("w"),
+        (col("doc_id") % 3 + 2).cast("int").as("nf"))
+      val corpus = base
+        .select(col("src").as("id"), col("src"), col("w"), col("nf"),
+          lit(false).as("pert"))
+        .unionByName(base.where(col("src") % 11 === 0)
+          .select((col("src") + 100000).as("id"), col("src"), col("w"),
+            col("nf"), lit(true).as("pert")))
+      val sigs = corpus.select(col("id"),
+        MultiModal.y4mFrameHashesUdf(MultiModal.encodeY4mMixedUdf(
+          col("src"), col("w"), col("w"), col("nf"), col("pert"))).as("sig"))
+      val framed = sigs.select(col("id"),
+          size(col("sig")).cast("long").as("nf"), posexplode(col("sig")))
+        .select(col("id"), col("nf"), col("pos").cast("long").as("f"),
+          col("col").as("ph"))
+      Dedup.hammingBandPairsFramed(framed, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH corpus AS (
+      | SELECT doc_id AS id, doc_id AS src, FALSE AS pert FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000, doc_id, TRUE FROM documents WHERE doc_id % 11 = 0),
+      |g AS (SELECT id, src, pert, CAST(16 + src % 8 AS BIGINT) AS w,
+      |   CAST(2 + src % 3 AS BIGINT) AS nf FROM corpus),
+      |fr AS (SELECT id, src, pert, w, nf, CAST(t0.f AS BIGINT) AS f
+      | FROM g, range(0, 4) t0(f) WHERE t0.f < nf),
+      |s AS (SELECT id, pert, w, nf, f, t1.y, t2.x,
+      |   ((y * w) // 8) * w + ((x * w) // 9) AS p,
+      |   src * 131 + f * 997 + 1 AS seed
+      | FROM fr, range(0, 8) t1(y), range(0, 9) t2(x)),
+      |v0 AS (SELECT id, pert, w, nf, f, y, x, p,
+      |   (seed * 7919 + p * 104729 + 12345) % 2097152 AS t1 FROM s),
+      |v1 AS (SELECT id, pert, w, nf, f, y, x, p,
+      |   (t1 * 2654435761) % 2147483648 AS t2 FROM v0),
+      |v2 AS (SELECT id, pert, w, nf, f, y, x, p,
+      |   (xor(t2, t2 // 32768) * 1597334677) % 2147483648 AS t4 FROM v1),
+      |v3 AS (SELECT id, pert, w, nf, f, y, x, p,
+      |   (xor(t4, t4 // 65536) // 512) % 256 AS vv FROM v2),
+      |vals AS (SELECT id, nf, f, y, x,
+      |   CASE WHEN pert AND f = 0 AND p = ((3 * w) // 8) * w + ((4 * w) // 9)
+      |        THEN (vv + 128) % 256 ELSE vv END AS val FROM v3),
+      |bits AS (SELECT a.id, a.nf, a.f, a.y, a.x,
+      |   CASE WHEN n.val > a.val THEN 1 ELSE 0 END AS bit
+      | FROM vals a JOIN vals n
+      |   ON a.id = n.id AND a.f = n.f AND a.y = n.y AND n.x = a.x + 1
+      | WHERE a.x < 8),
+      |ph AS (SELECT id, nf, f, CAST(sum(CASE WHEN bit = 1 THEN
+      |   (CASE WHEN y * 8 + x = 63 THEN -9223372036854775808
+      |         ELSE 1::BIGINT << (y * 8 + x) END) ELSE 0 END) AS BIGINT) AS ph
+      | FROM bits GROUP BY id, nf, f),
+      |bands AS (SELECT id, nf, f, ph, t.b, (ph >> (b * 16)) & 65535 AS k
+      | FROM ph, range(0, 4) t(b)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+      | FROM bands a JOIN bands c ON a.f = c.f AND a.b = c.b AND a.k = c.k
+      |   AND a.id < c.id AND a.nf = c.nf),
+      |hx AS (SELECT cand.id_a, cand.id_b, pa.nf, pa.f,
+      |   bit_count(xor(pa.ph, pb.ph)) AS hb
+      | FROM cand JOIN ph pa ON pa.id = cand.id_a
+      |   JOIN ph pb ON pb.id = cand.id_b AND pb.f = pa.f)
+      |SELECT id_a, id_b, CAST(max(nf) AS BIGINT) AS n_frames,
+      | CAST(sum(hb) AS BIGINT) AS hamming
+      |FROM hx GROUP BY 1, 2 HAVING sum(hb) <= 6
+      |ORDER BY id_a, id_b""".stripMargin))
+
   /** Eval-set decontamination (the GPT-3 appendix-C / Llama rule: drop
     * training docs sharing a long word n-gram with a benchmark). The
     * benchmark here is planted and provable: an 8-word excerpt (words
@@ -3859,5 +3947,5 @@ object QueriesPipeline {
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simAnnRecall,
     simKmeans, simKmeansLloyd,
     simNearDup, plSemDedup, plSemDedupTrained, simRrfFusion,
-    mmDecode, mmResize, mmWav, mmVideoFrames, mmNearDup)
+    mmDecode, mmResize, mmWav, mmVideoFrames, mmNearDup, mmVideoNearDup)
 }

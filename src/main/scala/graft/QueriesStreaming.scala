@@ -731,48 +731,64 @@ object QueriesStreaming {
     * time relationships, not the data); keys come from the documents
     * table so the oracle derives from the same scan. Output carries
     * epoch-ms so each key's surviving arrivals are distinguishable. */
+  /** The watermark-dedup choreography fixture, shared by
+    * st_stream_wm_dedup and st_batch_parity_dedup (time-layout
+    * rationale in the former's scaladoc). String→timestamp casts
+    * resolve in the session time zone (UTC, set by Verify/Bench),
+    * matching the oracle's naive TIMESTAMP literals — a
+    * java.sql.Timestamp literal would parse in the JVM-default zone. */
+  private def stagedWmDedupFixture(outer: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    def at(t: String) = lit(s"2030-01-01 $t").cast("timestamp")
+    stageBatchFiles("stream_wmdd", d,
+      wmDedupVer + "_" + Tables.dataVer(d, "documents"), {
+        val ids = tbl(outer, d, "documents").select(col("doc_id"))
+        val driver = ids.limit(1)
+          .select(lit(-1L).as("doc_id"), at("20:00:00").as("ts"))
+        Seq(
+          "b0" -> ids.select(col("doc_id"), at("10:00:00").as("ts")),
+          "b1" -> driver,
+          "b2" -> driver, // presence-dup; its end sweeps the doc keys
+          "b3" -> ids.where(col("doc_id") % 7 === 0)
+            .select(col("doc_id"), at("19:30:00").as("ts"))
+            .unionByName(driver))
+      })
+  }
+
+  /** Run dropDuplicatesWithinWatermark over the staged fixture under
+    * REAL micro-batch execution and return the surviving arrivals
+    * (doc_id, t_ms) from the memory sink. Shared engine of the two
+    * entries below. */
+  private def runStreamWmDedup(s: org.apache.spark.sql.SparkSession,
+      stage: String, tag: String): org.apache.spark.sql.DataFrame = {
+    val name = s"${tag}_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+    val q = s.readStream
+      .schema(s.read.parquet(s"$stage/b0.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), (unix_timestamp(col("ts")) * 1000).as("t_ms"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"target/tmp/ckpt_$name")
+      .outputMode("append").start()
+    try {
+      graft.streaming.StreamMetrics.drainAndRecord(q)
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      require(fed >= 4,
+        s"expected >=4 data micro-batches (cross-batch eviction), saw $fed")
+    } finally {
+      q.stop()
+      dropCheckpoint(s"target/tmp/ckpt_$name")
+    }
+    s.table(name)
+  }
+
   val stStreamWmDedup: Entry = Entry("st_stream_wm_dedup",
     (outer, d) => {
       val s = sizedStreamSession(outer, 2)
-      // string→timestamp casts resolve in the session time zone (UTC,
-      // set by Verify/Bench), matching the oracle's naive TIMESTAMP
-      // literals — a java.sql.Timestamp literal would parse in the
-      // JVM-default zone instead
-      def at(t: String) = lit(s"2030-01-01 $t").cast("timestamp")
-      val stage = stageBatchFiles("stream_wmdd", d,
-        wmDedupVer + "_" + Tables.dataVer(d, "documents"), {
-          val ids = tbl(outer, d, "documents").select(col("doc_id"))
-          val driver = ids.limit(1)
-            .select(lit(-1L).as("doc_id"), at("20:00:00").as("ts"))
-          Seq(
-            "b0" -> ids.select(col("doc_id"), at("10:00:00").as("ts")),
-            "b1" -> driver,
-            "b2" -> driver, // presence-dup; its end sweeps the doc keys
-            "b3" -> ids.where(col("doc_id") % 7 === 0)
-              .select(col("doc_id"), at("19:30:00").as("ts"))
-              .unionByName(driver))
-        })
-      val name = s"st_wmdd_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
-      val q = s.readStream
-        .schema(s.read.parquet(s"$stage/b0.parquet").schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("doc_id")
-        .select(col("doc_id"), (unix_timestamp(col("ts")) * 1000).as("t_ms"))
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"target/tmp/ckpt_$name")
-        .outputMode("append").start()
-      try {
-        graft.streaming.StreamMetrics.drainAndRecord(q)
-        val fed = q.recentProgress.count(_.numInputRows > 0)
-        require(fed >= 4,
-          s"expected >=4 data micro-batches (cross-batch eviction), saw $fed")
-      } finally {
-        q.stop()
-        dropCheckpoint(s"target/tmp/ckpt_$name")
-      }
-      s.table(name).orderBy("doc_id", "t_ms")
+      runStreamWmDedup(s, stagedWmDedupFixture(outer, d), "st_wmdd")
+        .orderBy("doc_id", "t_ms")
     },
     Some("""WITH out AS (
       | SELECT doc_id, epoch_ms(TIMESTAMP '2030-01-01 10:00:00') AS t_ms
@@ -783,6 +799,69 @@ object QueriesStreaming {
       | UNION ALL
       | SELECT -1 AS doc_id, epoch_ms(TIMESTAMP '2030-01-01 20:00:00') AS t_ms)
       |SELECT doc_id, t_ms FROM out ORDER BY doc_id, t_ms""".stripMargin))
+
+  /** STATEFUL streaming↔batch parity audit #3 — the watermark-dedup
+    * state class, completing the parity matrix (tumbling agg r15,
+    * session window + stream-stream join r16): ONE plan runs
+    * dropDuplicatesWithinWatermark under a real 4-micro-batch
+    * execution (the [[stagedWmDedupFixture]] eviction choreography)
+    * AND its batch twin over the same staged files, then reconciles.
+    *
+    * The batch twin: first arrival per (key, delay-gap session) —
+    * `session_window(ts, delay)` + min(ts). Equivalence argument:
+    * under the fixture's guarantees (per-key arrivals are in
+    * event-time order, and the driver rows advance the watermark past
+    * each arrival era's expiry before the next era lands), a
+    * streaming arrival is dropped iff live state for its key exists,
+    * i.e. iff some prior arrival of the key lies within the delay —
+    * exactly the session_window grouping. Both implementations EXTEND
+    * retention on duplicate arrival (Spark keeps the key's max event
+    * time; session_window merges chained rows), and the fixture has no
+    * sub-delay chains anyway (eras are 9.5 h apart at a 1 h delay; the
+    * driver duplicates are at the identical instant), so no
+    * chain-extension edge can split the two sides.
+    *
+    * What flips parity_ok: a silent fallback to GLOBAL dropDuplicates
+    * (the 19:30 re-arrivals vanish from the stream side while the
+    * batch side keeps them), premature state eviction (the b2/b3
+    * driver duplicates get re-emitted), a lost micro-batch, or a
+    * doubled emission (independent per-side counts taken BEFORE the
+    * reconciliation join — the st_batch_parity_session lesson — so
+    * multiplicity lands as n_stream ≠ n_batch). All compared values
+    * are exact BIGINTs, so equality is bitwise. The oracle recomputes
+    * the expected survivor census declaratively and asserts zero
+    * mismatches. */
+  val stBatchParityDedup: Entry = Entry("st_batch_parity_dedup",
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 2)
+      val stage = stagedWmDedupFixture(outer, d)
+      val streamRes = runStreamWmDedup(s, stage, "st_parity_wmdd")
+        .select(col("doc_id"), col("t_ms"), lit(1L).as("one_s"))
+      val batchRes = s.read.parquet(stage)
+        .groupBy(session_window(col("ts"), "1 hour"), col("doc_id"))
+        .agg(min(col("ts")).as("ts0"))
+        .select(col("doc_id"), (unix_timestamp(col("ts0")) * 1000).as("t_ms"),
+          lit(1L).as("one_b"))
+      val nS = streamRes.agg(count(lit(1)).as("n_stream"))
+      val nB = batchRes.agg(count(lit(1)).as("n_batch"))
+      val mm = streamRes.join(batchRes, Seq("doc_id", "t_ms"), "full_outer")
+        .agg(sum(when(col("one_s").isNull || col("one_b").isNull, 1L)
+          .otherwise(0L)).as("n_mismatch"))
+      nS.crossJoin(nB).crossJoin(mm)
+        .withColumn("parity_ok",
+          col("n_mismatch") === 0 && col("n_stream") === col("n_batch") &&
+            col("n_stream") > 0)
+    },
+    Some("""WITH out AS (
+      | SELECT doc_id FROM documents
+      | UNION ALL
+      | SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+      | UNION ALL
+      | SELECT -1 AS doc_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_stream,
+      | CAST(count(*) AS BIGINT) AS n_batch,
+      | CAST(0 AS BIGINT) AS n_mismatch, TRUE AS parity_ok
+      |FROM out""".stripMargin))
 
   /** Incrementally-maintained per-key quantiles under REAL streaming
     * execution — [[StreamingOps.quantilePerKey]]: a KLL sketch per
@@ -1296,5 +1375,5 @@ object QueriesStreaming {
     stStreamRecovery, stStreamWmDedup, stStreamQuantile, stStreamTopK,
     stStreamCdc,
     stStreamSessionWindow, stStreamMinhash, stBatchParity,
-    stBatchParitySession, stBatchParityJoin)
+    stBatchParitySession, stBatchParityJoin, stBatchParityDedup)
 }

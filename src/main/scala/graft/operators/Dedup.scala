@@ -249,6 +249,41 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Banded Hamming near-dup pairs over SEQUENCES of 64-bit
+    * fingerprints (one per video frame — mm_video_near_dup): the band
+    * key gains the frame index, so candidates must collide on the SAME
+    * frame's band — temporal alignment is part of the identity, the
+    * way real video fingerprinting keys (frame_no, phash) — and a
+    * pair must agree on total frame count. Exact verify on candidates
+    * only: total Hamming over the aligned sequences ≤ maxHamming.
+    * Recall: a pair whose sequences share ANY frame with per-frame
+    * Hamming ≤ 3 is guaranteed a colliding band on that frame
+    * (Manku's pigeonhole per frame) — in particular any pair with an
+    * untouched frame. Only ids + 8-byte hashes travel; candidate
+    * pairs join back to the (id, f, ph) frame table, never to
+    * payloads. Input columns: (id: long, nf: long, f: long, ph: long)
+    * — one row per frame. */
+  def hammingBandPairsFramed(framed: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = framed.select(col("id"), col("nf"), col("f"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), simHashBand(col("ph"), b).as("bv"))): _*)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("nf").as("nf_a"),
+      col("f"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("nf").as("nf_b"),
+      col("f"), col("bk"))
+    val cand = a.join(b, Seq("f", "bk"))
+      .where(col("id_a") < col("id_b") && col("nf_a") === col("nf_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val fa = framed.select(col("id").as("id_a"), col("nf"), col("f"),
+      col("ph").as("ph_a"))
+    val fb = framed.select(col("id").as("id_b"), col("f"), col("ph").as("ph_b"))
+    cand.join(fa, "id_a").join(fb, Seq("id_b", "f"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("nf")).as("n_frames"),
+        sum(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Fuzzy (edit-distance ≤ 1) self-join by FastSS deletion-
     * neighborhood blocking (Bocek et al. 2007): each string emits
     * itself plus its delete-one variants as blocking keys; two strings

@@ -375,4 +375,109 @@ object MultiModal {
   val encodeY4mUdf = udf((docId: Long, w: Int, h: Int, nF: Int) =>
     encodeY4m(docId, w, h, nF))
   val decodeY4mUdf = udf((b: Array[Byte], k: Int) => decodeY4mSampled(b, k))
+
+  // --------------------------------------- video perceptual hashing
+  /** Per-frame luma seed for the mixed-content video corpus: each
+    * frame gets its own avalanched pxMix stream (the plain
+    * [[luma]] mod-256 ramp is gradient-flat, so every ramp video
+    * dHashes to the same few values and banding degenerates — the
+    * same reason [[encodeBmpMixed]] exists for images). The seed stays
+    * ≤ ~1.3e14 at any SF's doc_id, so pxMix's first multiply is far
+    * under 2^62 and the oracle replays it in DuckDB BIGINTs. */
+  @inline private def frameSeed(docId: Long, f: Int): Long =
+    docId * 131L + f * 997L + 1L
+
+  /** Mixed-content YUV4MPEG2 for the video near-dup corpus; `perturb`
+    * adds 128 (mod 256) to FRAME 0's single sampled pixel at
+    * [[perturbIndex]] — the planted near-duplicate differs from its
+    * source by ≤ 2 dHash bits on frame 0 and is bit-identical on
+    * every later frame, so banded recall is guaranteed by the
+    * untouched frames (Manku's argument, lifted to sequences). Same
+    * spec-valid Cmono container as [[encodeY4m]]. */
+  def encodeY4mMixed(docId: Long, w: Int, h: Int, nFrames: Int,
+      perturb: Boolean): Array[Byte] = {
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n"
+    val o = new java.io.ByteArrayOutputStream(
+      header.length + nFrames * (6 + w * h))
+    o.write(header.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, header.length)
+    val pp = if (perturb) perturbIndex(w, h) else -1L
+    var f = 0
+    while (f < nFrames) {
+      o.write('F'); o.write('R'); o.write('A'); o.write('M'); o.write('E'); o.write('\n')
+      val seed = frameSeed(docId, f)
+      val n = w * h
+      var p = 0
+      while (p < n) {
+        val v = pxMix(seed, p)
+        o.write(if (perturb && f == 0 && p == pp) (v + 128) % 256 else v)
+        p += 1
+      }
+      f += 1
+    }
+    o.toByteArray
+  }
+
+  /** Decode a Cmono YUV4MPEG2 stream to one [[dHash64]] per frame —
+    * the video fingerprint sequence. Same parameter-line grammar and
+    * FRAME-walk validation as [[decodeY4mSampled]] (a framing bug
+    * shifts the byte windows and changes every downstream hash); the
+    * per-frame work is the 8×9 dHash sample grid, so decode+hash is
+    * O(frames) header walks + O(72) reads per frame, not a full-plane
+    * pass. */
+  def decodeY4mFrameHashes(b: Array[Byte]): Array[Long] = {
+    var eol = 0
+    while (eol < b.length && b(eol) != '\n') eol += 1
+    require(eol < b.length, "no parameter-line terminator")
+    val toks = new String(b, 0, eol,
+      java.nio.charset.StandardCharsets.US_ASCII).split(" ")
+    require(toks(0) == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+    var w = -1; var h = -1
+    var cs = "420jpeg"
+    for (t <- toks.drop(1); if t.nonEmpty) t.charAt(0) match {
+      case 'W' => w = t.substring(1).toInt
+      case 'H' => h = t.substring(1).toInt
+      case 'C' => cs = t.substring(1)
+      case _ => ()
+    }
+    require(w > 0 && h > 0, "missing/invalid W or H parameter")
+    require(cs == "mono", "only Cmono (single 8-bit luma plane) supported")
+    val frameBytes = w * h
+    val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var off = eol + 1
+    var f = 0
+    while (off < b.length) {
+      require(off + 5 <= b.length && b(off) == 'F' && b(off + 1) == 'R' &&
+        b(off + 2) == 'A' && b(off + 3) == 'M' && b(off + 4) == 'E',
+        s"missing FRAME marker at offset $off")
+      var fe = off + 5
+      while (fe < b.length && b(fe) != '\n') fe += 1
+      require(fe < b.length, "unterminated FRAME parameter line")
+      off = fe + 1
+      require(off + frameBytes <= b.length, s"truncated frame $f")
+      // dHash directly off the plane bytes — the sample grid of
+      // dHash64, inlined over the unsigned byte reads
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        val sy = y * h / 8
+        var prev = b(off + sy * w + 0 * w / 9) & 0xff
+        var x = 0
+        while (x < 8) {
+          val cur = b(off + sy * w + (x + 1) * w / 9) & 0xff
+          if (cur > prev) bits |= 1L << (y * 8 + x)
+          prev = cur
+          x += 1
+        }
+        y += 1
+      }
+      hashes += bits
+      off += frameBytes
+      f += 1
+    }
+    hashes.toArray
+  }
+
+  val encodeY4mMixedUdf = udf((docId: Long, w: Int, h: Int, nF: Int,
+    perturb: Boolean) => encodeY4mMixed(docId, w, h, nF, perturb))
+  val y4mFrameHashesUdf = udf((b: Array[Byte]) => decodeY4mFrameHashes(b))
 }

@@ -160,4 +160,42 @@ class MultiModalCodecSpec extends AnyFunSuite with Matchers {
     val noMarker = ok.take(36) ++ ok.takeRight(12)
     an[IllegalArgumentException] should be thrownBy decodeY4mSampled(noMarker, 1)
   }
+
+  test("y4m frame hashes: inlined byte-grid dHash equals the reference dHash64 per frame") {
+    // cross-implementation pin: decodeY4mFrameHashes samples the grid
+    // directly off the plane bytes; recompute each frame's luma array
+    // from the generating formula and push it through the image-path
+    // dHash64 — any grid/stride/offset skew between the two diverges
+    for (id <- Seq(0L, 5L, 1234567L)) {
+      val w = (16 + id % 8).toInt
+      val nf = (2 + id % 3).toInt
+      val hashes = decodeY4mFrameHashes(encodeY4mMixed(id, w, w, nf, perturb = false))
+      hashes.length shouldBe nf
+      for (f <- 0 until nf) {
+        val seed = id * 131L + f * 997L + 1L
+        val plane = Array.tabulate(w * w)(p => pxMix(seed, p.toLong).toDouble)
+        hashes(f) shouldBe dHash64(plane, w, w)
+      }
+    }
+  }
+
+  test("y4m perturbation: frame 0 Hamming <= 2, every later frame bit-identical") {
+    for (id <- 0L to 23L) {
+      val w = (16 + id % 8).toInt
+      val nf = (2 + id % 3).toInt
+      val h0 = decodeY4mFrameHashes(encodeY4mMixed(id, w, w, nf, perturb = false))
+      val h1 = decodeY4mFrameHashes(encodeY4mMixed(id, w, w, nf, perturb = true))
+      java.lang.Long.bitCount(h0(0) ^ h1(0)) should be <= 2
+      for (f <- 1 until nf) h1(f) shouldBe h0(f)
+    }
+  }
+
+  test("y4m frame hashes: same grammar validation as the sampler (truncation rejected)") {
+    val ok = encodeY4mMixed(1L, 16, 16, 2, perturb = false)
+    decodeY4mFrameHashes(ok).length shouldBe 2
+    an[IllegalArgumentException] should be thrownBy
+      decodeY4mFrameHashes(ok.dropRight(3))
+    an[IllegalArgumentException] should be thrownBy decodeY4mFrameHashes(
+      ("YUV4MPEG2 W4 H2 C420jpeg\nFRAME\n" + "x" * 12).getBytes)
+  }
 }

@@ -112,6 +112,27 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().toSet shouldBe Set((1L, 2L, 3L))
   }
 
+  test("hammingBandPairsFramed: temporal alignment keys, frame-count gate, summed verify") {
+    // id 1 vs 2: identical 2-frame signatures except 3 bits on frame 0
+    //   → caught (frame 1's bands untouched; frame 0 pigeonhole too)
+    // id 3: id 1's frame hashes in SWAPPED order → temporal
+    //   misalignment; no same-frame band collides and the aligned
+    //   hamming is huge either way → absent
+    // id 4: frame 0 identical to id 1's (band collision guaranteed)
+    //   but 3 frames → the equal-frame-count gate drops the candidate
+    val f0 = 0x0123456789abcdefL; val f1 = 0x7777000011112222L
+    val framed = Seq(
+      (1L, 2L, 0L, f0), (1L, 2L, 1L, f1),
+      (2L, 2L, 0L, f0 ^ 7L), (2L, 2L, 1L, f1),
+      (3L, 2L, 0L, f1), (3L, 2L, 1L, f0),
+      (4L, 3L, 0L, f0), (4L, 3L, 1L, f1), (4L, 3L, 2L, 0L))
+      .toDF("id", "nf", "f", "ph")
+    val pairs = Dedup.hammingBandPairsFramed(framed, maxHamming = 6)
+    pairs.queryExecution.executedPlan.toString should not include "CartesianProduct"
+    pairs.select("id_a", "id_b", "n_frames", "hamming").as[(Long, Long, Long, Long)]
+      .collect().toSet shouldBe Set((1L, 2L, 2L, 3L))
+  }
+
   test("minhash recall audit: exact miss census pinned (the banding loss is deterministic)") {
     // dd_minhash_recall_audit's entry gate is a >=0.93 floor; the
     // EXACT caught/truth counts live here (the QualityClassifierSpec
