@@ -1927,6 +1927,75 @@ object QueriesPipeline {
       |FROM hx GROUP BY 1, 2 HAVING sum(hb) <= 6
       |ORDER BY id_a, id_b""".stripMargin))
 
+  /** AUDIO near-dup via energy-envelope fingerprinting — completing
+    * the modality matrix (text SimHash/MinHash, image dHash r16,
+    * video temporal dHash, now audio): every document carries a real
+    * PCM16 mono WAV payload of avalanched samples
+    * ([[MultiModal.encodeWavMixed]]), decoded by the real RIFF
+    * chunk-walk into a 64-bit fingerprint — 65 equal windows, exact
+    * integer energies Σs², bit x = E(x+1) > E(x), the 1-D analogue of
+    * dHash ([[MultiModal.wavEnergyHash64]]) — then banded through the
+    * SAME [[Dedup.hammingBandPairs]] LSH the text and image families
+    * use. Planted pairs: every src % 13 == 0 gets a copy whose WINDOW
+    * 0 samples are +64 — window 0 feeds only fingerprint bit 0, so
+    * the pair's Hamming is ≤ 1 (bands 1–3 untouched guarantee recall)
+    * while cross-audio avalanched envelopes sit near Hamming 32. The
+    * oracle replays the whole integer pipeline — pxMix samples,
+    * window energies, threshold bits, packing, banding — in SQL.
+    * Scale shape: payload bytes never leave the scan stage; only
+    * (id, 8-byte fingerprint) rows and band keys shuffle; exact
+    * verify on candidates only. */
+  val mmAudioNearDup: Entry = Entry("mm_audio_near_dup",
+    (s, d) => {
+      val base = docs(s, d).select(col("doc_id").as("src"),
+        (col("doc_id") % 3 + 4).cast("int").as("m"))
+      val corpus = base
+        .select(col("src").as("id"), col("src"), col("m"), lit(false).as("pert"))
+        .unionByName(base.where(col("src") % 13 === 0)
+          .select((col("src") + 200000).as("id"), col("src"), col("m"),
+            lit(true).as("pert")))
+      val hashed = corpus.select(col("id"),
+        MultiModal.wavEnergyHash64Udf(MultiModal.encodeWavMixedUdf(
+          col("src"), col("m"), col("pert"))).as("ph"))
+      Dedup.hammingBandPairs(hashed, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH corpus AS (
+      | SELECT doc_id AS id, doc_id AS src, FALSE AS pert FROM documents
+      | UNION ALL
+      | SELECT doc_id + 200000, doc_id, TRUE FROM documents WHERE doc_id % 13 = 0),
+      |g AS (SELECT id, src, pert, CAST(4 + src % 3 AS BIGINT) AS m,
+      |   src * 37 + 5 AS seed FROM corpus),
+      |sm AS (SELECT id, pert, m, seed, t1.w, t1.w * m + t2.j AS p
+      | FROM g, range(0, 65) t1(w), range(0, 6) t2(j) WHERE t2.j < m),
+      |v0 AS (SELECT id, pert, w, p,
+      |   (seed * 7919 + p * 104729 + 12345) % 2097152 AS t1 FROM sm),
+      |v1 AS (SELECT id, pert, w, p,
+      |   (t1 * 2654435761) % 2147483648 AS t2 FROM v0),
+      |v2 AS (SELECT id, pert, w, p,
+      |   (xor(t2, t2 // 32768) * 1597334677) % 2147483648 AS t4 FROM v1),
+      |v3 AS (SELECT id, pert, w, p,
+      |   (xor(t4, t4 // 65536) // 512) % 256 - 128 AS s0 FROM v2),
+      |vals AS (SELECT id, w,
+      |   CASE WHEN pert AND w = 0 THEN s0 + 64 ELSE s0 END AS s FROM v3),
+      |en AS (SELECT id, w, CAST(sum(s * s) AS BIGINT) AS e
+      | FROM vals GROUP BY 1, 2),
+      |bits AS (SELECT a.id, a.w AS x,
+      |   CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+      | FROM en a JOIN en n ON a.id = n.id AND n.w = a.w + 1
+      | WHERE a.w < 64),
+      |ph AS (SELECT id, CAST(sum(CASE WHEN bit = 1 THEN
+      |   (CASE WHEN x = 63 THEN -9223372036854775808
+      |         ELSE 1::BIGINT << x END) ELSE 0 END) AS BIGINT) AS ph
+      | FROM bits GROUP BY id),
+      |bands AS (SELECT id, ph, t.b, (ph >> (b * 16)) & 65535 AS k
+      | FROM ph, range(0, 4) t(b)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, a.ph AS pa, c.id AS id_b, c.ph AS pb
+      | FROM bands a JOIN bands c ON a.b = c.b AND a.k = c.k AND a.id < c.id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(pa, pb)) <= 6
+      |ORDER BY id_a, id_b""".stripMargin))
+
   /** Eval-set decontamination (the GPT-3 appendix-C / Llama rule: drop
     * training docs sharing a long word n-gram with a benchmark). The
     * benchmark here is planted and provable: an 8-word excerpt (words
@@ -3947,5 +4016,6 @@ object QueriesPipeline {
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simAnnRecall,
     simKmeans, simKmeansLloyd,
     simNearDup, plSemDedup, plSemDedupTrained, simRrfFusion,
-    mmDecode, mmResize, mmWav, mmVideoFrames, mmNearDup, mmVideoNearDup)
+    mmDecode, mmResize, mmWav, mmVideoFrames, mmNearDup, mmVideoNearDup,
+    mmAudioNearDup)
 }

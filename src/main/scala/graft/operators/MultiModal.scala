@@ -480,4 +480,102 @@ object MultiModal {
   val encodeY4mMixedUdf = udf((docId: Long, w: Int, h: Int, nF: Int,
     perturb: Boolean) => encodeY4mMixed(docId, w, h, nF, perturb))
   val y4mFrameHashesUdf = udf((b: Array[Byte]) => decodeY4mFrameHashes(b))
+
+  // --------------------------------------- audio perceptual hashing
+  /** Audio-stream seed for the mixed-content WAV corpus — the audio
+    * sibling of [[frameSeed]] (the plain [[sample]] ramp is
+    * envelope-flat: every ramp file's window energies are near-equal
+    * and the fingerprint degenerates). Stays ≤ ~3.8e10 at any SF's
+    * doc_id, so pxMix's first multiply is far under 2^62. */
+  @inline private def audioSeed(docId: Long): Long = docId * 37L + 5L
+
+  /** Number of energy windows in the audio fingerprint: 65 windows →
+    * 64 adjacent-energy comparisons → one 64-bit hash, the exact 1-D
+    * analogue of dHash's 8×9 grid. */
+  val AudioWindows = 65
+
+  /** Mixed-content PCM16 mono WAV for the audio near-dup corpus:
+    * 65·winLen avalanched samples (pxMix bytes recentred to
+    * [−128, 127] — signed, so int16 sign-extension stays exercised).
+    * `perturb` adds +64 to every sample of WINDOW 0 — the planted
+    * near-duplicate: window 0's energy feeds ONLY fingerprint bit 0
+    * (the E(1) > E(0) comparison), so the perturbed copy differs by
+    * ≤ 1 bit while every other window is bit-identical. Same
+    * spec-valid RIFF container as [[encodeWav]], rate 8000. */
+  def encodeWavMixed(docId: Long, winLen: Int, perturb: Boolean): Array[Byte] = {
+    val n = AudioWindows * winLen
+    val dataSize = n * 2
+    val o = new java.io.ByteArrayOutputStream(44 + dataSize)
+    o.write('R'); o.write('I'); o.write('F'); o.write('F')
+    le32(o, 36 + dataSize)
+    o.write('W'); o.write('A'); o.write('V'); o.write('E')
+    o.write('f'); o.write('m'); o.write('t'); o.write(' ')
+    le32(o, 16); le16(o, 1); le16(o, 1)
+    le32(o, 8000); le32(o, 8000 * 2)
+    le16(o, 2); le16(o, 16)
+    o.write('d'); o.write('a'); o.write('t'); o.write('a')
+    le32(o, dataSize)
+    val seed = audioSeed(docId)
+    var i = 0
+    while (i < n) {
+      val base = pxMix(seed, i.toLong) - 128
+      val v = if (perturb && i < winLen) base + 64 else base
+      le16(o, v & 0xffff)
+      i += 1
+    }
+    o.toByteArray
+  }
+
+  /** 64-bit energy-envelope fingerprint of a PCM16 mono WAV — the
+    * audio analogue of [[dHash64]]: split the samples into
+    * [[AudioWindows]] equal windows, window energy = Σ s² (exact
+    * BIGINTs: |s| ≤ 32767 so each term ≤ 2^30 and any realistic
+    * window sum stays far under 2^63), bit x = 1 iff
+    * E(x+1) > E(x). Pure integer pipeline, so the SQL oracle replays
+    * it bit-for-bit. Same RIFF chunk-walk validation as
+    * [[decodeWav]] (word-aligned chunks, fmt-before-data, PCM16). */
+  def wavEnergyHash64(b: Array[Byte]): Long = {
+    require(b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E', "not a RIFF/WAVE")
+    var off = 12
+    var fmtSeen = false
+    var energies: Array[Long] = null
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = rd32(b, off + 4)
+      require(size >= 0 && off + 8 + size <= b.length, s"truncated chunk $id")
+      if (id == "fmt ") {
+        require(rd16(b, off + 8) == 1, "only PCM supported")
+        require(rd16(b, off + 22) == 16, "only 16-bit supported")
+        fmtSeen = true
+      } else if (id == "data") {
+        require(fmtSeen, "data chunk before fmt")
+        val nSamples = size / 2
+        require(nSamples % AudioWindows == 0,
+          s"sample count $nSamples not divisible into $AudioWindows windows")
+        val m = nSamples / AudioWindows
+        energies = new Array[Long](AudioWindows)
+        var i = 0
+        while (i < nSamples) {
+          val s = rd16(b, off + 8 + i * 2).toShort.toLong
+          energies(i / m) += s * s
+          i += 1
+        }
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(energies != null, "no data chunk")
+    var bits = 0L
+    var x = 0
+    while (x < 64) {
+      if (energies(x + 1) > energies(x)) bits |= 1L << x
+      x += 1
+    }
+    bits
+  }
+
+  val encodeWavMixedUdf = udf((docId: Long, winLen: Int, perturb: Boolean) =>
+    encodeWavMixed(docId, winLen, perturb))
+  val wavEnergyHash64Udf = udf((b: Array[Byte]) => wavEnergyHash64(b))
 }

@@ -198,4 +198,47 @@ class MultiModalCodecSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy decodeY4mFrameHashes(
       ("YUV4MPEG2 W4 H2 C420jpeg\nFRAME\n" + "x" * 12).getBytes)
   }
+
+  test("wav energy hash: chunk-walked fingerprint equals the formula recomputation") {
+    // cross-implementation pin: recompute each window's Σs² from the
+    // generating formula and re-derive the threshold bits — any RIFF
+    // offset / sign-extension / window-boundary skew diverges
+    for (id <- Seq(0L, 7L, 987654L)) {
+      val m = (4 + id % 3).toInt
+      val got = wavEnergyHash64(encodeWavMixed(id, m, perturb = false))
+      val seed = id * 37L + 5L
+      val e = Array.tabulate(AudioWindows) { w =>
+        (0 until m).map { j =>
+          val s = (pxMix(seed, (w * m + j).toLong) - 128).toLong; s * s
+        }.sum
+      }
+      var want = 0L
+      for (x <- 0 until 64) if (e(x + 1) > e(x)) want |= 1L << x
+      got shouldBe want
+    }
+  }
+
+  test("wav perturbation: window 0 feeds only bit 0 — Hamming <= 1") {
+    for (id <- 0L to 25L) {
+      val m = (4 + id % 3).toInt
+      val h0 = wavEnergyHash64(encodeWavMixed(id, m, perturb = false))
+      val h1 = wavEnergyHash64(encodeWavMixed(id, m, perturb = true))
+      (h0 ^ h1) & ~1L shouldBe 0L // only bit 0 may differ
+    }
+  }
+
+  test("wav energy hash: rejects non-windowable sample counts and decodes through extra chunks") {
+    // a plain encodeWav with n not divisible by 65 must be rejected
+    an[IllegalArgumentException] should be thrownBy
+      wavEnergyHash64(encodeWav(1L, 8000, 100))
+    // but IS accepted when divisible (the generic codec feeds the
+    // fingerprint path too; values differ — ramp vs mixed — by design)
+    wavEnergyHash64(encodeWav(1L, 8000, 65 * 4))
+    // word-aligned extra chunk before data: same walk as decodeWav
+    val ok = encodeWavMixed(3L, 4, perturb = false)
+    val withList = ok.take(12) ++
+      "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes ++
+      ok.drop(12)
+    wavEnergyHash64(withList) shouldBe wavEnergyHash64(ok)
+  }
 }
