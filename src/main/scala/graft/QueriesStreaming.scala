@@ -863,6 +863,106 @@ object QueriesStreaming {
       | CAST(0 AS BIGINT) AS n_mismatch, TRUE AS parity_ok
       |FROM out""".stripMargin))
 
+  /** STREAMING MEDIA-FINGERPRINT dedup — the streaming tier of the
+    * two-tier media-dedup architecture (exact fingerprint dedup at
+    * ingest; banded near-dup LSH in batch — mm_near_dup): documents
+    * arrive with their image payload fields across two REAL
+    * micro-batches, the full binary codec chain (mixed-content BMP
+    * encode → real byte decode → dHash64) runs INSIDE the streaming
+    * plan's scan stage, and cross-batch `dropDuplicates` state on the
+    * 8-byte fingerprint drops batch-1 exact re-uploads of batch-0
+    * media while PERTURBED re-uploads (near-dups, a different
+    * fingerprint) pass through to the batch LSH pass — the precise
+    * division of labor a 100 TB crawl ingest runs. State is 8 bytes
+    * per distinct fingerprint, never payloads.
+    *
+    * Census determinism: batch 0 carries every original (all
+    * fingerprints distinct — mm_near_dup's zero non-planted pairs at
+    * Hamming ≤ 6 proves no exact collisions, re-proven at sf10);
+    * batch 1 carries exact copies (% 11 slice — all dropped by state
+    * from batch 0) and perturbed copies (disjoint % 7 slice — each
+    * survives iff its perturbation actually flipped a dHash bit,
+    * which the oracle REPLAYS per document: the +128 pixel shift
+    * flips 0–2 threshold bits, and the 0-flip copies are genuinely
+    * exact dups that must drop). The oracle recomputes both
+    * fingerprints per perturbed doc and keeps the survivors. */
+  val stStreamMmDedup: Entry = Entry("st_stream_mm_dedup",
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 2)
+      import graft.operators.MultiModal
+      val stage = stageBatchFiles("stream_mmdd", d,
+        "v1_" + Tables.dataVer(d, "documents"), {
+          val base = tbl(outer, d, "documents").select(col("doc_id"),
+            (col("doc_id") % 8 + 16).cast("int").as("w"))
+          Seq(
+            "b0" -> base.select(col("doc_id").as("id"),
+              col("doc_id").as("src"), col("w"), lit(false).as("pert")),
+            "b1" -> base.where(col("doc_id") % 11 === 0)
+              .select((col("doc_id") + 100000).as("id"),
+                col("doc_id").as("src"), col("w"), lit(false).as("pert"))
+              .unionByName(base
+                .where(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
+                .select((col("doc_id") + 300000).as("id"),
+                  col("doc_id").as("src"), col("w"), lit(true).as("pert"))))
+        })
+      val name = s"st_mmdd_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val q = s.readStream
+        .schema(s.read.parquet(s"$stage/b0.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .select(col("id"), MultiModal.dHash64Udf(MultiModal.encodeBmpMixedUdf(
+          col("src"), col("w"), col("w"), col("pert"))).as("ph"))
+        .dropDuplicates("ph")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .outputMode("append").start()
+      try {
+        graft.streaming.StreamMetrics.drainAndRecord(q)
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"expected >=2 data micro-batches (cross-batch dedup state), saw $fed")
+      } finally {
+        q.stop()
+        dropCheckpoint(s"target/tmp/ckpt_$name")
+      }
+      s.table(name).orderBy("id")
+    },
+    Some("""WITH corpus AS (
+      | SELECT doc_id AS id, doc_id AS src, FALSE AS pert, 0 AS bt FROM documents
+      | UNION ALL
+      | SELECT doc_id + 300000, doc_id, TRUE, 1 FROM documents
+      |  WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0),
+      |g AS (SELECT id, src, pert, bt, CAST(16 + src % 8 AS BIGINT) AS w
+      | FROM corpus),
+      |s AS (SELECT id, pert, bt, w, t1.y, t2.x,
+      |   ((y * w) // 8) * w + ((x * w) // 9) AS p, src AS seed
+      | FROM g, range(0, 8) t1(y), range(0, 9) t2(x)),
+      |v0 AS (SELECT id, pert, bt, w, y, x, p,
+      |   (seed * 7919 + p * 104729 + 12345) % 2097152 AS t1 FROM s),
+      |v1 AS (SELECT id, pert, bt, w, y, x, p,
+      |   (t1 * 2654435761) % 2147483648 AS t2 FROM v0),
+      |v2 AS (SELECT id, pert, bt, w, y, x, p,
+      |   (xor(t2, t2 // 32768) * 1597334677) % 2147483648 AS t4 FROM v1),
+      |v3 AS (SELECT id, pert, bt, w, y, x, p,
+      |   (xor(t4, t4 // 65536) // 512) % 256 AS vv FROM v2),
+      |vals AS (SELECT id, pert, bt, y, x,
+      |   CASE WHEN pert AND p = ((3 * w) // 8) * w + ((4 * w) // 9)
+      |        THEN (vv + 128) % 256 ELSE vv END AS val FROM v3),
+      |bits AS (SELECT a.id, a.pert, a.bt, a.y, a.x,
+      |   CASE WHEN n.val > a.val THEN 1 ELSE 0 END AS bit
+      | FROM vals a JOIN vals n
+      |   ON a.id = n.id AND a.y = n.y AND n.x = a.x + 1
+      | WHERE a.x < 8),
+      |ph AS (SELECT id, pert, bt, CAST(sum(CASE WHEN bit = 1 THEN
+      |   (CASE WHEN y * 8 + x = 63 THEN -9223372036854775808
+      |         ELSE 1::BIGINT << (y * 8 + x) END) ELSE 0 END) AS BIGINT) AS ph
+      | FROM bits GROUP BY 1, 2, 3),
+      |orig AS (SELECT id AS src, ph FROM ph WHERE bt = 0)
+      |SELECT p.id, p.ph FROM ph p
+      |WHERE p.bt = 0
+      |   OR p.ph <> (SELECT o.ph FROM orig o WHERE o.src = p.id - 300000)
+      |ORDER BY p.id""".stripMargin))
+
   /** Incrementally-maintained per-key quantiles under REAL streaming
     * execution — [[StreamingOps.quantilePerKey]]: a KLL sketch per
     * language held in mapGroupsWithState state, updated across two
@@ -1375,5 +1475,6 @@ object QueriesStreaming {
     stStreamRecovery, stStreamWmDedup, stStreamQuantile, stStreamTopK,
     stStreamCdc,
     stStreamSessionWindow, stStreamMinhash, stBatchParity,
-    stBatchParitySession, stBatchParityJoin, stBatchParityDedup)
+    stBatchParitySession, stBatchParityJoin, stBatchParityDedup,
+    stStreamMmDedup)
 }
