@@ -262,7 +262,15 @@ object Dedup {
     * untouched frame. Only ids + 8-byte hashes travel; candidate
     * pairs join back to the (id, f, ph) frame table, never to
     * payloads. Input columns: (id: long, nf: long, f: long, ph: long)
-    * — one row per frame. */
+    * — one row per frame.
+    *
+    * The plan references `framed` four times (two self-join sides +
+    * two verify join-backs), so a decode-expensive input re-runs its
+    * scan per reference: at production scale, land the fingerprint
+    * table first (the S5 materialized-cache pattern — fingerprints
+    * are 8 bytes/frame, trivially cheaper than re-decoding payloads)
+    * and pass the landed frame. The gate entry keeps the chain live
+    * so the oracle replays one plan end-to-end. */
   def hammingBandPairsFramed(framed: DataFrame, maxHamming: Int): DataFrame = {
     val banded = framed.select(col("id"), col("nf"), col("f"),
       explode(array((0 until 4).map(b =>
