@@ -843,4 +843,25 @@ class PlanShapeSpec extends SparkSpec {
       winAt should be < aggAt
     }
   }
+
+  test("media near-dup entries: banded equi-joins, never all-pairs; scans read doc_id only") {
+    val dir = "target/tmp/spec_planshape_mmdd"
+    (0 until 30).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (entry <- Seq(QueriesPipeline.mmNearDup, QueriesPipeline.mmVideoNearDup,
+        QueriesPipeline.mmAudioNearDup)) {
+      val p = plan(entry.fn(spark, dir))
+      withClue(s"${entry.name}:\n$p") {
+        // LSH banding = equi-join on band keys; an all-pairs fallback
+        // (the O(N²) shape banding exists to avoid) is a red plan
+        p should not include "CartesianProduct"
+        p should not include "BroadcastNestedLoop"
+        // payloads are synthesized AND fingerprinted inside the scan
+        // stage: no file scan may read the text column (doc_id is the
+        // only input the fixtures derive from)
+        p.linesIterator.filter(_.contains("ReadSchema")).foreach(l =>
+          l should not include "text")
+      }
+    }
+  }
 }
