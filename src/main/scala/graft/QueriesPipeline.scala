@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{AhoCorasick, Bpe, Components, Decontaminate, Dedup, HeavyHitters, MultiModal, Similarity, UnigramLm}
 import Queries.Entry
@@ -319,6 +319,84 @@ object QueriesPipeline {
       | CAST(sum(CASE WHEN dist <= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
       | TRUE AS recall_ok
       |FROM d""".stripMargin))
+
+  /** Incremental near-dup ingest — the BATCH tier of delta-vs-base
+    * dedup (st_stream_minhash is the per-micro-batch tier): a new
+    * crawl increment is near-dup-checked against the ACCUMULATED
+    * corpus via [[Dedup.minHashPairsAgainst]], which forms delta×base
+    * candidates only — the base is never re-deduped against itself,
+    * and at 100 TB its band signatures are a precomputed stored index
+    * (~48 bytes/doc), so per-increment cost is proportional to the
+    * increment. This is the asymmetric complement of
+    * pl_incremental_ingest's EXACT-digest anti join: the same
+    * keep/drop ledger, but under the near-dup relation.
+    *
+    * The increment plants both outcomes: doc_id % 7 == 0 base docs
+    * re-arrive with one appended token (' inc42' — the identical
+    * similarity profile as dd_minhash_lsh's proven ' qq17' plants,
+    * pair Jaccard dist ≤ 0.19 on all three shipped corpora, measured)
+    * → dropped; doc_id % 7 == 3 docs re-arrive TOKEN-REVERSED — same
+    * word bag, near-zero 3-shingle overlap (min pair dist 0.92
+    * measured, and the 0.4–0.55 marginal band is EMPTY at every
+    * shipped SF, so banding recall is never probed in its lossy
+    * region) → kept. A doc the near-dup check keeps but SimHash would
+    * drop (reversal preserves the token bag) is exactly the semantic
+    * difference dd_simhash documents. Oracle recomputes the per-delta
+    * ledger by exact all-pairs Jaccard over the capped base (the
+    * minhashLshOracle contract; MATERIALIZED CTEs per the sf10
+    * adjudication). Base corpus and cap are [[minhashBaseDocs]]'s, so
+    * rehearsal SFs head-sample back to the audited sf0.1 corpus. */
+  val ddIncrementalMinhash: Entry = Entry("dd_incremental_minhash",
+    (s, d) => {
+      val base = minhashBaseDocs(s, d)
+      val delta = base.where(col("id") % 7 === 0)
+        .select((col("id") + 400000L).as("id"),
+          concat(col("text"), lit(" inc42")).as("text"))
+        .unionByName(base.where(col("id") % 7 === 3)
+          .select((col("id") + 500000L).as("id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      val counts = Dedup.minHashPairsAgainst(delta, base, threshold = 0.4)
+        .groupBy("delta_id").agg(count(lit(1)).as("n_base_dups"))
+        .withColumnRenamed("delta_id", "new_id")
+      delta.select(col("id").as("new_id"))
+        .join(counts, Seq("new_id"), "left")
+        .select(col("new_id"),
+          coalesce(col("n_base_dups"), lit(0L)).as("n_base_dups"))
+        .withColumn("status",
+          when(col("n_base_dups") > 0, "dropped").otherwise("kept"))
+        .orderBy("new_id")
+    },
+    Some(s"""WITH basedocs AS MATERIALIZED (
+      | SELECT doc_id AS id, text FROM documents
+      | WHERE doc_id <= (SELECT max(doc_id) FROM
+      |   (SELECT doc_id FROM documents ORDER BY doc_id
+      |    LIMIT $MinhashOracleCap))),
+      |delta AS MATERIALIZED (
+      | SELECT id + 400000 AS new_id, text || ' inc42' AS text
+      | FROM basedocs WHERE id % 7 = 0
+      | UNION ALL
+      | SELECT id + 500000 AS new_id,
+      |   array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+      | FROM basedocs WHERE id % 7 = 3),
+      |shb AS MATERIALIZED (
+      | SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+      |     i -> array_to_string(w[i:i+2], ' '))) AS s
+      | FROM (SELECT id, string_split(text, ' ') AS w FROM basedocs)
+      | WHERE len(w) >= 3),
+      |shd AS MATERIALIZED (
+      | SELECT new_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |     i -> array_to_string(w[i:i+2], ' '))) AS s
+      | FROM (SELECT new_id, string_split(text, ' ') AS w FROM delta)
+      | WHERE len(w) >= 3),
+      |cnt AS (
+      | SELECT d.new_id, count(*) AS n FROM shd d JOIN shb b
+      |   ON 1.0 - (CAST(len(list_intersect(d.s, b.s)) AS DOUBLE) /
+      |             len(list_distinct(list_concat(d.s, b.s)))) <= 0.4
+      | GROUP BY d.new_id)
+      |SELECT new_id, CAST(coalesce(n, 0) AS BIGINT) AS n_base_dups,
+      | CASE WHEN coalesce(n, 0) > 0 THEN 'dropped' ELSE 'kept' END AS status
+      |FROM delta LEFT JOIN cnt USING (new_id)
+      |ORDER BY new_id""".stripMargin))
 
   /** SimHash near-dup detection, RECALL-PROOF on the provable slice.
     * The planted variants REVERSE the word order: different text (a
@@ -3996,8 +4074,113 @@ object QueriesPipeline {
       |SELECT change, CAST(count(*) AS BIGINT) AS n FROM j
       |GROUP BY change ORDER BY change""".stripMargin))
 
+  /** Data-quality constraint verification (Deequ-style, Schelter et
+    * al. VLDB'18) — the pre-training gate a 100 TB ingest runs before
+    * a corpus snapshot is blessed: declarative constraints evaluated
+    * in ONE pass each over the fact table, reported as a (check_name,
+    * violations, ok) ledger. Constraint classes covered: completeness
+    * (NULL census), set membership, non-negativity, two range checks,
+    * composite-key uniqueness, and referential integrity against a
+    * second table. The quantity range is deliberately TIGHT (1..45
+    * against TPC-H's 1..50 domain) so the violations path is
+    * exercised with a nonzero count and an ok=false row — a checker
+    * whose fixture can only ever produce zeros proves nothing about
+    * its counting. NULL handling is explicit on every predicate (NULL
+    * counts as a violation), not left to three-valued logic.
+    *
+    * The composite-key check is itself a FOUND defect, not a plant:
+    * the synthetic generator does not honor TPC-H's
+    * (l_orderkey, l_linenumber) natural key (1401 excess rows at
+    * sf0.001 — discovered by this checker's own first run), so that
+    * row reports real dirt with ok=false while orders' o_orderkey
+    * primary key passes at zero — both uniqueness branches live.
+    *
+    * Scale shape: the five scan constraints fold into ONE partial
+    * aggregate (map-side combine → a 1-row exchange — adding a sixth
+    * constraint costs zero extra passes); each uniqueness check is
+    * one groupBy exchange on its candidate key with a count-excess
+    * partial agg on top; the FK check is a shuffle anti join whose
+    * 100 TB pre-prune
+    * is exactly [[graft.operators.Bloom]]'s scan-stage filter
+    * (j_bloom_prune) when the dimension is too big to broadcast. The
+    * three 1-row metric frames recombine via broadcast nested-loop
+    * cross joins (1×1 rows — free), then explode into the ledger. */
+  val plDataQuality: Entry = Entry("pl_data_quality",
+    (s, d) => {
+      val li = tbl(s, d, "lineitem")
+      def v(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val scan = li.agg(
+        v(col("l_shipdate").isNull).as("c_ship"),
+        v(col("l_returnflag").isNull ||
+          !col("l_returnflag").isin("A", "N", "R")).as("c_flag"),
+        v(col("l_extendedprice").isNull ||
+          col("l_extendedprice") < 0).as("c_price"),
+        v(col("l_quantity").isNull ||
+          !col("l_quantity").between(1, 45)).as("c_qty"),
+        v(col("l_discount").isNull ||
+          !col("l_discount").between(0, 1)).as("c_disc"))
+      def excess(df: DataFrame, keys: Seq[String], as: String) =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(when(col("n") > 1, col("n") - 1)), lit(0L)).as(as))
+      val uniq = excess(li, Seq("l_orderkey", "l_linenumber"), "c_uniq")
+      val ord = tbl(s, d, "orders").select(col("o_orderkey"))
+      val uniqOrd = excess(ord, Seq("o_orderkey"), "c_uniq_ord")
+      val fk = li.select(col("l_orderkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("c_fk"))
+      def row(name: String, c: Column) =
+        struct(lit(name).as("check_name"), c.as("violations"))
+      scan.crossJoin(uniq).crossJoin(uniqOrd).crossJoin(fk)
+        .select(explode(array(
+          row("completeness_shipdate", col("c_ship")),
+          row("fk_orderkey_in_orders", col("c_fk")),
+          row("membership_returnflag", col("c_flag")),
+          row("nonneg_extendedprice", col("c_price")),
+          row("range_discount_0_1", col("c_disc")),
+          row("range_quantity_1_45", col("c_qty")),
+          row("unique_orderkey_linenumber", col("c_uniq")),
+          row("unique_orders_orderkey", col("c_uniq_ord")))).as("r"))
+        .select(col("r.check_name").as("check_name"),
+          col("r.violations").as("violations"),
+          (col("r.violations") === 0L).as("ok"))
+        .orderBy("check_name")
+    },
+    Some("""WITH scan AS (SELECT
+      |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS c_ship,
+      |  sum(CASE WHEN l_returnflag IS NULL
+      |        OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS c_flag,
+      |  sum(CASE WHEN l_extendedprice IS NULL
+      |        OR l_extendedprice < 0 THEN 1 ELSE 0 END) AS c_price,
+      |  sum(CASE WHEN l_quantity IS NULL
+      |        OR l_quantity NOT BETWEEN 1 AND 45 THEN 1 ELSE 0 END) AS c_qty,
+      |  sum(CASE WHEN l_discount IS NULL
+      |        OR l_discount NOT BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS c_disc
+      | FROM lineitem),
+      |uniq AS (SELECT coalesce(sum(n - 1), 0) AS c_uniq FROM (
+      |   SELECT count(*) AS n FROM lineitem
+      |   GROUP BY l_orderkey, l_linenumber) g WHERE n > 1),
+      |uniqord AS (SELECT coalesce(sum(n - 1), 0) AS c_uniq_ord FROM (
+      |   SELECT count(*) AS n FROM orders GROUP BY o_orderkey) g
+      | WHERE n > 1),
+      |fk AS (SELECT count(*) AS c_fk FROM lineitem l
+      | WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |   WHERE o.o_orderkey = l.l_orderkey)),
+      |ledger AS (
+      | SELECT 'completeness_shipdate' AS check_name, c_ship AS violations FROM scan
+      | UNION ALL SELECT 'fk_orderkey_in_orders', c_fk FROM fk
+      | UNION ALL SELECT 'membership_returnflag', c_flag FROM scan
+      | UNION ALL SELECT 'nonneg_extendedprice', c_price FROM scan
+      | UNION ALL SELECT 'range_discount_0_1', c_disc FROM scan
+      | UNION ALL SELECT 'range_quantity_1_45', c_qty FROM scan
+      | UNION ALL SELECT 'unique_orderkey_linenumber', c_uniq FROM uniq
+      | UNION ALL SELECT 'unique_orders_orderkey', c_uniq_ord FROM uniqord)
+      |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+      | violations = 0 AS ok
+      |FROM ledger ORDER BY check_name""".stripMargin))
+
   val all: Seq[Entry] = Seq(
     ddExact, ddNgramJaccard, ddContainment, ddMinhash, ddMinhashRecall,
+    ddIncrementalMinhash,
     ddSimhash, ddComponents,
     txEntropy,
     txStats, txLangid, txTokens, txRepetition, txFingerprint, txTfidf,
@@ -4013,6 +4196,7 @@ object QueriesPipeline {
     plScoreCalibration,
     plSoftDedup, plDsir, plWeightedSample, plStratifiedSample,
     plUrlCanonical, plHostDedup, plIncrementalIngest, plCorpusDiff,
+    plDataQuality,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simAnnRecall,
     simKmeans, simKmeansLloyd,
     simNearDup, plSemDedup, plSemDedupTrained, simRrfFusion,

@@ -168,6 +168,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_dist")
   }
 
+  /** Asymmetric MinHash+LSH probe of a DELTA corpus against a BASE
+    * corpus — the incremental-ingest shape: the base side's band
+    * signatures are a precomputable, persistable INDEX (at 100 TB the
+    * accumulated corpus signs once and stores (band, sig, id) —
+    * ~48 bytes/doc — not on every increment), the delta side signs
+    * only the new arrivals, and the bucket equi-join generates
+    * delta×base candidates ONLY: no base-base pair is ever formed, so
+    * re-deduping yesterday's corpus against itself — the quadratic
+    * rework a symmetric [[minHashPairs]] over base ∪ delta would do —
+    * never happens. Candidate verification joins texts back for the
+    * (few) candidates exactly as in the symmetric operator. Both
+    * inputs need columns (id: long, text: string); returns
+    * (delta_id, base_id, jaccard_dist ≤ threshold). */
+  def minHashPairsAgainst(delta: DataFrame, base: DataFrame,
+      threshold: Double, bands: Int = 6, rowsPerBand: Int = 3): DataFrame = {
+    def sigs(df: DataFrame, idAs: String) = df.select(col("id").as(idAs),
+      explode(bandKeysUdf(col("text"), lit(bands), lit(rowsPerBand))).as("bk"))
+    val candidates = sigs(delta, "delta_id").join(sigs(base, "base_id"), "bk")
+      .select("delta_id", "base_id")
+      .dropDuplicates("delta_id", "base_id") // a pair can collide in >1 band
+    candidates
+      .join(delta.select(col("id").as("delta_id"), col("text").as("text_d")), "delta_id")
+      .join(base.select(col("id").as("base_id"), col("text").as("text_b")), "base_id")
+      .withColumn("jaccard_dist",
+        lit(1.0) - jaccardTextUdf(col("text_d"), col("text_b")))
+      .where(col("jaccard_dist") <= threshold)
+      .select("delta_id", "base_id", "jaccard_dist")
+  }
+
   /** Exact 3-shingle Jaccard of two raw texts (tight-loop twin of
     * [[jaccard3]]; same integer set sizes → bit-identical quotient).
     * Used on LSH candidate pairs and wherever the Column-HOF version's

@@ -133,6 +133,53 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().toSet shouldBe Set((1L, 2L, 2L, 3L))
   }
 
+  test("minHashPairsAgainst: delta×base only — no base-base, no delta-delta pairs") {
+    val base = (0L until 30L).map(i =>
+      (i, s"tok$i alpha beta gamma delta epsilon zeta eta theta iota word$i"))
+    // ids 7/8 are near-identical INSIDE the base: a symmetric dedup
+    // would pair them; the asymmetric probe must not re-dedup the base
+    val baseDf = (base :+ (7L, base(8)._2 + " extra")).filterNot(_._1 == 7L)
+      .:+((7L, base(8)._2 + " extra")).toDF("id", "text")
+    // delta: 100 = near-dup of base 5; 101/102 = identical to each
+    // other (a delta-delta pair a symmetric op would emit) but alien
+    // to every base doc
+    val deltaDf = Seq(
+      (100L, base(5)._2 + " extra"),
+      (101L, "omega psi chi phi upsilon tau sigma rho pi omicron"),
+      (102L, "omega psi chi phi upsilon tau sigma rho pi omicron"))
+      .toDF("id", "text")
+    val pairs = Dedup.minHashPairsAgainst(deltaDf, baseDf, threshold = 0.5)
+    pairs.queryExecution.executedPlan.toString should not include "CartesianProduct"
+    val got = pairs.select("delta_id", "base_id").as[(Long, Long)].collect().toSet
+    got should contain((100L, 5L))
+    all(got.map(_._1)) should be >= 100L // every pair probes delta→base
+    all(got.map(_._2)) should be < 100L // never base-base or delta-delta
+    got.map(_._1) should not contain 101L // alien delta docs match nothing
+  }
+
+  test("pl_data_quality: ledger semantics — ok ≡ zero violations, tight range trips") {
+    // The entry's value rests on the fixture exercising BOTH branches:
+    // the deliberately-tight quantity range (1..45 vs TPC-H's 1..50)
+    // trips nonzero, and lineitem's composite key is GENUINELY dirty
+    // in the synthetic fixture (the checker's own first run found it),
+    // while the structurally-sound constraints sit at exactly zero.
+    // ok must equal violations==0 row-by-row (a checker that
+    // green-lights a nonzero count is worse than none).
+    val rows = QueriesPipeline.plDataQuality.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[String]("check_name"),
+        r.getAs[Long]("violations"), r.getAs[Boolean]("ok")))
+    rows.length shouldBe 8
+    rows.foreach { case (name, v, ok) =>
+      withClue(name) { ok shouldBe (v == 0L) }
+    }
+    val byName = rows.map(r => r._1 -> r._2).toMap
+    byName("range_quantity_1_45") should be > 0L
+    byName("unique_orderkey_linenumber") should be > 0L // found fixture dirt
+    byName("unique_orders_orderkey") shouldBe 0L // the clean PK branch
+    byName("fk_orderkey_in_orders") shouldBe 0L
+    byName("completeness_shipdate") shouldBe 0L
+  }
+
   test("minhash recall audit: exact miss census pinned (the banding loss is deterministic)") {
     // dd_minhash_recall_audit's entry gate is a >=0.93 floor; the
     // EXACT caught/truth counts live here (the QualityClassifierSpec
