@@ -332,20 +332,30 @@ object QueriesPipeline {
     * keep/drop ledger, but under the near-dup relation.
     *
     * The increment plants both outcomes: doc_id % 7 == 0 base docs
-    * re-arrive with one appended token (' inc42' — the identical
-    * similarity profile as dd_minhash_lsh's proven ' qq17' plants,
-    * pair Jaccard dist ≤ 0.19 on all three shipped corpora, measured)
-    * → dropped; doc_id % 7 == 3 docs re-arrive TOKEN-REVERSED — same
-    * word bag, near-zero 3-shingle overlap (min pair dist 0.92
-    * measured, and the 0.4–0.55 marginal band is EMPTY at every
-    * shipped SF, so banding recall is never probed in its lossy
-    * region) → kept. A doc the near-dup check keeps but SimHash would
-    * drop (reversal preserves the token bag) is exactly the semantic
-    * difference dd_simhash documents. Oracle recomputes the per-delta
-    * ledger by exact all-pairs Jaccard over the capped base (the
-    * minhashLshOracle contract; MATERIALIZED CTEs per the sf10
-    * adjudication). Base corpus and cap are [[minhashBaseDocs]]'s, so
-    * rehearsal SFs head-sample back to the audited sf0.1 corpus. */
+    * re-arrive with one appended token (' inc42' — the
+    * dd_minhash_lsh plant profile; every truth pair sits at Jaccard
+    * dist ≤ 0.19 on all three shipped corpora, measured, with the
+    * 0.19–0.55 band EMPTY) → dropped; doc_id % 7 == 3 docs re-arrive
+    * TOKEN-REVERSED — same word bag, near-zero 3-shingle overlap (min
+    * pair dist 0.875 measured) → kept. A doc the near-dup check keeps
+    * but SimHash would drop (reversal preserves the token bag) is
+    * exactly the semantic difference dd_simhash documents.
+    *
+    * Banding is RECALL-SIZED at (b=9, r=2), not minHashPairs' default
+    * (6, 3) — the incremental-ingest trade: r=2 softens the
+    * candidate threshold (more false candidates, all killed by the
+    * exact verify) in exchange for per-pair miss ≤ (1−s²)⁹ ≈ 1.4e-7
+    * at the corpus's minimum truth similarity s = 0.9 — the default's
+    * 2.4e-4 actually LOST one short-doc pair (12 words, s 0.909) at
+    * sf0.1 under the fixed hash family. Over-generating candidates is
+    * the right side of the trade here precisely because the delta is
+    * small relative to the indexed base: candidate volume scales with
+    * the increment, while a silent drop poisons the corpus forever.
+    * Oracle recomputes the per-delta ledger by exact all-pairs
+    * Jaccard over the capped base (the minhashLshOracle contract;
+    * MATERIALIZED CTEs per the sf10 adjudication). Base corpus and
+    * cap are [[minhashBaseDocs]]'s, so rehearsal SFs head-sample back
+    * to the audited sf0.1 corpus. */
   val ddIncrementalMinhash: Entry = Entry("dd_incremental_minhash",
     (s, d) => {
       val base = minhashBaseDocs(s, d)
@@ -355,7 +365,8 @@ object QueriesPipeline {
         .unionByName(base.where(col("id") % 7 === 3)
           .select((col("id") + 500000L).as("id"),
             concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
-      val counts = Dedup.minHashPairsAgainst(delta, base, threshold = 0.4)
+      val counts = Dedup.minHashPairsAgainst(delta, base, threshold = 0.4,
+          bands = 9, rowsPerBand = 2)
         .groupBy("delta_id").agg(count(lit(1)).as("n_base_dups"))
         .withColumnRenamed("delta_id", "new_id")
       delta.select(col("id").as("new_id"))
@@ -1043,12 +1054,15 @@ object QueriesPipeline {
     * baseline; plan = scan + broadcast probe + TakeOrderedAndProject). */
   val simTopk: Entry = Entry("sim_topk",
     (s, d) => Similarity.bruteTopK(emb(s, d), probeId = 0, k = 10),
+    // list_cosine_similarity, not the lambda-chain spelling (the r16
+    // ADVICE audit, done proactively): ~40× per row, and the rounded
+    // values are IDENTICAL — the only bitwise divergence on any
+    // shipped corpus is the self-pair (lambda 1+2ulp vs native 1.0),
+    // absorbed by round(,6) before any ordering or compare.
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       | p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
       | c AS (SELECT vec_id,
-      |   round(list_sum(list_transform(list_zip(v, pv), s -> s[1] * s[2])) /
-      |     (sqrt(list_sum(list_transform(v, x -> x * x))) *
-      |      sqrt(list_sum(list_transform(pv, x -> x * x)))), 6) AS cos
+      |   round(list_cosine_similarity(v, pv), 6) AS cos
       |   FROM e, p)
       |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin))
 
@@ -1634,9 +1648,7 @@ object QueriesPipeline {
       | FROM embeddings),
       |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
       |vc AS (SELECT vec_id AS id,
-      |  round(list_sum(list_transform(list_zip(v, pv), s -> s[1] * s[2])) /
-      |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
-      |     sqrt(list_sum(list_transform(pv, x -> x * x)))), 6) AS cs
+      |  round(list_cosine_similarity(v, pv), 6) AS cs
       | FROM e, p),
       |vt AS (SELECT id, cs FROM vc ORDER BY cs DESC, id LIMIT 100),
       |vr AS (SELECT id, CAST(row_number() OVER (ORDER BY cs DESC, id)
@@ -2743,7 +2755,11 @@ object QueriesPipeline {
     * (vec_id, rounded-cos) pairs for the per-vector max — payloads
     * never shuffle. Determinism: per-pair cosine folds the arrays in
     * index order in BOTH engines, is rounded to 6 dp BEFORE max and
-    * threshold, so the compare operates on identical doubles. */
+    * threshold, so the compare operates on identical doubles. The
+    * oracle cosine is DuckDB's native list_cosine_similarity (the r16
+    * lambda-tax audit; bitwise-equal to the lambda spelling on every
+    * non-self pair of every shipped corpus, and the self-pair 2-ulp
+    * clamp difference is absorbed by the 6-dp round). */
   val plDeconSemantic: Entry = Entry("pl_decon_semantic",
     (s, d) => {
       val base = emb(s, d).select(col("vec_id"),
@@ -2773,9 +2789,7 @@ object QueriesPipeline {
       |corpus AS (SELECT vec_id, v FROM base WHERE vec_id % 50 <> 0
       |  UNION ALL SELECT vec_id, v FROM planted),
       |pairs AS (SELECT c.vec_id,
-      |  round(list_sum(list_transform(list_zip(c.v, e.ev), s -> s[1] * s[2])) /
-      |    (sqrt(list_sum(list_transform(c.v, x -> x * x))) *
-      |     sqrt(list_sum(list_transform(e.ev, x -> x * x)))), 6) AS cos
+      |  round(list_cosine_similarity(c.v, e.ev), 6) AS cos
       | FROM corpus c, ev e)
       |SELECT vec_id, max(cos) AS max_cos,
       |  CAST(sum(CASE WHEN cos >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits

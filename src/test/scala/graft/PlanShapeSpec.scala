@@ -844,6 +844,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dd_incremental_minhash: banded equi-join probe; text stays out of the bucket exchange") {
+    val p = staticPlan(QueriesPipeline.ddIncrementalMinhash.fn(spark, sf))
+    withClue(p) {
+      // delta×base candidates come from the (band, sig) equi-join —
+      // an all-pairs fallback is a red plan at any scale
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoop"
+      // the bucket join ships (id, band-key) rows only; text joins
+      // back just for the verified candidates (the minHashPairs
+      // contract) — a bk-keyed exchange carrying text means payloads
+      // went to the buckets
+      p.linesIterator.filter(_.contains("hashpartitioning(bk")).foreach(l =>
+        l should not include "text")
+    }
+  }
+
+  test("pl_data_quality: one scan-constraint agg, per-key uniqueness exchanges, 1-row recombines") {
+    val p = staticPlan(QueriesPipeline.plDataQuality.fn(spark, sf))
+    withClue(p) {
+      // the ledger recombines three 1-row aggregates; the join of
+      // 1-row frames must be nested-loop-on-single-rows (free), never
+      // a hash exchange of the fact table
+      hashEx(p) should be <= 3 // li composite key, orders PK, FK anti join
+      // the five scan constraints fold into ONE aggregate over ONE
+      // lineitem scan — one extra pass per constraint is the shape
+      // this entry exists to avoid
+      val scans = p.linesIterator.count(l =>
+        l.contains("Scan parquet") && l.contains("lineitem"))
+      scans should be <= 3 // scan-agg + uniqueness + FK probe side
+    }
+  }
+
   test("media near-dup entries: banded equi-joins, never all-pairs; scans read doc_id only") {
     val dir = "target/tmp/spec_planshape_mmdd"
     (0 until 30).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
