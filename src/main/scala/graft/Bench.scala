@@ -177,7 +177,7 @@ object Bench {
       }
       val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
       val unitText = frag.fold(text)(entrySlice(text, _))
-      md.update((u + " " + stripScala(unitText) + " ")
+      md.update((u + "\u0000" + stripScala(unitText) + "\u0000")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     md.digest().map("%02x".format(_)).mkString
