@@ -1586,6 +1586,71 @@ object QueriesPipeline {
       |FROM m LEFT JOIN rm ON m.vec_id = rm.vec_id
       |ORDER BY m.vec_id""".stripMargin))
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * data-prep step): for each probe in a bounded suite, the k
+    * highest-cosine corpus vectors BELOW the positive/near-dup cut —
+    * the "hardest" negatives, the pairs that actually move a
+    * contrastive loss. The ≥ 0.99 exclusion is exercised, not
+    * decorative: planted positives (probe + j·0.0005 per component,
+    * cos ≥ 0.999968 measured, vs a 0.45 natural maximum — a huge
+    * two-sided margin around the cut) sit IN the mined corpus and
+    * would occupy every top slot if the filter broke. Probe suite is
+    * head-bounded (vec_id % 100 == 0 AND < 2000), so rehearsal SFs
+    * keep the suite fixed while the corpus grows — the realistic
+    * shape (you mine a training batch's worth of anchors, not the
+    * whole corpus).
+    *
+    * Scale shape: probes broadcast (bounded suite); cosine is the
+    * native codegen `cosine_sim` map-side over ONE corpus scan;
+    * the per-probe top-k runs through the CUSTOM
+    * [[graft.plans.TopKPerGroup]] node — per-key bounded heaps during
+    * the shuffled scan, O(n log k), no Window sort, no spill — and the
+    * exchange carries (probe_id, vec_id, rounded-cos) triples, never
+    * vectors. At 100 TB the corpus side would be pre-pruned by the
+    * IVF cell routing of sim_ann_ivf (mine within the probe's nearest
+    * cells) — the composition documented there; the operator here is
+    * the exact-mining tier that runs inside each cell. Determinism:
+    * cosine rounded to 6 dp BEFORE the threshold and the heap order,
+    * tie-broken by vec_id — one total order, engine-stable. */
+  val simHardNegatives: Entry = Entry("sim_hard_negatives",
+    (s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        graft.functions.ArrayOps.asDouble(col("embedding")).as("v"))
+      val probes = base.where(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val planted = probes.select(
+          explode(sequence(lit(1L), lit(2L))).as("j"), col("probe_id"), col("pv"))
+        .select((lit(700000L) + col("probe_id") * 10 + col("j")).as("vec_id"),
+          transform(col("pv"), x => x + col("j") * lit(0.0005)).as("v"))
+      val corpus = base.unionByName(planted)
+      val pairs = corpus.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(call_function("cosine_sim", col("v"), col("pv")), 6).as("cos"))
+        .where(col("cos") < 0.99)
+      graft.plans.TopKPerGroup(pairs, keyCols = Seq("probe_id"),
+          ordCol = "cos", descending = true, tieCol = "vec_id", k = 3)
+        .orderBy(col("probe_id"), col("cos").desc, col("vec_id"))
+    },
+    Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |pr AS (SELECT vec_id AS probe_id, v AS pv FROM base
+      | WHERE vec_id % 100 = 0 AND vec_id < 2000),
+      |planted AS (SELECT 700000 + p.probe_id * 10 + t.j AS vec_id,
+      |  list_transform(p.pv, x -> x + t.j * 0.0005) AS v
+      | FROM pr p, range(1, 3) t(j)),
+      |corpus AS (SELECT vec_id, v FROM base
+      |  UNION ALL SELECT vec_id, v FROM planted),
+      |pairs AS (SELECT p.probe_id, c.vec_id,
+      |   round(list_cosine_similarity(c.v, p.pv), 6) AS cos
+      | FROM corpus c, pr p WHERE c.vec_id <> p.probe_id),
+      |neg AS (SELECT probe_id, vec_id, cos,
+      |   row_number() OVER (PARTITION BY probe_id
+      |     ORDER BY cos DESC, vec_id) AS rn
+      | FROM pairs WHERE cos < 0.99)
+      |SELECT probe_id, vec_id, cos FROM neg WHERE rn <= 3
+      |ORDER BY probe_id, cos DESC, vec_id""".stripMargin))
+
   /** Hybrid-retrieval fusion via Reciprocal Rank Fusion (Cormack,
     * Clarke & Buettcher, SIGIR 2009): fuse a VECTOR arm (cosine top-k
     * against probe vec 0 — the [[Similarity.bruteTopK]] shape) with a
@@ -4214,6 +4279,7 @@ object QueriesPipeline {
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simAnnRecall,
     simKmeans, simKmeansLloyd,
     simNearDup, plSemDedup, plSemDedupTrained, simRrfFusion,
+    simHardNegatives,
     mmDecode, mmResize, mmWav, mmVideoFrames, mmNearDup, mmVideoNearDup,
     mmAudioNearDup)
 }

@@ -876,6 +876,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim_hard_negatives: broadcast probes, heap top-k (no Window), one group exchange") {
+    val p = staticPlan(QueriesPipeline.simHardNegatives.fn(spark, sf))
+    withClue(p) {
+      // the bounded probe suite broadcasts; the corpus never shuffles
+      // vectors — the only hash exchange carries (probe_id, vec_id,
+      // rounded-cos) triples into the per-key bounded heaps
+      p should include ("TopKPerGroup")
+      p should not include "Window" // the sort-everything spelling
+      p should include ("BroadcastNestedLoopJoin")
+      hashEx(p) shouldBe 1
+    }
+  }
+
   test("media near-dup entries: banded equi-joins, never all-pairs; scans read doc_id only") {
     val dir = "target/tmp/spec_planshape_mmdd"
     (0 until 30).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
