@@ -4153,6 +4153,73 @@ object QueriesPipeline {
       |SELECT change, CAST(count(*) AS BIGINT) AS n FROM j
       |GROUP BY change ORDER BY change""".stripMargin))
 
+  /** Corpus distribution-shift report — the dataset-card sibling of
+    * [[plCorpusDiff]] (SAME v1/v2 derivation, so the release-audit
+    * family reads one corpus story): per length-bucket document
+    * shares of both versions and their shift, the table a data card
+    * publishes to show a release didn't silently change the length
+    * profile (the PSI input, before any ln() — shares are exact
+    * integer ppm via BIGINT div, so the report is bitwise
+    * cross-engine and drift math downstream can be replayed from it).
+    * The %17 ' rev2' edits add one token and genuinely shift
+    * boundary docs across buckets; the %13 removals and %10==9
+    * additions move mass — all three shift sources are live in the
+    * fixture.
+    *
+    * Scale shape: tag-union → ONE groupBy(bucket) exchange with
+    * map-side combine (the 16-bucket frame is the only thing past the
+    * scan); totals re-aggregate the 16-row frame and broadcast back —
+    * text never shuffles, and a length histogram over 100 TB is
+    * exactly this plan with bigger scans. */
+  val plCorpusDrift: Entry = Entry("pl_corpus_drift",
+    (s, d) => {
+      val v1 = docs(s, d).where(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id"), col("text"))
+      val v2 = v1.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs(s, d).where(col("doc_id") % 10 === 9)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      def bucketed(df: DataFrame, tag: Int) = df.select(
+        least(floor(size(split(col("text"), " ")) / 16), lit(15L))
+          .cast("long").as("bucket"), lit(tag).as("tag"))
+      val hist = bucketed(v1, 1).unionByName(bucketed(v2, 2))
+        .groupBy("bucket").agg(
+          sum(when(col("tag") === 1, 1L).otherwise(0L)).as("n_v1"),
+          sum(when(col("tag") === 2, 1L).otherwise(0L)).as("n_v2"))
+      val totals = hist.agg(sum("n_v1").as("t1"), sum("n_v2").as("t2"))
+      hist.crossJoin(broadcast(totals))
+        .select(col("bucket"), col("n_v1"), col("n_v2"),
+          expr("n_v1 * 1000000 div t1").as("share_v1_ppm"),
+          expr("n_v2 * 1000000 div t2").as("share_v2_ppm"))
+        .withColumn("shift_ppm", col("share_v2_ppm") - col("share_v1_ppm"))
+        .orderBy("bucket")
+    },
+    Some("""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+      |v2 AS (SELECT doc_id,
+      |   CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM v1 WHERE doc_id % 13 <> 0
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 10 = 9),
+      |tagged AS (
+      | SELECT least(CAST(floor(len(string_split(text, ' ')) / 16) AS BIGINT),
+      |   15) AS bucket, 1 AS tag FROM v1
+      | UNION ALL
+      | SELECT least(CAST(floor(len(string_split(text, ' ')) / 16) AS BIGINT),
+      |   15) AS bucket, 2 AS tag FROM v2),
+      |hist AS (SELECT bucket,
+      |  CAST(sum(CASE WHEN tag = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+      |  CAST(sum(CASE WHEN tag = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2
+      | FROM tagged GROUP BY bucket),
+      |t AS (SELECT sum(n_v1) AS t1, sum(n_v2) AS t2 FROM hist)
+      |SELECT bucket, n_v1, n_v2,
+      | CAST(n_v1 * 1000000 // t1 AS BIGINT) AS share_v1_ppm,
+      | CAST(n_v2 * 1000000 // t2 AS BIGINT) AS share_v2_ppm,
+      | CAST(n_v2 * 1000000 // t2 - n_v1 * 1000000 // t1 AS BIGINT) AS shift_ppm
+      |FROM hist, t ORDER BY bucket""".stripMargin))
+
   /** Data-quality constraint verification (Deequ-style, Schelter et
     * al. VLDB'18) — the pre-training gate a 100 TB ingest runs before
     * a corpus snapshot is blessed: declarative constraints evaluated
@@ -4275,7 +4342,7 @@ object QueriesPipeline {
     plScoreCalibration,
     plSoftDedup, plDsir, plWeightedSample, plStratifiedSample,
     plUrlCanonical, plHostDedup, plIncrementalIngest, plCorpusDiff,
-    plDataQuality,
+    plDataQuality, plCorpusDrift,
     simTopk, simAnnLsh, simAnnIvf, simAnnPq, simAnnIvfPq, simAnnRecall,
     simKmeans, simKmeansLloyd,
     simNearDup, plSemDedup, plSemDedupTrained, simRrfFusion,
