@@ -2056,7 +2056,7 @@ object QueriesPipeline {
       |   (xor(t2, t2 // 32768) * 1597334677) % 2147483648 AS t4 FROM v1),
       |v3 AS (SELECT id, pert, w, nf, f, y, x, p,
       |   (xor(t4, t4 // 65536) // 512) % 256 AS vv FROM v2),
-      |vals AS (SELECT id, nf, f, y, x,
+      |vals AS MATERIALIZED (SELECT id, nf, f, y, x,
       |   CASE WHEN pert AND f = 0 AND p = ((3 * w) // 8) * w + ((4 * w) // 9)
       |        THEN (vv + 128) % 256 ELSE vv END AS val FROM v3),
       |bits AS (SELECT a.id, a.nf, a.f, a.y, a.x,
@@ -2064,11 +2064,11 @@ object QueriesPipeline {
       | FROM vals a JOIN vals n
       |   ON a.id = n.id AND a.f = n.f AND a.y = n.y AND n.x = a.x + 1
       | WHERE a.x < 8),
-      |ph AS (SELECT id, nf, f, CAST(sum(CASE WHEN bit = 1 THEN
+      |ph AS MATERIALIZED (SELECT id, nf, f, CAST(sum(CASE WHEN bit = 1 THEN
       |   (CASE WHEN y * 8 + x = 63 THEN -9223372036854775808
       |         ELSE 1::BIGINT << (y * 8 + x) END) ELSE 0 END) AS BIGINT) AS ph
       | FROM bits GROUP BY id, nf, f),
-      |bands AS (SELECT id, nf, f, ph, t.b, (ph >> (b * 16)) & 65535 AS k
+      |bands AS MATERIALIZED (SELECT id, nf, f, ph, t.b, (ph >> (b * 16)) & 65535 AS k
       | FROM ph, range(0, 4) t(b)),
       |cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
       | FROM bands a JOIN bands c ON a.f = c.f AND a.b = c.b AND a.k = c.k
