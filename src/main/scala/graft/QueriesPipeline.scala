@@ -1974,7 +1974,7 @@ object QueriesPipeline {
       |   (xor(t2, t2 // 32768) * 1597334677) % 2147483648 AS t4 FROM v1),
       |v3 AS (SELECT id, pert, w, y, x, p,
       |   (xor(t4, t4 // 65536) // 512) % 256 AS vv FROM v2),
-      |vals AS (SELECT id, y, x,
+      |vals AS MATERIALIZED (SELECT id, y, x,
       |   CASE WHEN pert AND p = ((3 * w) // 8) * w + ((4 * w) // 9)
       |        THEN (vv + 128) % 256 ELSE vv END AS val FROM v3),
       |bits AS (SELECT a.id, a.y, a.x,
@@ -1986,7 +1986,7 @@ object QueriesPipeline {
       |   (CASE WHEN y * 8 + x = 63 THEN -9223372036854775808
       |         ELSE 1::BIGINT << (y * 8 + x) END) ELSE 0 END) AS BIGINT) AS ph
       | FROM bits GROUP BY id),
-      |bands AS (SELECT id, ph, t.b, (ph >> (b * 16)) & 65535 AS k
+      |bands AS MATERIALIZED (SELECT id, ph, t.b, (ph >> (b * 16)) & 65535 AS k
       | FROM ph, range(0, 4) t(b)),
       |cand AS (SELECT DISTINCT a.id AS id_a, a.ph AS pa, c.id AS id_b, c.ph AS pb
       | FROM bands a JOIN bands c ON a.b = c.b AND a.k = c.k AND a.id < c.id)
@@ -2133,7 +2133,7 @@ object QueriesPipeline {
       |   (xor(t4, t4 // 65536) // 512) % 256 - 128 AS s0 FROM v2),
       |vals AS (SELECT id, w,
       |   CASE WHEN pert AND w = 0 THEN s0 + 64 ELSE s0 END AS s FROM v3),
-      |en AS (SELECT id, w, CAST(sum(s * s) AS BIGINT) AS e
+      |en AS MATERIALIZED (SELECT id, w, CAST(sum(s * s) AS BIGINT) AS e
       | FROM vals GROUP BY 1, 2),
       |bits AS (SELECT a.id, a.w AS x,
       |   CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
@@ -2143,7 +2143,7 @@ object QueriesPipeline {
       |   (CASE WHEN x = 63 THEN -9223372036854775808
       |         ELSE 1::BIGINT << x END) ELSE 0 END) AS BIGINT) AS ph
       | FROM bits GROUP BY id),
-      |bands AS (SELECT id, ph, t.b, (ph >> (b * 16)) & 65535 AS k
+      |bands AS MATERIALIZED (SELECT id, ph, t.b, (ph >> (b * 16)) & 65535 AS k
       | FROM ph, range(0, 4) t(b)),
       |cand AS (SELECT DISTINCT a.id AS id_a, a.ph AS pa, c.id AS id_b, c.ph AS pb
       | FROM bands a JOIN bands c ON a.b = c.b AND a.k = c.k AND a.id < c.id)
