@@ -180,6 +180,25 @@ class PipelineOpsSpec extends SparkSpec {
     byName("completeness_shipdate") shouldBe 0L
   }
 
+  test("pl_corpus_drift: ledger balances and every planted shift source is live") {
+    val rows = QueriesPipeline.plCorpusDrift.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_v1"),
+        r.getAs[Long]("n_v2"), r.getAs[Long]("shift_ppm")))
+    // shares are floor-ppm of the same totals the counts roll up to —
+    // the ledger must balance: Σn per side equals the version censuses
+    // pl_corpus_diff derives from the identical v1/v2 rules
+    val (t1, t2) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    t2 should not be t1 // removals (%13) vs additions (%10==9) differ
+    // the report is non-degenerate: mass moved in BOTH directions
+    // (a broken bucket key would park everything in one bucket,
+    // a broken v2 derivation would zero every shift)
+    rows.count(_._4 > 0) should be >= 1
+    rows.count(_._4 < 0) should be >= 1
+    // floor-ppm shares sum to ≤ 1e6 per side, within one ulp per bucket
+    val s1 = rows.map(r => r._2 * 1000000L / t1).sum
+    (1000000L - s1) should be < rows.length.toLong
+  }
+
   test("minhash recall audit: exact miss census pinned (the banding loss is deterministic)") {
     // dd_minhash_recall_audit's entry gate is a >=0.93 floor; the
     // EXACT caught/truth counts live here (the QualityClassifierSpec
