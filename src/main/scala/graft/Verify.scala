@@ -197,7 +197,11 @@ object Verify {
     // harness-teardown leak guard, promoted WARN → RED (r16, VERDICT
     // r15 #3): runs BEFORE the oracle map is written so a leak appends
     // its synthetic red row to the same compare the driver runs
-    val guardPairs = ckptLeakGuard(spark, outDir)
+    val guardPairs = ckptLeakGuard(spark, outDir) ++
+      // oracle-authoring lint, same promotion (r17, VERDICT r16 #2):
+      // a multiply-referenced CTE without AS MATERIALIZED turns the
+      // round red here instead of spilling at the next rehearsal rung
+      OracleLint.guard(spark, outDir)
     val json = (SparkEntry.oracleSql
       .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) ||
         new java.io.File(s"$outDir/$k/_SUCCESS").isFile || priorKeys(k) }
