@@ -2151,6 +2151,107 @@ object QueriesPipeline {
       |FROM cand WHERE bit_count(xor(pa, pb)) <= 6
       |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Incremental near-dup ingest for MEDIA — [[ddIncrementalMinhash]]'s
+    * perceptual-hash twin, closing the delta-vs-base matrix for the
+    * fingerprint modalities (VERDICT r16 #4): a new media increment is
+    * near-dup-checked against the ACCUMULATED corpus via
+    * [[Dedup.hammingBandPairsAgainst]] — band-keyed delta×base
+    * candidates only, the base's 4 band keys per fingerprint a
+    * precomputed stored index at 100 TB, per-increment cost ∝ the
+    * increment — then the keep/drop ledger per delta item.
+    *
+    * The increment plants both outcomes: doc_id % 7 == 0 media
+    * re-arrive PERTURBED (one sampled pixel +128 — the mm_near_dup
+    * plant: dHash flips ≤ 2 bits, so ≥ 2 of 4 bands are untouched and
+    * recall is GUARANTEED by Manku's pigeonhole, no banding-vs-
+    * threshold sizing argument needed) → dropped; doc_id % 9 == 0
+    * slots gain genuinely NEW media (a fresh pxMix seed, doc_id +
+    * 900000 — avalanched content, fingerprints near Hamming 32 from
+    * everything) → kept. The oracle replays the ENTIRE integer
+    * pipeline — pxMix content, 8×9 dHash grid, 64-bit pack, band
+    * keys, the delta×base bucket join, the Hamming verify — so even a
+    * chance band collision resolves identically in both engines;
+    * nothing is assumed about the fingerprint distribution.
+    *
+    * Scale shape: payload bytes never leave the scan stage (encode →
+    * decode → dHash in one scan-stage UDF chain per side); the
+    * exchange carries (id, int64) band rows; exact verify touches
+    * candidates only; no base-base pair is ever formed. */
+  val mmIncrementalNearDup: Entry = Entry("mm_incremental_near_dup",
+    (s, d) => {
+      val withW = docs(s, d).select(col("doc_id"),
+        (col("doc_id") % 8 + 16).cast("int").as("w"))
+      def hashed(src: Column, pert: Boolean) =
+        MultiModal.dHash64Udf(MultiModal.encodeBmpMixedUdf(
+          src, col("w"), col("w"), lit(pert))).as("ph")
+      val base = withW.select(col("doc_id").as("id"),
+        hashed(col("doc_id"), pert = false))
+      val delta = withW.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 400000).as("id"),
+          hashed(col("doc_id"), pert = true))
+        .unionByName(withW.where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 600000).as("id"),
+            hashed(col("doc_id") + 900000, pert = false)))
+      val counts = Dedup.hammingBandPairsAgainst(delta, base, maxHamming = 6)
+        .groupBy("delta_id").agg(count(lit(1)).as("n_base_dups"))
+        .withColumnRenamed("delta_id", "new_id")
+      delta.select(col("id").as("new_id"))
+        .join(counts, Seq("new_id"), "left")
+        .select(col("new_id"),
+          coalesce(col("n_base_dups"), lit(0L)).as("n_base_dups"))
+        .withColumn("status",
+          when(col("n_base_dups") > 0, "dropped").otherwise("kept"))
+        .orderBy("new_id")
+    },
+    Some("""WITH corpus AS MATERIALIZED (
+      | SELECT doc_id AS id, doc_id AS src, doc_id AS wsrc, FALSE AS pert,
+      |        0 AS side FROM documents
+      | UNION ALL
+      | SELECT doc_id + 400000, doc_id, doc_id, TRUE, 1 FROM documents
+      |  WHERE doc_id % 7 = 0
+      | UNION ALL
+      | SELECT doc_id + 600000, doc_id + 900000, doc_id, FALSE, 1 FROM documents
+      |  WHERE doc_id % 9 = 0),
+      |g AS (SELECT id, src, pert, side, CAST(16 + wsrc % 8 AS BIGINT) AS w
+      | FROM corpus),
+      |s AS (SELECT id, pert, side, w, t1.y, t2.x,
+      |   ((y * w) // 8) * w + ((x * w) // 9) AS p, src AS seed
+      | FROM g, range(0, 8) t1(y), range(0, 9) t2(x)),
+      |v0 AS (SELECT id, pert, side, w, y, x, p,
+      |   (seed * 7919 + p * 104729 + 12345) % 2097152 AS t1 FROM s),
+      |v1 AS (SELECT id, pert, side, w, y, x, p,
+      |   (t1 * 2654435761) % 2147483648 AS t2 FROM v0),
+      |v2 AS (SELECT id, pert, side, w, y, x, p,
+      |   (xor(t2, t2 // 32768) * 1597334677) % 2147483648 AS t4 FROM v1),
+      |v3 AS (SELECT id, pert, side, w, y, x, p,
+      |   (xor(t4, t4 // 65536) // 512) % 256 AS vv FROM v2),
+      |vals AS MATERIALIZED (SELECT id, side, y, x,
+      |   CASE WHEN pert AND p = ((3 * w) // 8) * w + ((4 * w) // 9)
+      |        THEN (vv + 128) % 256 ELSE vv END AS val FROM v3),
+      |bits AS (SELECT a.id, a.side, a.y, a.x,
+      |   CASE WHEN n.val > a.val THEN 1 ELSE 0 END AS bit
+      | FROM vals a JOIN vals n
+      |   ON a.id = n.id AND a.y = n.y AND n.x = a.x + 1
+      | WHERE a.x < 8),
+      |ph AS (SELECT id, side, CAST(sum(CASE WHEN bit = 1 THEN
+      |   (CASE WHEN y * 8 + x = 63 THEN -9223372036854775808
+      |         ELSE 1::BIGINT << (y * 8 + x) END) ELSE 0 END) AS BIGINT) AS ph
+      | FROM bits GROUP BY id, side),
+      |bands AS MATERIALIZED (SELECT id, side, ph, t.b,
+      |   (ph >> (b * 16)) & 65535 AS k
+      | FROM ph, range(0, 4) t(b)),
+      |cand AS (SELECT DISTINCT d.id AS new_id, b.id AS base_id,
+      |   d.ph AS pd, b.ph AS pb
+      | FROM bands d JOIN bands b ON d.b = b.b AND d.k = b.k
+      | WHERE d.side = 1 AND b.side = 0),
+      |cnt AS (SELECT new_id, count(*) AS n FROM cand
+      | WHERE bit_count(xor(pd, pb)) <= 6 GROUP BY new_id)
+      |SELECT c.id AS new_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_base_dups,
+      | CASE WHEN coalesce(cnt.n, 0) > 0 THEN 'dropped' ELSE 'kept' END AS status
+      |FROM corpus c LEFT JOIN cnt ON cnt.new_id = c.id
+      |WHERE c.side = 1
+      |ORDER BY new_id""".stripMargin))
+
   /** Eval-set decontamination (the GPT-3 appendix-C / Llama rule: drop
     * training docs sharing a long word n-gram with a benchmark). The
     * benchmark here is planted and provable: an 8-word excerpt (words
@@ -4348,5 +4449,5 @@ object QueriesPipeline {
     simNearDup, plSemDedup, plSemDedupTrained, simRrfFusion,
     simHardNegatives,
     mmDecode, mmResize, mmWav, mmVideoFrames, mmNearDup, mmVideoNearDup,
-    mmAudioNearDup)
+    mmAudioNearDup, mmIncrementalNearDup)
 }

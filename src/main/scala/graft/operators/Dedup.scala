@@ -78,7 +78,7 @@ object Dedup {
   /** Distinct word 3-shingles, tight-loop version for the hash
     * pipelines (same semantics as [[shingles3]], which stays a Column
     * expression for the oracle-checked Jaccard query). */
-  private def shingleSet(text: String): Array[String] = {
+  private[graft] def shingleSet(text: String): Array[String] = {
     // split with limit -1: Java's default drops trailing empty tokens,
     // but Spark SQL split and DuckDB string_split keep them — the
     // Column twin shingles3 and the dd_ngram_jaccard oracle would
@@ -275,6 +275,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
       .distinct() // a pair can match in >1 band
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Asymmetric banded Hamming probe of a DELTA fingerprint set
+    * against a BASE fingerprint index — [[minHashPairsAgainst]]'s
+    * media twin, closing the incremental-ingest matrix for the
+    * perceptual-hash modalities (image dHash, audio energy-envelope,
+    * per-frame video via pre-flattened (id, ph) rows): band keys on
+    * both sides, a (band, value) equi-join that forms delta×base
+    * candidates ONLY — the base is never re-probed against itself,
+    * and at 100 TB its 4 band keys per fingerprint are a precomputed
+    * stored index (~40 bytes/item) — then the exact Hamming verify on
+    * the candidates. Same recall contract as [[hammingBandPairs]]:
+    * complete for Hamming ≤ 3 by Manku's pigeonhole, best-effort at
+    * 4..maxHamming. Only ids + 8-byte fingerprints travel. Input
+    * columns both sides: (id: long, ph: long); returns (delta_id,
+    * base_id, hamming ≤ maxHamming). */
+  def hammingBandPairsAgainst(delta: DataFrame, base: DataFrame,
+      maxHamming: Int): DataFrame = {
+    def banded(df: DataFrame, idAs: String, phAs: String) =
+      df.select(col("id").as(idAs), col("ph").as(phAs),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), simHashBand(col("ph"), b).as("bv"))): _*)).as("bk"))
+    banded(delta, "delta_id", "ph_d").join(banded(base, "base_id", "ph_b"), "bk")
+      .select(col("delta_id"), col("base_id"),
+        bit_count(col("ph_d").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+      .distinct() // a pair can collide in >1 band
       .where(col("hamming") <= maxHamming)
   }
 
