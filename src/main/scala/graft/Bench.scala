@@ -208,6 +208,9 @@ object Bench {
       // analyzed plan) trip the default 25-field toString truncation
       // WARN; the plan text is debug-only either way
       .config("spark.sql.debug.maxToStringFields", "1000")
+      // memory-sink streaming entries serialize results to the driver;
+      // rehearsal SFs cross the 1g default (Verify.scala rationale)
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Verify.quietDeliberateWindowWarn()

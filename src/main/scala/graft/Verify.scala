@@ -116,6 +116,14 @@ object Verify {
       // analyzed plan) trip the default 25-field toString truncation
       // WARN; the plan text is debug-only either way
       .config("spark.sql.debug.maxToStringFields", "1000")
+      // streaming entries land in MEMORY sinks (the oracle needs the
+      // rows back), which serialize results to the driver — at the
+      // sf30 rehearsal st_stream_session_window's session table
+      // crossed the 1g default (1127 MiB / 30M events) and killed the
+      // query. Harness sizing, not an operator shape: production
+      // streams write distributed sinks; the gate's memory sink is
+      // how the rows reach DuckDB. Sized to the driver heap knob.
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     quietDeliberateWindowWarn()
