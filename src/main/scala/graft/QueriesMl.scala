@@ -244,13 +244,24 @@ object QueriesMl {
     * exactly linearly separable from count features when the token's
     * bucket is collision-free, so the model must recover it
     * decisively; split is id-hash (doc_id % 5 == 0 → test). */
-  private[graft] def qualityClassifierMetrics(s: SparkSession, d: String): DataFrame = {
+  /** The quality-classifier featurization: hashed token counts plus
+    * the planted deterministic label (≥ 2 'join' tokens). Shared by
+    * the batch entry and the streaming admission gate — the SAME
+    * columns a streaming scan can produce row-locally, so the trained
+    * scorer transfers across execution modes unchanged. */
+  private[graft] def qualityFeatures(docFrame: DataFrame): DataFrame =
+    docFrame.select(col("doc_id"),
+      expr("filter(split(coalesce(text, ''), ' '), t -> length(t) > 0)").as("toks"),
+      expr("CAST(CAST(size(filter(split(coalesce(text, ''), ' '), t -> t = 'join')) >= 2 AS INT) AS DOUBLE)").as("label"))
+
+  /** Train the in-engine quality scorer on the id-hash train split
+    * (doc_id % 5 ≠ 0) of a featurized frame — the fit half of
+    * [[qualityClassifierMetrics]], factored so st_stream_quality_gate
+    * can train-on-curated in batch and score-the-stream. */
+  private[graft] def qualityModel(frame: DataFrame): org.apache.spark.ml.PipelineModel = {
     import org.apache.spark.ml.Pipeline
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.HashingTF
-    val frame = tbl(s, d, "documents").select(col("doc_id"),
-      expr("filter(split(coalesce(text, ''), ' '), t -> length(t) > 0)").as("toks"),
-      expr("CAST(CAST(size(filter(split(coalesce(text, ''), ' '), t -> t = 'join')) >= 2 AS INT) AS DOUBLE)").as("label"))
     val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
       .setNumFeatures(1024)
     val lr = new LogisticRegression()
@@ -261,7 +272,12 @@ object QueriesMl {
     // sizes instead of 32 near-empty ones (the Model.crossValidate
     // sizing rule; at 100 TB the knob goes UP with the data)
     val train = frame.where(col("doc_id") % 5 =!= 0).coalesce(4)
-    val model = new Pipeline().setStages(Array(tf, lr)).fit(train)
+    new Pipeline().setStages(Array(tf, lr)).fit(train)
+  }
+
+  private[graft] def qualityClassifierMetrics(s: SparkSession, d: String): DataFrame = {
+    val frame = qualityFeatures(tbl(s, d, "documents"))
+    val model = qualityModel(frame)
     val scored = Model.prob1(model.transform(frame))
       .select(col("doc_id"), col("label"), col("pred"))
     val spine = scored.agg(

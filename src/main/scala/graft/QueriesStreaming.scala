@@ -1103,6 +1103,85 @@ object QueriesStreaming {
       |LEFT JOIN nd ON nd.id = c.id
       |ORDER BY c.id""".stripMargin))
 
+  /** TRAIN-ON-CURATED, SCORE-THE-STREAM (VERDICT r16 #6): the
+    * [[QueriesMl.qualityModel]] scorer (the pl_quality_classifier fit,
+    * trained in BATCH on the id-hash train split) applied INSIDE a
+    * streaming ingest plan — featurization and model scoring run
+    * row-locally in the scan stage of every REAL micro-batch (the
+    * st_stream_mm_dedup pattern with an MLlib model in place of the
+    * codec chain), with cross-batch ADMISSION state: `dropDuplicates`
+    * on doc_id refuses batch-1 re-submissions of batch-0 documents
+    * before they are ever re-scored. This is the production ingest
+    * loop the fastText-curation papers describe — retrain offline,
+    * push the model into the stream, dedup the feed in front of it.
+    *
+    * Gate-literal (the mlCvLogloss pattern): the hashed row is the
+    * deterministic spine — n_unique (post-state census = the document
+    * count: doc_id is the PK, so first-wins needs no arrival-order
+    * modeling) and n_dup_dropped (the staged re-submission slice) —
+    * plus admit_gate_ok asserted literally TRUE: the stream-side
+    * predictions must agree with the planted label on > 90% of
+    * admitted-or-rejected docs (measured 1.0 — exact linear
+    * separability, 4× margin over the gate) AND genuinely split the
+    * corpus (0 < n_admitted < n_unique; the label is ~51% positive).
+    * A model that degrades in transit to the streaming plan, a lost
+    * micro-batch, or broken admission state flips a gate or the
+    * census. The in-query require pins ≥ 2 data micro-batches.
+    * Scale shape: scoring is a scan-stage map (broadcast coefficient
+    * vector); state is 8 bytes per admitted id; the gate agg is a
+    * 1-row reduction. */
+  val stStreamQualityGate: Entry = Entry("st_stream_quality_gate",
+    (outer, d) => {
+      val s = sizedStreamSession(outer, 2)
+      val model = QueriesMl.qualityModel(
+        QueriesMl.qualityFeatures(tbl(outer, d, "documents")))
+      val stage = stageBatchFiles("stream_qgate", d,
+        "v1_" + Tables.dataVer(d, "documents"), {
+          val docs = tbl(outer, d, "documents").select(col("doc_id"), col("text"))
+          Seq(
+            "b0" -> docs.where(col("doc_id") % 2 === 0),
+            "b1" -> docs.where(col("doc_id") % 2 =!= 0)
+              .unionByName(docs.where(col("doc_id") % 6 === 0)))
+        })
+      val name = s"st_qgate_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
+      val incoming = QueriesMl.qualityFeatures(s.readStream
+        .schema(s.read.parquet(s"$stage/b0.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage))
+      val q = Model.prob1(model.transform(incoming))
+        .select(col("doc_id"), col("label"), col("pred"))
+        .dropDuplicates("doc_id")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"target/tmp/ckpt_$name")
+        .outputMode("append").start()
+      try {
+        graft.streaming.StreamMetrics.drainAndRecord(q)
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"expected >=2 data micro-batches (cross-batch admission state), saw $fed")
+      } finally {
+        q.stop()
+        dropCheckpoint(s"target/tmp/ckpt_$name")
+      }
+      val scored = s.table(name)
+      val stagedN = s.read.parquet(stage).agg(count(lit(1)).as("n_staged"))
+      val agg = scored.agg(count(lit(1)).as("n_unique"),
+        sum(when(col("pred") >= 0.5, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when((col("pred") >= 0.5) === (col("label") >= 0.5), 1L)
+          .otherwise(0L)).as("n_agree"))
+      stagedN.crossJoin(agg).select(
+        col("n_unique"),
+        (col("n_staged") - col("n_unique")).as("n_dup_dropped"),
+        (col("n_agree").cast("double") >= col("n_unique").cast("double") * 0.9 &&
+          col("n_admitted") > 0 && col("n_admitted") < col("n_unique"))
+          .as("admit_gate_ok"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_unique,
+      | CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_dup_dropped,
+      | TRUE AS admit_gate_ok
+      |FROM documents""".stripMargin))
+
   /** Incrementally-maintained per-key quantiles under REAL streaming
     * execution — [[StreamingOps.quantilePerKey]]: a KLL sketch per
     * language held in mapGroupsWithState state, updated across two
@@ -1616,5 +1695,5 @@ object QueriesStreaming {
     stStreamCdc,
     stStreamSessionWindow, stStreamMinhash, stBatchParity,
     stBatchParitySession, stBatchParityJoin, stBatchParityDedup,
-    stStreamMmDedup, mmDedupEndToEnd)
+    stStreamMmDedup, mmDedupEndToEnd, stStreamQualityGate)
 }
