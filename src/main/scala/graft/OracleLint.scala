@@ -218,7 +218,6 @@ object OracleLint {
     "sim_ann_recall_audit" -> "e", "sim_ann_recall_audit" -> "p",
     "sim_ann_recall_audit" -> "truth", "sim_ann_recall_audit" -> "dt",
     "sim_ann_recall_audit" -> "cb",
-    "sim_hard_negatives" -> "base", "sim_hard_negatives" -> "pr",
     "sim_kmeans_assign" -> "e",
     "sim_rrf_fusion" -> "e", "sim_rrf_fusion" -> "tok",
     "sim_topk" -> "e",

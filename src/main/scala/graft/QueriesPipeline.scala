@@ -1618,9 +1618,16 @@ object QueriesPipeline {
         graft.functions.ArrayOps.asDouble(col("embedding")).as("v"))
       val probes = base.where(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-      val planted = probes.select(
-          explode(sequence(lit(1L), lit(2L))).as("j"), col("probe_id"), col("pv"))
-        .select((lit(700000L) + col("probe_id") * 10 + col("j")).as("vec_id"),
+      // plant floor DERIVED from the corpus (r17, r16 ADVICE): a fixed
+      // 700000 collided with natural vec_ids at rehearsal SFs (copy
+      // offsets are 1e7-spaced), silently degrading the ≥0.99 exclusion
+      // test; max+1 is collision-free at every SF and the oracle
+      // recomputes the identical integer, so parity is unconditional
+      val floor = base.agg((max(col("vec_id")) + 1).as("plant0"))
+      val planted = probes.crossJoin(broadcast(floor)).select(
+          explode(sequence(lit(1L), lit(2L))).as("j"), col("probe_id"),
+          col("pv"), col("plant0"))
+        .select((col("plant0") + col("probe_id") * 10 + col("j")).as("vec_id"),
           transform(col("pv"), x => x + col("j") * lit(0.0005)).as("v"))
       val corpus = base.unionByName(planted)
       val pairs = corpus.crossJoin(broadcast(probes))
@@ -1632,11 +1639,13 @@ object QueriesPipeline {
           ordCol = "cos", descending = true, tieCol = "vec_id", k = 3)
         .orderBy(col("probe_id"), col("cos").desc, col("vec_id"))
     },
-    Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    Some("""WITH base AS MATERIALIZED (SELECT vec_id,
+      |  CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings),
-      |pr AS (SELECT vec_id AS probe_id, v AS pv FROM base
+      |pr AS MATERIALIZED (SELECT vec_id AS probe_id, v AS pv FROM base
       | WHERE vec_id % 100 = 0 AND vec_id < 2000),
-      |planted AS (SELECT 700000 + p.probe_id * 10 + t.j AS vec_id,
+      |planted AS (SELECT (SELECT max(vec_id) + 1 FROM base)
+      |  + p.probe_id * 10 + t.j AS vec_id,
       |  list_transform(p.pv, x -> x + t.j * 0.0005) AS v
       | FROM pr p, range(1, 3) t(j)),
       |corpus AS (SELECT vec_id, v FROM base
