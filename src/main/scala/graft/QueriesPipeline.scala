@@ -332,25 +332,37 @@ object QueriesPipeline {
     * keep/drop ledger, but under the near-dup relation.
     *
     * The increment plants both outcomes: doc_id % 7 == 0 base docs
-    * re-arrive with one appended token (' inc42' — the
-    * dd_minhash_lsh plant profile; every truth pair sits at Jaccard
-    * dist ≤ 0.19 on all three shipped corpora, measured, with the
-    * 0.19–0.55 band EMPTY) → dropped; doc_id % 7 == 3 docs re-arrive
-    * TOKEN-REVERSED — same word bag, near-zero 3-shingle overlap (min
-    * pair dist 0.875 measured) → kept. A doc the near-dup check keeps
-    * but SimHash would drop (reversal preserves the token bag) is
-    * exactly the semantic difference dd_simhash documents.
+    * re-arrive with one appended token (' inc42' — the dd_minhash_lsh
+    * plant profile; designed pairs sit at Jaccard dist ≤ 0.19 on all
+    * three shipped corpora, measured max 0.111 at sf0.1) → dropped;
+    * doc_id % 7 == 3 docs re-arrive TOKEN-REVERSED — same word bag,
+    * near-zero 3-shingle overlap (min pair dist 0.875 measured) →
+    * kept. A doc the near-dup check keeps but SimHash would drop
+    * (reversal preserves the token bag) is exactly the semantic
+    * difference dd_simhash documents. The corpus ALSO contains
+    * natural cross near-dups (an inc42 delta doc vs an UNRELATED base
+    * doc) at dist 0.200–0.273 — found by MinhashMarginSpec in r17,
+    * correcting the earlier "0.19–0.55 band empty" record — so the
+    * truth relation is not the plant list, and recall is asserted
+    * pair-by-pair, not by margin (below).
     *
     * Banding is RECALL-SIZED at (b=9, r=2), not minHashPairs' default
-    * (6, 3) — the incremental-ingest trade: r=2 softens the
-    * candidate threshold (more false candidates, all killed by the
-    * exact verify) in exchange for per-pair miss ≤ (1−s²)⁹ ≈ 1.4e-7
-    * at the corpus's minimum truth similarity s = 0.9 — the default's
-    * 2.4e-4 actually LOST one short-doc pair (12 words, s 0.909) at
-    * sf0.1 under the fixed hash family. Over-generating candidates is
-    * the right side of the trade here precisely because the delta is
-    * small relative to the indexed base: candidate volume scales with
-    * the increment, while a silent drop poisons the corpus forever.
+    * (6, 3) — the incremental-ingest trade: r=2 softens the candidate
+    * threshold (more false candidates, all killed by the exact
+    * verify); at the designed floor s = 0.81 a fresh random family
+    * misses a pair with prob ≤ (1−s²)⁹ ≈ 6.7e-5, and the default
+    * (6,3) actually LOST one short-doc pair (12 words, s 0.909) at
+    * sf0.1 under the fixed hash family. For the measured corpus floor
+    * (s ≈ 0.727, the natural cross pairs) the random-family bound is
+    * only ~1.2e-3, so the gate does NOT lean on the bound:
+    * MinhashMarginSpec asserts DETERMINISTICALLY that every truth
+    * pair (exact dist ≤ 0.4, full delta×base sweep) shares a (9,2)
+    * band key under the fixed family on every gate-binding corpus —
+    * a corpus regen that breaks the catch fails there, at the
+    * assumption. Over-generating candidates is the right side of the
+    * trade here precisely because the delta is small relative to the
+    * indexed base: candidate volume scales with the increment, while
+    * a silent drop poisons the corpus forever.
     * Oracle recomputes the per-delta ledger by exact all-pairs
     * Jaccard over the capped base (the minhashLshOracle contract;
     * MATERIALIZED CTEs per the sf10 adjudication). Base corpus and

@@ -116,12 +116,15 @@ object Dedup {
   }
 
   /** (band index, band signature) keys: signature = hash over the
-    * band's r minhashes. */
-  val bandKeysUdf = udf((text: String, bands: Int, rowsPerBand: Int) => {
+    * band's r minhashes. Raw-JVM form so MinhashMarginSpec can assert
+    * banding recall pair-by-pair under the SAME fixed hash family the
+    * plan uses. */
+  private[graft] def bandKeys(text: String, bands: Int,
+      rowsPerBand: Int): Seq[(Int, Long)] = {
     // docs with no shingles (<3 words) have NO band keys: their
     // untouched all-MaxValue signatures would otherwise all collide
     // into one quadratic bucket — and a 3-gram near-dup relation is
-    // undefined for them anyway. Shingle once: this UDF is the per-row
+    // undefined for them anyway. Shingle once: this is the per-row
     // hot loop of the dedup path, and shingling dominates it.
     val sh = shingleSet(text)
     if (sh.isEmpty) Seq.empty[(Int, Long)]
@@ -138,7 +141,9 @@ object Dedup {
         (b, h)
       }
     }
-  })
+  }
+
+  val bandKeysUdf = udf(bandKeys _)
 
   def minHashPairs(docs: DataFrame, threshold: Double,
       bands: Int = 6, rowsPerBand: Int = 3): DataFrame = {

@@ -138,8 +138,8 @@ class PipelineOpsSpec extends SparkSpec {
       (i, s"tok$i alpha beta gamma delta epsilon zeta eta theta iota word$i"))
     // ids 7/8 are near-identical INSIDE the base: a symmetric dedup
     // would pair them; the asymmetric probe must not re-dedup the base
-    val baseDf = (base :+ (7L, base(8)._2 + " extra")).filterNot(_._1 == 7L)
-      .:+((7L, base(8)._2 + " extra")).toDF("id", "text")
+    val baseDf = (base.filterNot(_._1 == 7L) :+ (7L, base(8)._2 + " extra"))
+      .toDF("id", "text")
     // delta: 100 = near-dup of base 5; 101/102 = identical to each
     // other (a delta-delta pair a symmetric op would emit) but alien
     // to every base doc
