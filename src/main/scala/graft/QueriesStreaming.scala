@@ -863,6 +863,41 @@ object QueriesStreaming {
       | CAST(0 AS BIGINT) AS n_mismatch, TRUE AS parity_ok
       |FROM out""".stripMargin))
 
+  /** The media-dedup corpus, head-capped at the audited 500k-doc slice
+    * (r17, found AT the sf30 rung): pxMix content has 2^21 distinct
+    * images per geometry — `t1 = (seed·7919 + …) mod 2^21` — so past
+    * ~1M docs the SYNTHETIC fixture mathematically mass-duplicates
+    * (sf30 measured ~67k identical-image pairs via the copy-stride
+    * congruence (i−j)·12589 ≡ m (mod 2^14), |m| ≤ 39), and which of N
+    * same-fingerprint docs survives `dropDuplicates` WITHIN a
+    * micro-batch is task-order arbitrary — un-oracle-able. The head
+    * slice is the [[QueriesPipeline.minhashBaseDocs]] pattern: at any
+    * rehearsal SF it reproduces exactly the doc_id set two full sf10
+    * passes proved fingerprint-collision-free (mm entries derive
+    * content from doc_id alone), so first-wins needs no arrival-order
+    * modeling. Real 100 TB growth adds NEW content identities — the
+    * saturation is a fixture artifact, not a production regime; the
+    * fully-replayed mm_near_dup family keeps uncapped corpora because
+    * its oracles replay collisions identically on both sides. */
+  private val MmDedupCap = 500000L
+  private def mmCorpusDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val base = tbl(s, d, "documents")
+    if (Tables.tableCount(s, d, "documents") <= MmDedupCap) base
+    else {
+      val bound = base.select(col("doc_id"))
+        .orderBy("doc_id").limit(MmDedupCap.toInt)
+        .agg(max("doc_id")).head().getLong(0)
+      base.where(col("doc_id") <= bound)
+    }
+  }
+
+  private val sqlMmCorpusDocs: String =
+    s"""mmdocs AS MATERIALIZED (SELECT doc_id FROM documents
+      | WHERE doc_id <= (SELECT max(doc_id) FROM
+      |   (SELECT doc_id FROM documents ORDER BY doc_id
+      |    LIMIT $MmDedupCap)))""".stripMargin
+
   /** STREAMING MEDIA-FINGERPRINT dedup — the streaming tier of the
     * two-tier media-dedup architecture (exact fingerprint dedup at
     * ingest; banded near-dup LSH in batch — mm_near_dup): documents
@@ -876,7 +911,9 @@ object QueriesStreaming {
     * division of labor a 100 TB crawl ingest runs. State is 8 bytes
     * per distinct fingerprint, never payloads.
     *
-    * Census determinism: batch 0 carries every original (all
+    * Census determinism: the corpus is [[mmCorpusDocs]] (head-capped
+    * at the audited 500k slice — see its scaladoc for the sf30 pxMix
+    * saturation find); within it batch 0 carries every original (all
     * fingerprints distinct — mm_near_dup's zero non-planted pairs at
     * Hamming ≤ 6 proves no exact collisions, re-proven at sf10);
     * batch 1 carries exact copies (% 11 slice — all dropped by state
@@ -891,8 +928,8 @@ object QueriesStreaming {
       val s = sizedStreamSession(outer, 2)
       import graft.operators.MultiModal
       val stage = stageBatchFiles("stream_mmdd", d,
-        "v1_" + Tables.dataVer(d, "documents"), {
-          val base = tbl(outer, d, "documents").select(col("doc_id"),
+        "v2_" + Tables.dataVer(d, "documents"), {
+          val base = mmCorpusDocs(outer, d).select(col("doc_id"),
             (col("doc_id") % 8 + 16).cast("int").as("w"))
           Seq(
             "b0" -> base.select(col("doc_id").as("id"),
@@ -927,10 +964,11 @@ object QueriesStreaming {
       }
       s.table(name).orderBy("id")
     },
-    Some("""WITH corpus AS (
-      | SELECT doc_id AS id, doc_id AS src, FALSE AS pert, 0 AS bt FROM documents
+    Some(s"""WITH $sqlMmCorpusDocs,
+      |corpus AS (
+      | SELECT doc_id AS id, doc_id AS src, FALSE AS pert, 0 AS bt FROM mmdocs
       | UNION ALL
-      | SELECT doc_id + 300000, doc_id, TRUE, 1 FROM documents
+      | SELECT doc_id + 300000, doc_id, TRUE, 1 FROM mmdocs
       |  WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0),
       |g AS (SELECT id, src, pert, bt, CAST(16 + src % 8 AS BIGINT) AS w
       | FROM corpus),
@@ -988,6 +1026,11 @@ object QueriesStreaming {
     * b0 — the exact-copy slice recomputes to its original's
     * fingerprint, so it drops without modeling arrival order), then
     * banding, candidate join, and Hamming verify over the survivors.
+    * Corpus is [[mmCorpusDocs]] (head-capped at the audited 500k
+    * slice): first-wins within a batch is task-order arbitrary, so
+    * the oracle needs intra-b0 fingerprints distinct — true on the
+    * capped slice, violated past pxMix's 2^21 content states (the
+    * sf30 find in mmCorpusDocs' scaladoc).
     * Scale shape: payloads never leave the scan stage in either tier;
     * the streaming state is 8 bytes per distinct fingerprint; the
     * batch exchange carries (id, int64) band rows; the ledger joins
@@ -997,8 +1040,8 @@ object QueriesStreaming {
       val s = sizedStreamSession(outer, 2)
       import graft.operators.{Dedup, MultiModal}
       val stage = stageBatchFiles("stream_mmdd", d,
-        "v1_" + Tables.dataVer(d, "documents"), {
-          val base = tbl(outer, d, "documents").select(col("doc_id"),
+        "v2_" + Tables.dataVer(d, "documents"), {
+          val base = mmCorpusDocs(outer, d).select(col("doc_id"),
             (col("doc_id") % 8 + 16).cast("int").as("w"))
           Seq(
             "b0" -> base.select(col("doc_id").as("id"),
@@ -1047,13 +1090,14 @@ object QueriesStreaming {
             .otherwise(col("id")).cast("long").as("canon"))
         .orderBy("id")
     },
-    Some("""WITH corpus AS MATERIALIZED (
-      | SELECT doc_id AS id, doc_id AS src, FALSE AS pert, 0 AS bt FROM documents
+    Some(s"""WITH $sqlMmCorpusDocs,
+      |corpus AS MATERIALIZED (
+      | SELECT doc_id AS id, doc_id AS src, FALSE AS pert, 0 AS bt FROM mmdocs
       | UNION ALL
-      | SELECT doc_id + 100000, doc_id, FALSE, 1 FROM documents
+      | SELECT doc_id + 100000, doc_id, FALSE, 1 FROM mmdocs
       |  WHERE doc_id % 11 = 0
       | UNION ALL
-      | SELECT doc_id + 300000, doc_id, TRUE, 1 FROM documents
+      | SELECT doc_id + 300000, doc_id, TRUE, 1 FROM mmdocs
       |  WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0),
       |g AS (SELECT id, src, pert, bt, CAST(16 + src % 8 AS BIGINT) AS w
       | FROM corpus),
