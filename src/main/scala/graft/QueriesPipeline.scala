@@ -1939,6 +1939,40 @@ object QueriesPipeline {
       |   i -> (doc_id * 31 + i * 7) % 2003 - 1001)) AS BIGINT) AS sample_sum
       |FROM p ORDER BY doc_id""".stripMargin))
 
+  /** The media corpus, head-capped at the audited 500k-doc slice
+    * (r17, found AT the sf30 rung — the [[minhashBaseDocs]] pattern).
+    * Two independent saturations bind past ~10⁶ docs on the SYNTHETIC
+    * fixture: (1) pxMix content has 2^21 distinct images per geometry
+    * (`t1` is reduced mod 2^21), so the corpus mathematically
+    * mass-duplicates (~67k identical-image pairs at sf30 via the
+    * copy-stride congruence) and first-wins streaming dedup becomes
+    * task-order arbitrary — un-oracle-able; (2) 16-bit band values
+    * saturate — n items yield n²/2^16-shaped candidate volume (the
+    * video entry's measured ~5×10⁸ candidate rows / ~50 GB shuffle at
+    * sf30), the documented contract being that band WIDTH grows with
+    * log n in production while the gate pins the audited scale. The
+    * head slice reproduces at any rehearsal SF exactly the doc_id set
+    * two full sf10 passes proved clean (mm content derives from
+    * doc_id alone). Real 100 TB growth adds new content identities;
+    * the saturation is a fixture artifact. */
+  private[graft] val MmCorpusCap = 500000L
+  private[graft] def mmCorpusDocs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    if (Tables.tableCount(s, d, "documents") <= MmCorpusCap) base
+    else {
+      val bound = base.select(col("doc_id"))
+        .orderBy("doc_id").limit(MmCorpusCap.toInt)
+        .agg(max("doc_id")).head().getLong(0)
+      base.where(col("doc_id") <= bound)
+    }
+  }
+
+  private[graft] val sqlMmCorpusDocs: String =
+    s"""mmdocs AS MATERIALIZED (SELECT doc_id FROM documents
+      | WHERE doc_id <= (SELECT max(doc_id) FROM
+      |   (SELECT doc_id FROM documents ORDER BY doc_id
+      |    LIMIT $MmCorpusCap)))""".stripMargin
+
   /** Multimodal NEAR-DUP via perceptual hash (VERDICT r15 #5) — the
     * one pipeline family the dedup discipline didn't reach: real BMP
     * payloads, dHashed, Hamming-banded, exact-verified. Corpus: one
@@ -2035,10 +2069,15 @@ object QueriesPipeline {
     * frame key, candidate verify — in SQL. Scale shape: payload bytes
     * never leave the scan stage (encode → decode → 8-byte hashes in
     * one scan-stage UDF chain); only (id, frame, hash) rows and the
-    * band keys shuffle; exact verify touches candidates only. */
+    * band keys shuffle; exact verify touches candidates only. Corpus
+    * is [[mmCorpusDocs]] (r17): 16-bit band values over n frames give
+    * n²/2^16-shaped candidate volume — ~5×10⁸ rows / ~50 GB shuffle
+    * at sf30's 4.5M frames, on BOTH engines — so the gate pins the
+    * audited scale while production widens band bits with log n (see
+    * the helper's scaladoc). */
   val mmVideoNearDup: Entry = Entry("mm_video_near_dup",
     (s, d) => {
-      val base = docs(s, d).select(col("doc_id").as("src"),
+      val base = mmCorpusDocs(s, d).select(col("doc_id").as("src"),
         (col("doc_id") % 8 + 16).cast("int").as("w"),
         (col("doc_id") % 3 + 2).cast("int").as("nf"))
       val corpus = base
@@ -2057,10 +2096,11 @@ object QueriesPipeline {
       Dedup.hammingBandPairsFramed(framed, maxHamming = 6)
         .orderBy("id_a", "id_b")
     },
-    Some("""WITH corpus AS (
-      | SELECT doc_id AS id, doc_id AS src, FALSE AS pert FROM documents
+    Some(s"""WITH $sqlMmCorpusDocs,
+      |corpus AS (
+      | SELECT doc_id AS id, doc_id AS src, FALSE AS pert FROM mmdocs
       | UNION ALL
-      | SELECT doc_id + 100000, doc_id, TRUE FROM documents WHERE doc_id % 11 = 0),
+      | SELECT doc_id + 100000, doc_id, TRUE FROM mmdocs WHERE doc_id % 11 = 0),
       |g AS (SELECT id, src, pert, CAST(16 + src % 8 AS BIGINT) AS w,
       |   CAST(2 + src % 3 AS BIGINT) AS nf FROM corpus),
       |fr AS (SELECT id, src, pert, w, nf, CAST(t0.f AS BIGINT) AS f

@@ -879,24 +879,11 @@ object QueriesStreaming {
     * saturation is a fixture artifact, not a production regime; the
     * fully-replayed mm_near_dup family keeps uncapped corpora because
     * its oracles replay collisions identically on both sides. */
-  private val MmDedupCap = 500000L
   private def mmCorpusDocs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val base = tbl(s, d, "documents")
-    if (Tables.tableCount(s, d, "documents") <= MmDedupCap) base
-    else {
-      val bound = base.select(col("doc_id"))
-        .orderBy("doc_id").limit(MmDedupCap.toInt)
-        .agg(max("doc_id")).head().getLong(0)
-      base.where(col("doc_id") <= bound)
-    }
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    QueriesPipeline.mmCorpusDocs(s, d)
 
-  private val sqlMmCorpusDocs: String =
-    s"""mmdocs AS MATERIALIZED (SELECT doc_id FROM documents
-      | WHERE doc_id <= (SELECT max(doc_id) FROM
-      |   (SELECT doc_id FROM documents ORDER BY doc_id
-      |    LIMIT $MmDedupCap)))""".stripMargin
+  private val sqlMmCorpusDocs: String = QueriesPipeline.sqlMmCorpusDocs
 
   /** STREAMING MEDIA-FINGERPRINT dedup — the streaming tier of the
     * two-tier media-dedup architecture (exact fingerprint dedup at
