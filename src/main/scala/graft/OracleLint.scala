@@ -66,16 +66,37 @@ object OracleLint {
       } else i += 1 // operators, digits, whitespace — structure-irrelevant
     }
 
-    // pass 1: CTE defs — ident AS [MATERIALIZED] '(' (the named-window
-    // `WINDOW w AS (...)` form also matches; harmless, OVER refs are
-    // never in table position so it can only over-demand, never miss)
+    // pass 1: CTE defs — `ident AS [MATERIALIZED] '('`, but ONLY inside
+    // an active WITH clause at that clause's paren depth (ADVICE r17
+    // #3: the unrestricted triple scan minted phantom defs from body
+    // aliases/named windows, and a phantom name colliding with a real
+    // multiply-referenced table produced a false violation → a
+    // guaranteed-RED guard row for valid SQL). A WITH clause opens at
+    // the `with` token's depth and closes at that depth's `select`
+    // (the main query) — nested WITHs stack.
     val defs = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    var depth = 0
+    val withDepths = scala.collection.mutable.Stack.empty[Int]
     var t = 0
-    while (t + 2 < toks.length) {
-      if (toks(t).isIdent && toks(t + 1).s == "as") {
-        if (toks(t + 2).s == "(") defs.put(toks(t).s, false): Unit
+    while (t < toks.length) {
+      val tok = toks(t)
+      tok.s match {
+        case "(" => depth += 1
+        case ")" =>
+          depth -= 1
+          while (withDepths.nonEmpty && withDepths.top > depth)
+            withDepths.pop(): Unit
+        case "with" if tok.isIdent => withDepths.push(depth)
+        case "select" if tok.isIdent =>
+          if (withDepths.nonEmpty && withDepths.top == depth)
+            withDepths.pop(): Unit
+        case _ => ()
+      }
+      if (tok.isIdent && withDepths.nonEmpty && withDepths.top == depth &&
+        tok.s != "with" && t + 2 < toks.length && toks(t + 1).s == "as") {
+        if (toks(t + 2).s == "(") defs.put(tok.s, false): Unit
         else if (toks(t + 2).s == "materialized" && t + 3 < toks.length &&
-          toks(t + 3).s == "(") defs.put(toks(t).s, true): Unit
+          toks(t + 3).s == "(") defs.put(tok.s, true): Unit
       }
       t += 1
     }

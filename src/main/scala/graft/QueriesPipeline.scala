@@ -2226,9 +2226,9 @@ object QueriesPipeline {
     * plant: dHash flips ≤ 2 bits, so ≥ 2 of 4 bands are untouched and
     * recall is GUARANTEED by Manku's pigeonhole, no banding-vs-
     * threshold sizing argument needed) → dropped; doc_id % 9 == 0
-    * slots gain genuinely NEW media (a fresh pxMix seed, doc_id +
-    * 900000 — avalanched content, fingerprints near Hamming 32 from
-    * everything) → kept. The oracle replays the ENTIRE integer
+    * slots gain genuinely NEW media (a fresh pxMix seed in the
+    * corpus-derived [3m,4m) namespace — avalanched content,
+    * fingerprints near Hamming 32 from everything) → kept. The oracle replays the ENTIRE integer
     * pipeline — pxMix content, 8×9 dHash grid, 64-bit pack, band
     * keys, the delta×base bucket join, the Hamming verify — so even a
     * chance band collision resolves identically in both engines;
@@ -2240,19 +2240,28 @@ object QueriesPipeline {
     * candidates only; no base-base pair is ever formed. */
   val mmIncrementalNearDup: Entry = Entry("mm_incremental_near_dup",
     (s, d) => {
+      // plant namespaces DERIVED from the corpus (ADVICE r17 #2, the
+      // sim_hard_negatives r17 fix): with m = max(doc_id)+1, perturbed
+      // re-uploads live in [m,2m), new media ids in [2m,3m) and fresh
+      // content seeds in [3m,4m) — pairwise disjoint from each other
+      // and from every doc_id at ANY corpus density, where the old
+      // fixed +400000/+600000/+900000 offsets could alias on a denser
+      // id domain. The oracle recomputes the identical integer m.
+      val mRow = docs(s, d).agg((max(col("doc_id")) + 1).as("m"))
       val withW = docs(s, d).select(col("doc_id"),
-        (col("doc_id") % 8 + 16).cast("int").as("w"))
+          (col("doc_id") % 8 + 16).cast("int").as("w"))
+        .crossJoin(broadcast(mRow))
       def hashed(src: Column, pert: Boolean) =
         MultiModal.dHash64Udf(MultiModal.encodeBmpMixedUdf(
           src, col("w"), col("w"), lit(pert))).as("ph")
       val base = withW.select(col("doc_id").as("id"),
         hashed(col("doc_id"), pert = false))
       val delta = withW.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 400000).as("id"),
+        .select((col("doc_id") + col("m")).as("id"),
           hashed(col("doc_id"), pert = true))
         .unionByName(withW.where(col("doc_id") % 9 === 0)
-          .select((col("doc_id") + 600000).as("id"),
-            hashed(col("doc_id") + 900000, pert = false)))
+          .select((col("doc_id") + col("m") * 2).as("id"),
+            hashed(col("doc_id") + col("m") * 3, pert = false)))
       val counts = Dedup.hammingBandPairsAgainst(delta, base, maxHamming = 6)
         .groupBy("delta_id").agg(count(lit(1)).as("n_base_dups"))
         .withColumnRenamed("delta_id", "new_id")
@@ -2264,15 +2273,16 @@ object QueriesPipeline {
           when(col("n_base_dups") > 0, "dropped").otherwise("kept"))
         .orderBy("new_id")
     },
-    Some("""WITH corpus AS MATERIALIZED (
+    Some("""WITH mx AS MATERIALIZED (SELECT max(doc_id) + 1 AS m FROM documents),
+      |corpus AS MATERIALIZED (
       | SELECT doc_id AS id, doc_id AS src, doc_id AS wsrc, FALSE AS pert,
       |        0 AS side FROM documents
       | UNION ALL
-      | SELECT doc_id + 400000, doc_id, doc_id, TRUE, 1 FROM documents
+      | SELECT doc_id + m, doc_id, doc_id, TRUE, 1 FROM documents, mx
       |  WHERE doc_id % 7 = 0
       | UNION ALL
-      | SELECT doc_id + 600000, doc_id + 900000, doc_id, FALSE, 1 FROM documents
-      |  WHERE doc_id % 9 = 0),
+      | SELECT doc_id + 2 * m, doc_id + 3 * m, doc_id, FALSE, 1
+      |  FROM documents, mx WHERE doc_id % 9 = 0),
       |g AS (SELECT id, src, pert, side, CAST(16 + wsrc % 8 AS BIGINT) AS w
       | FROM corpus),
       |s AS (SELECT id, pert, side, w, t1.y, t2.x,

@@ -910,25 +910,37 @@ object QueriesStreaming {
     * flips 0–2 threshold bits, and the 0-flip copies are genuinely
     * exact dups that must drop). The oracle recomputes both
     * fingerprints per perturbed doc and keeps the survivors. */
+  /** The "stream_mmdd" staged fixture shared by [[stStreamMmDedup]]
+    * and [[mmDedupEndToEnd]] — ONE definition because the two entries
+    * share the fixture cache key and [[stageBatchFiles]] short-
+    * circuits on _READY: whichever entry runs first stages for both,
+    * so a second, independently-maintained copy of the parts could
+    * silently feed the other entry stale data if one copy were ever
+    * edited (ADVICE r17 #1). Any future content change to this corpus
+    * must bump the version prefix below in lockstep. */
+  private def mmDedupStage(outer: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stageBatchFiles("stream_mmdd", d,
+      "v2_" + Tables.dataVer(d, "documents"), {
+        val base = mmCorpusDocs(outer, d).select(col("doc_id"),
+          (col("doc_id") % 8 + 16).cast("int").as("w"))
+        Seq(
+          "b0" -> base.select(col("doc_id").as("id"),
+            col("doc_id").as("src"), col("w"), lit(false).as("pert")),
+          "b1" -> base.where(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 100000).as("id"),
+              col("doc_id").as("src"), col("w"), lit(false).as("pert"))
+            .unionByName(base
+              .where(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
+              .select((col("doc_id") + 300000).as("id"),
+                col("doc_id").as("src"), col("w"), lit(true).as("pert"))))
+      })
+
   val stStreamMmDedup: Entry = Entry("st_stream_mm_dedup",
     (outer, d) => {
       val s = sizedStreamSession(outer, 2)
       import graft.operators.MultiModal
-      val stage = stageBatchFiles("stream_mmdd", d,
-        "v2_" + Tables.dataVer(d, "documents"), {
-          val base = mmCorpusDocs(outer, d).select(col("doc_id"),
-            (col("doc_id") % 8 + 16).cast("int").as("w"))
-          Seq(
-            "b0" -> base.select(col("doc_id").as("id"),
-              col("doc_id").as("src"), col("w"), lit(false).as("pert")),
-            "b1" -> base.where(col("doc_id") % 11 === 0)
-              .select((col("doc_id") + 100000).as("id"),
-                col("doc_id").as("src"), col("w"), lit(false).as("pert"))
-              .unionByName(base
-                .where(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
-                .select((col("doc_id") + 300000).as("id"),
-                  col("doc_id").as("src"), col("w"), lit(true).as("pert"))))
-        })
+      val stage = mmDedupStage(outer, d)
       val name = s"st_mmdd_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
       val q = s.readStream
         .schema(s.read.parquet(s"$stage/b0.parquet").schema)
@@ -1026,21 +1038,7 @@ object QueriesStreaming {
     (outer, d) => {
       val s = sizedStreamSession(outer, 2)
       import graft.operators.{Dedup, MultiModal}
-      val stage = stageBatchFiles("stream_mmdd", d,
-        "v2_" + Tables.dataVer(d, "documents"), {
-          val base = mmCorpusDocs(outer, d).select(col("doc_id"),
-            (col("doc_id") % 8 + 16).cast("int").as("w"))
-          Seq(
-            "b0" -> base.select(col("doc_id").as("id"),
-              col("doc_id").as("src"), col("w"), lit(false).as("pert")),
-            "b1" -> base.where(col("doc_id") % 11 === 0)
-              .select((col("doc_id") + 100000).as("id"),
-                col("doc_id").as("src"), col("w"), lit(false).as("pert"))
-              .unionByName(base
-                .where(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
-                .select((col("doc_id") + 300000).as("id"),
-                  col("doc_id").as("src"), col("w"), lit(true).as("pert"))))
-        })
+      val stage = mmDedupStage(outer, d)
       val name = s"st_mm_e2e_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
       val q = s.readStream
         .schema(s.read.parquet(s"$stage/b0.parquet").schema)

@@ -304,9 +304,13 @@ object Dedup {
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), simHashBand(col("ph"), b).as("bv"))): _*)).as("bk"))
     banded(delta, "delta_id", "ph_d").join(banded(base, "base_id", "ph_b"), "bk")
+      // fingerprints stay in the dedup key (ADVICE r17 #4): if ids ever
+      // alias across items within a side, equal-hamming collisions must
+      // collapse exactly as the oracle's DISTINCT (id, id, pd, pb) does
+      .select(col("delta_id"), col("base_id"), col("ph_d"), col("ph_b"))
+      .distinct() // a pair can collide in >1 band
       .select(col("delta_id"), col("base_id"),
         bit_count(col("ph_d").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
-      .distinct() // a pair can collide in >1 band
       .where(col("hamming") <= maxHamming)
   }
 

@@ -40,6 +40,25 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleLint.cteViolations(noise).isEmpty)
   }
 
+  test("pass-1 is WITH-clause-scoped: body `ident AS (` cannot mint phantom defs") {
+    // ADVICE r17 #3: a named window (or any query-body `ident AS (`)
+    // whose name collides with a genuinely multiply-referenced table
+    // must NOT be treated as a CTE def — the old unrestricted triple
+    // scan turned this valid SQL into a guaranteed-RED guard row.
+    val windowed =
+      """SELECT a.doc_id, count(*) OVER documents AS n
+        |FROM documents a JOIN documents b ON a.doc_id = b.doc_id
+        |WINDOW documents AS (PARTITION BY a.doc_id)""".stripMargin
+    assert(OracleLint.cteViolations(windowed).isEmpty)
+    // ...while a real def in a NESTED with clause is still seen
+    val nested =
+      """WITH outer_c AS MATERIALIZED (
+        |  WITH inner_c AS (SELECT 1 AS x)
+        |  SELECT a.x FROM inner_c a JOIN inner_c b ON a.x = b.x)
+        |SELECT * FROM outer_c""".stripMargin
+    assert(OracleLint.cteViolations(nested) == Seq(("inner_c", 2)))
+  }
+
   test("trip test: the Verify guard writes the RED row on a planted violation") {
     val spark = TestSpark.spark
     val out = java.nio.file.Files.createTempDirectory("ctelint_trip").toString
