@@ -21,6 +21,18 @@ import Tables.tbl
 object QueriesPipeline {
 
   private def docs(s: SparkSession, d: String) = tbl(s, d, "documents")
+
+  /** The plant-namespace floor m = max(doc_id)+1 as a DRIVER-side
+    * scalar (one partial-agg scan, one row back — the same bounded
+    * class as the centroid/probe collects the scale audit allows).
+    * Read at plan-build time so plant ids stay literal arithmetic:
+    * an in-plan 1-row attach would be a BroadcastNestedLoopJoin (a
+    * true cross join; Catalyst folds a constant-key spelling back to
+    * one), which the PlanShapeSpec pins ban outright as the all-pairs
+    * shape. The oracle recomputes the identical integer in its mx
+    * CTE. */
+  private[graft] def plantFloor(s: SparkSession, d: String): Long =
+    docs(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1L
   private def emb(s: SparkSession, d: String) = tbl(s, d, "embeddings")
 
   /** documents ∪ planted exact copies (the dedup corpus). */
@@ -1941,20 +1953,20 @@ object QueriesPipeline {
 
   /** The media corpus, head-capped at the audited 500k-doc slice
     * (r17, found AT the sf30 rung — the [[minhashBaseDocs]] pattern).
-    * Two independent saturations bind past ~10⁶ docs on the SYNTHETIC
-    * fixture: (1) pxMix content has 2^21 distinct images per geometry
-    * (`t1` is reduced mod 2^21), so the corpus mathematically
+    * The ONE remaining reason for the cap (r18): pxMix content has
+    * 2^21 distinct images per geometry (`t1` is reduced mod 2^21), so
+    * past ~10⁶ docs the SYNTHETIC corpus mathematically
     * mass-duplicates (~67k identical-image pairs at sf30 via the
-    * copy-stride congruence) and first-wins streaming dedup becomes
-    * task-order arbitrary — un-oracle-able; (2) 16-bit band values
-    * saturate — n items yield n²/2^16-shaped candidate volume (the
-    * video entry's measured ~5×10⁸ candidate rows / ~50 GB shuffle at
-    * sf30), the documented contract being that band WIDTH grows with
-    * log n in production while the gate pins the audited scale. The
-    * head slice reproduces at any rehearsal SF exactly the doc_id set
-    * two full sf10 passes proved clean (mm content derives from
-    * doc_id alone). Real 100 TB growth adds new content identities;
-    * the saturation is a fixture artifact. */
+    * copy-stride congruence) and first-wins streaming dedup within
+    * one micro-batch becomes task-order arbitrary — un-oracle-able.
+    * Only the two streaming-admission entries still consume this
+    * slice; the r17 cap's OTHER motivation — 16-bit band-value
+    * saturation — is solved in the engine ([[Dedup.BandGeometry]] /
+    * [[Dedup.geometryFor]], VERDICT r17 #1) and the batch video entry
+    * now runs uncapped. The head slice reproduces at any rehearsal SF
+    * exactly the doc_id set two full sf10 passes proved clean (mm
+    * content derives from doc_id alone). Real 100 TB growth adds new
+    * content identities; the saturation is a fixture artifact. */
   private[graft] val MmCorpusCap = 500000L
   private[graft] def mmCorpusDocs(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
@@ -2069,22 +2081,32 @@ object QueriesPipeline {
     * frame key, candidate verify — in SQL. Scale shape: payload bytes
     * never leave the scan stage (encode → decode → 8-byte hashes in
     * one scan-stage UDF chain); only (id, frame, hash) rows and the
-    * band keys shuffle; exact verify touches candidates only. Corpus
-    * is [[mmCorpusDocs]] (r17): 16-bit band values over n frames give
-    * n²/2^16-shaped candidate volume — ~5×10⁸ rows / ~50 GB shuffle
-    * at sf30's 4.5M frames, on BOTH engines — so the gate pins the
-    * audited scale while production widens band bits with log n (see
-    * the helper's scaladoc). */
+    * band keys shuffle; exact verify touches candidates only.
+    *
+    * Corpus is UNCAPPED (r18, VERDICT r17 #1): the r17 cap existed
+    * because the fixed 4×16 banding saturated — n²/2^16-shaped
+    * candidate volume, ~5×10⁸ rows / ~50 GB shuffle measured at
+    * sf30's 4.5M frames. The banding is now [[VideoBandGeom]] —
+    * [[Dedup.geometryFor]] sized for the ~10⁷-frame design corpus
+    * (B=5 blocks → 10 tables of ≥25-bit keys) — so random collisions
+    * stay ∝ n and the remaining candidate mass is the corpus's
+    * genuine identical-frame pairs (pxMix content saturation past
+    * 2²¹ states — fixture-real near-dups both engines replay
+    * identically). Plant ids live at doc_id + max(doc_id)+1, derived
+    * like mm_incremental_near_dup's namespaces. */
+  private[graft] val VideoBandGeom = Dedup.geometryFor(8L * 1000 * 1000)
+
   val mmVideoNearDup: Entry = Entry("mm_video_near_dup",
     (s, d) => {
-      val base = mmCorpusDocs(s, d).select(col("doc_id").as("src"),
+      val m = plantFloor(s, d)
+      val base = docs(s, d).select(col("doc_id").as("src"),
         (col("doc_id") % 8 + 16).cast("int").as("w"),
         (col("doc_id") % 3 + 2).cast("int").as("nf"))
       val corpus = base
         .select(col("src").as("id"), col("src"), col("w"), col("nf"),
           lit(false).as("pert"))
         .unionByName(base.where(col("src") % 11 === 0)
-          .select((col("src") + 100000).as("id"), col("src"), col("w"),
+          .select((col("src") + m).as("id"), col("src"), col("w"),
             col("nf"), lit(true).as("pert")))
       val sigs = corpus.select(col("id"),
         MultiModal.y4mFrameHashesUdf(MultiModal.encodeY4mMixedUdf(
@@ -2093,14 +2115,15 @@ object QueriesPipeline {
           size(col("sig")).cast("long").as("nf"), posexplode(col("sig")))
         .select(col("id"), col("nf"), col("pos").cast("long").as("f"),
           col("col").as("ph"))
-      Dedup.hammingBandPairsFramed(framed, maxHamming = 6)
+      Dedup.hammingBandPairsFramed(framed, maxHamming = 6, VideoBandGeom)
         .orderBy("id_a", "id_b")
     },
-    Some(s"""WITH $sqlMmCorpusDocs,
+    Some(s"""WITH mx AS MATERIALIZED (SELECT max(doc_id) + 1 AS m FROM documents),
       |corpus AS (
-      | SELECT doc_id AS id, doc_id AS src, FALSE AS pert FROM mmdocs
+      | SELECT doc_id AS id, doc_id AS src, FALSE AS pert FROM documents
       | UNION ALL
-      | SELECT doc_id + 100000, doc_id, TRUE FROM mmdocs WHERE doc_id % 11 = 0),
+      | SELECT doc_id + m, doc_id, TRUE FROM documents, mx
+      |  WHERE doc_id % 11 = 0),
       |g AS (SELECT id, src, pert, CAST(16 + src % 8 AS BIGINT) AS w,
       |   CAST(2 + src % 3 AS BIGINT) AS nf FROM corpus),
       |fr AS (SELECT id, src, pert, w, nf, CAST(t0.f AS BIGINT) AS f
@@ -2129,8 +2152,9 @@ object QueriesPipeline {
       |   (CASE WHEN y * 8 + x = 63 THEN -9223372036854775808
       |         ELSE 1::BIGINT << (y * 8 + x) END) ELSE 0 END) AS BIGINT) AS ph
       | FROM bits GROUP BY id, nf, f),
-      |bands AS MATERIALIZED (SELECT id, nf, f, ph, t.b, (ph >> (b * 16)) & 65535 AS k
-      | FROM ph, range(0, 4) t(b)),
+      |bands AS MATERIALIZED (SELECT id, nf, f, ph, t.b,
+      |   ${Dedup.bandSqlKey("ph")} AS k
+      | FROM ph, ${Dedup.bandSqlValues(VideoBandGeom)}),
       |cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
       | FROM bands a JOIN bands c ON a.f = c.f AND a.b = c.b AND a.k = c.k
       |   AND a.id < c.id AND a.nf = c.nf),
@@ -2247,21 +2271,20 @@ object QueriesPipeline {
       // and from every doc_id at ANY corpus density, where the old
       // fixed +400000/+600000/+900000 offsets could alias on a denser
       // id domain. The oracle recomputes the identical integer m.
-      val mRow = docs(s, d).agg((max(col("doc_id")) + 1).as("m"))
+      val m = plantFloor(s, d)
       val withW = docs(s, d).select(col("doc_id"),
-          (col("doc_id") % 8 + 16).cast("int").as("w"))
-        .crossJoin(broadcast(mRow))
+        (col("doc_id") % 8 + 16).cast("int").as("w"))
       def hashed(src: Column, pert: Boolean) =
         MultiModal.dHash64Udf(MultiModal.encodeBmpMixedUdf(
           src, col("w"), col("w"), lit(pert))).as("ph")
       val base = withW.select(col("doc_id").as("id"),
         hashed(col("doc_id"), pert = false))
       val delta = withW.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + col("m")).as("id"),
+        .select((col("doc_id") + m).as("id"),
           hashed(col("doc_id"), pert = true))
         .unionByName(withW.where(col("doc_id") % 9 === 0)
-          .select((col("doc_id") + col("m") * 2).as("id"),
-            hashed(col("doc_id") + col("m") * 3, pert = false)))
+          .select((col("doc_id") + m * 2).as("id"),
+            hashed(col("doc_id") + m * 3, pert = false)))
       val counts = Dedup.hammingBandPairsAgainst(delta, base, maxHamming = 6)
         .groupBy("delta_id").agg(count(lit(1)).as("n_base_dups"))
         .withColumnRenamed("delta_id", "new_id")

@@ -253,6 +253,127 @@ object Dedup {
   def simHashBand(h: Column, b: Int): Column =
     shiftright(h, b * 16).bitwiseAND(0xffffL)
 
+  /** Hamming-LSH band geometry — Manku's block design (WWW'07 §3) as
+    * an ENGINE PARAMETER (VERDICT r17 #1): the 64-bit fingerprint is
+    * split into `blocks.length` contiguous bit blocks (LSB-first
+    * widths), and each of the C(B, k) tables keys on the
+    * concatenation of a distinct (B−k)-subset of blocks. A pair
+    * within Hamming ≤ k flips bits in ≤ k blocks, so at least one
+    * keyed (B−k)-subset is untouched and the pair collides in that
+    * table — the pigeonhole recall guarantee, derived from the
+    * parameters instead of hard-coded. Per-table random-collision
+    * volume is ~n²/2^keyBits, so widening keys with log₂ n keeps
+    * candidates ∝ n — the knob the fixed 4×16 design lacked (the sf30
+    * rung measured its n²/2^16 saturation: ~5×10⁸ candidate rows /
+    * ~50 GB shuffle at 4.5M video frames). B=4, k=3 with 16-bit
+    * blocks IS the legacy design, bit-for-bit. */
+  final case class BandGeometry(blocks: Seq[Int], k: Int) {
+    require(blocks.sum == 64 && blocks.forall(_ > 0) &&
+      k >= 1 && blocks.length > k, s"bad geometry: blocks=$blocks k=$k")
+    /** LSB offset of each block. */
+    val offsets: Seq[Int] = blocks.scanLeft(0)(_ + _).init
+    /** One LSH table per (B−k)-subset of blocks, lexicographic — for
+      * B=4, k=3 exactly the legacy single-block band order. */
+    val combos: Seq[Seq[Int]] =
+      blocks.indices.combinations(blocks.length - k).map(_.toSeq).toSeq
+    val nTables: Int = combos.length
+    /** Narrowest table key in bits — the sizing input: random
+      * collisions per table ≈ n² / 2^minKeyBits. */
+    val minKeyBits: Int = combos.map(_.map(blocks).sum).min
+    /** Packed key of table `t` for fingerprint `ph` — the JVM twin of
+      * the Column and SQL spellings (spec parity anchor). Blocks pack
+      * LSB-first in combo order; OR over disjoint bit ranges. */
+    def key(ph: Long, t: Int): Long = {
+      var acc = 0; var out = 0L
+      combos(t).foreach { b =>
+        out |= ((ph >>> offsets(b)) & ((1L << blocks(b)) - 1)) << acc
+        acc += blocks(b)
+      }
+      out
+    }
+  }
+
+  /** The legacy 4×16 single-block geometry (B=4, k=3) — the default
+    * everywhere; its table keys equal [[simHashBand]] exactly, so the
+    * shipped oracles' `(ph >> 16b) & 65535` replay is unchanged.
+    * Right up to ~65k items; larger corpora size up via
+    * [[geometryFor]]. */
+  val Geometry4x16: BandGeometry = BandGeometry(Seq(16, 16, 16, 16), 3)
+
+  private val LadderB = Seq(4, 5, 6, 8)
+  private def blocksFor(bCount: Int): Seq[Int] = {
+    val base = 64 / bCount
+    val rem = 64 % bCount
+    Seq.tabulate(bCount)(i => if (i < rem) base + 1 else base)
+  }
+
+  /** The geometry sizing rule, applied at pipeline-DESIGN time the
+    * way production LSH tables are sized for their corpus: the
+    * smallest ladder geometry whose narrowest key still carries
+    * ≥ ⌈log₂ n⌉ bits, so per-table random collisions stay ≤ ~1 per
+    * item and total candidate volume is ∝ n · nTables. Ladder at
+    * k=3: B=4 → 16-bit keys / 4 tables (n ≤ 65k); B=5 → ≥25-bit / 10
+    * (n ≤ 33M); B=6 → ≥31-bit / 20 (n ≤ 2G); B=8 → 40-bit / 56
+    * beyond. An oracle-replayed entry pins ONE geometry (chosen for
+    * its design corpus) because the replay SQL is static text. */
+  def geometryFor(n: Long, k: Int = 3): BandGeometry = {
+    require(k == 3, s"ladder is derived for the Hamming<=3 guarantee, got k=$k")
+    val need = // ceil(log2 n), clamped so n<=2 asks for 1 bit
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(n - 1, 1L))
+    LadderB.iterator.map(b => BandGeometry(blocksFor(b), k))
+      .find(_.minKeyBits >= need.toInt)
+      .getOrElse(BandGeometry(blocksFor(LadderB.last), k))
+  }
+
+  /** Column spelling of [[BandGeometry.key]] — stays inside
+    * whole-stage codegen (shift/mask/or literals only). */
+  private def bandKeyCol(ph: Column, g: BandGeometry, t: Int): Column = {
+    var acc = 0
+    var out: Column = lit(0L)
+    g.combos(t).foreach { b =>
+      val ext = shiftright(ph, g.offsets(b))
+        .bitwiseAND(lit((1L << g.blocks(b)) - 1))
+      out = out.bitwiseOR(shiftleft(ext, acc))
+      acc += g.blocks(b)
+    }
+    out
+  }
+
+  /** The exploded (band, bv) struct column for a geometry — the
+    * blocking-key generator shared by the hammingBandPairs family. */
+  private def bandStructs(ph: Column, g: BandGeometry): Column =
+    explode(array((0 until g.nTables).map(t =>
+      struct(lit(t).as("band"), bandKeyCol(ph, g, t).as("bv"))): _*))
+
+  /** DuckDB replay of a [[BandGeometry]]: a VALUES relation
+    * `t(b, o0, m0, f0, o1, m1, f1, o2, m2, f2)` to cross-join against
+    * the fingerprint rows, with the key spelled by [[bandSqlKey]].
+    * `+` with power-of-two factors ≡ the engine's shiftleft/OR
+    * because block bit ranges are disjoint; unused slots mask to 0.
+    * Supports ≤3-block keys (every B ≤ 6 ladder rung — all the
+    * oracle-replayed scales). Generated from the SAME geometry object
+    * the engine runs, so the two spellings cannot drift. */
+  def bandSqlValues(g: BandGeometry): String = {
+    require(g.combos.forall(_.length <= 3),
+      s"SQL replay supports <=3-block keys, geometry has ${g.combos.head.length}")
+    val rows = g.combos.zipWithIndex.map { case (combo, t) =>
+      var acc = 0
+      val slots = combo.map { b =>
+        val f = 1L << acc
+        acc += g.blocks(b)
+        (g.offsets(b), (1L << g.blocks(b)) - 1, f)
+      }
+      val padded = slots ++ Seq.fill(3 - slots.length)((0, 0L, 0L))
+      s"($t, ${padded.map { case (o, m, f) => s"$o, $m, $f" }.mkString(", ")})"
+    }
+    s"(VALUES ${rows.mkString(",\n   ")}) t(b, o0, m0, f0, o1, m1, f1, o2, m2, f2)"
+  }
+
+  /** The key expression over [[bandSqlValues]]' columns. */
+  def bandSqlKey(ph: String): String =
+    s"((($ph >> t.o0) & t.m0) * t.f0 + (($ph >> t.o1) & t.m1) * t.f1" +
+      s" + (($ph >> t.o2) & t.m2) * t.f2)"
+
   /** Candidate pairs sharing at least one 16-bit band, verified by
     * hamming distance (bit_count of XOR) ≤ maxHamming. The band join is
     * an equi-join on (band index, band value) after a 4× explode. */
@@ -262,17 +383,18 @@ object Dedup {
 
   /** Banded Hamming near-dup pairs over ANY precomputed 64-bit
     * fingerprint column — the LSH step shared by SimHash (text) and
-    * dHash (image payloads, mm_near_dup): 4×16-bit band keys, a
-    * band-keyed equi-join (never all-pairs; only ids and the 8-byte
-    * fingerprints travel), then the exact Hamming verify on the
-    * candidates. Complete for Hamming ≤ 3 by Manku's pigeonhole
-    * (4 bands, ≤3 flipped bits leave ≥1 band untouched); pairs at
-    * 4..maxHamming are returned when any band collides. Input columns:
+    * dHash (image payloads, mm_near_dup): [[BandGeometry]] table keys
+    * (default the 4×16 legacy design; size with [[geometryFor]] for
+    * the corpus), a key equi-join (never all-pairs; only ids and the
+    * 8-byte fingerprints travel), then the exact Hamming verify on
+    * the candidates. Complete for Hamming ≤ geom.k by the pigeonhole
+    * derivation at [[BandGeometry]]; pairs at k+1..maxHamming are
+    * returned when any table collides. Input columns:
     * (id: long, ph: long). */
-  def hammingBandPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  def hammingBandPairs(hashes: DataFrame, maxHamming: Int,
+      geom: BandGeometry = Geometry4x16): DataFrame = {
     val banded = hashes.select(col("id"), col("ph"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), simHashBand(col("ph"), b).as("bv"))): _*)).as("bk"))
+      bandStructs(col("ph"), geom).as("bk"))
     val a = banded.select(col("id").as("id_a"), col("ph").as("ph_a"), col("bk"))
     val b = banded.select(col("id").as("id_b"), col("ph").as("ph_b"), col("bk"))
     a.join(b, "bk")
@@ -298,11 +420,10 @@ object Dedup {
     * columns both sides: (id: long, ph: long); returns (delta_id,
     * base_id, hamming ≤ maxHamming). */
   def hammingBandPairsAgainst(delta: DataFrame, base: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, geom: BandGeometry = Geometry4x16): DataFrame = {
     def banded(df: DataFrame, idAs: String, phAs: String) =
       df.select(col("id").as(idAs), col("ph").as(phAs),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), simHashBand(col("ph"), b).as("bv"))): _*)).as("bk"))
+        bandStructs(col("ph"), geom).as("bk"))
     banded(delta, "delta_id", "ph_d").join(banded(base, "base_id", "ph_b"), "bk")
       // fingerprints stay in the dedup key (ADVICE r17 #4): if ids ever
       // alias across items within a side, equal-hamming collisions must
@@ -336,10 +457,10 @@ object Dedup {
     * are 8 bytes/frame, trivially cheaper than re-decoding payloads)
     * and pass the landed frame. The gate entry keeps the chain live
     * so the oracle replays one plan end-to-end. */
-  def hammingBandPairsFramed(framed: DataFrame, maxHamming: Int): DataFrame = {
+  def hammingBandPairsFramed(framed: DataFrame, maxHamming: Int,
+      geom: BandGeometry = Geometry4x16): DataFrame = {
     val banded = framed.select(col("id"), col("nf"), col("f"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), simHashBand(col("ph"), b).as("bv"))): _*)).as("bk"))
+      bandStructs(col("ph"), geom).as("bk"))
     val a = banded.select(col("id").as("id_a"), col("nf").as("nf_a"),
       col("f"), col("bk"))
     val b = banded.select(col("id").as("id_b"), col("nf").as("nf_b"),
