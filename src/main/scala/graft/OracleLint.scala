@@ -228,8 +228,8 @@ object OracleLint {
     "pl_incremental_ingest" -> "base",
     "pl_mix_weights" -> "t",
     "pl_perplexity_filter" -> "bg", "pl_perplexity_filter" -> "f",
-    "pl_semdedup" -> "base", "pl_semdedup" -> "e",
-    "pl_semdedup_trained" -> "base",
+    // pl_semdedup base/e and pl_semdedup_trained base: materialized on
+    // touch (r18 k-∝-N edit) and deleted per the shrink-on-touch rule
     "pl_suffix_dedup" -> "w",
     "sim_ann_ivf" -> "base", "sim_ann_ivf" -> "e",
     "sim_ann_ivfpq" -> "e", "sim_ann_ivfpq" -> "p", "sim_ann_ivfpq" -> "cand",

@@ -1425,7 +1425,10 @@ object QueriesPipeline {
 
   /** Full Lloyd k-means training ([[Similarity.kmeansLloyd]]) — the
     * iterative M-step the sim_kmeans_assign E-step was missing
-    * (VERDICT r10 #3): K=8 pinned seeds, 2 E+M rounds, then the final
+    * (VERDICT r10 #3): k ∝ N rank-pinned seeds (r18,
+    * [[Similarity.clustersFor]] — the floor keeps k = 8 at gate SFs
+    * while rehearsal SFs grow k with the corpus, mirrored by the
+    * oracle's scalar-subquery LIMIT), 2 E+M rounds, then the final
     * assignment — all in scaled-BIGINT arithmetic (floor(x·1e6 + 0.5)
     * vectors, integer squared-L2, floorDiv centroid means) so the
     * oracle replays every iteration bit-exactly in chained CTEs, the
@@ -1436,13 +1439,17 @@ object QueriesPipeline {
     * state collected driver-side and re-broadcast — lineage stays
     * flat without checkpoints). */
   val simKmeansLloyd: Entry = Entry("sim_kmeans_lloyd",
-    (s, d) => Similarity.kmeansLloyd(emb(s, d), k = 8, iters = LloydIters)
-      .orderBy("vec_id"),
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.kmeansLloyd(e, k = Similarity.clustersFor(e.count()),
+        iters = LloydIters).orderBy("vec_id")
+    },
     Some(s"""WITH e AS MATERIALIZED (SELECT vec_id,
       |  list_transform(CAST(embedding AS DOUBLE[]),
       |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
       | FROM embeddings),
-      |c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+      | LIMIT (SELECT greatest(8, (count(*) + 511) // 512) FROM e)),
       |${(1 to LloydIters).map(lloydIterSql).mkString(",\n")},
       |df AS (SELECT e.vec_id, c.cid,
       |  list_sum(list_transform(list_zip(e.v, c.cv),
@@ -1496,8 +1503,13 @@ object QueriesPipeline {
     * component copy of every vec_id % 7 == 0 row (cos ≈ 0.9999 to its
     * source vs ≈ 0±0.13 between unrelated random vectors — the 0.9 cut
     * sits 5+ sigma from the natural mass, so no boundary flakiness).
-    * K=8 pinned centroids (quality shifts recall, never semantics);
-    * the oracle replays every decision: pinned assignment, d2-desc
+    * k ∝ N pinned-seed centroids (r18, [[Similarity.clustersFor]] —
+    * the SemDeDup paper's own prescription, VERDICT r17 #2: the floor
+    * keeps k = 8 at gate SFs so small-SF results are unchanged, while
+    * rehearsal SFs grow k so cluster size — and with it BOTH the
+    * engine's per-cluster quadratic pass and the oracle's rm pair
+    * join — stays ~512 instead of N/8; quality shifts recall, never
+    * semantics); the oracle replays every decision: pinned assignment, d2-desc
     * keep-priority rank, upper-triangular 6-dp cosine threshold. The
     * planted copy and its source land in the same cluster; whichever
     * sits nearer the centroid is removed (the paper's keep-the-outlier
@@ -1521,16 +1533,19 @@ object QueriesPipeline {
         base.where(col("vec_id") % 7 === 0)
           .select((col("vec_id") + 100000).as("vec_id"),
             transform(col("embedding"), x => x + lit(0.002)).as("embedding")))
-      Similarity.semDedup(corpus, k = 8, tau = 0.9).orderBy("vec_id")
+      Similarity.semDedup(corpus, k = Similarity.clustersFor(corpus.count()),
+        tau = 0.9).orderBy("vec_id")
     },
-    Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    Some("""WITH base AS MATERIALIZED (SELECT vec_id,
+      |  CAST(embedding AS DOUBLE[]) AS v
       | FROM embeddings),
-      |e AS (SELECT vec_id, v FROM base
+      |e AS MATERIALIZED (SELECT vec_id, v FROM base
       | UNION ALL
       | SELECT vec_id + 100000 AS vec_id,
       |        list_transform(v, x -> x + 0.002) AS v
       | FROM base WHERE vec_id % 7 = 0),
-      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+      | LIMIT (SELECT greatest(8, (count(*) + 511) // 512) FROM e)),
       |d AS (SELECT e.vec_id, c.cid, e.v,
       |  list_sum(list_transform(list_zip(e.v, c.cv),
       |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
@@ -1571,13 +1586,15 @@ object QueriesPipeline {
         base.where(col("vec_id") % 7 === 0)
           .select((col("vec_id") + 100000).as("vec_id"),
             transform(col("embedding"), x => x + lit(0.002)).as("embedding")))
-      val cents = Similarity.kmeansLloydTrain(corpus, k = 8, iters = LloydIters)
+      val cents = Similarity.kmeansLloydTrain(corpus,
+          k = Similarity.clustersFor(corpus.count()), iters = LloydIters)
         .select(col("cid"),
           transform(col("cv"), x => x.cast("double") / lit(1000000.0)).as("cv"))
       Similarity.semDedupWith(corpus, cents, tau = 0.9, Int.MaxValue)._1
         .drop("passed_through").orderBy("vec_id")
     },
-    Some(s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    Some(s"""WITH base AS MATERIALIZED (SELECT vec_id,
+      |  CAST(embedding AS DOUBLE[]) AS v
       | FROM embeddings),
       |ed AS MATERIALIZED (SELECT vec_id, v FROM base
       | UNION ALL
@@ -1587,7 +1604,8 @@ object QueriesPipeline {
       |e AS MATERIALIZED (SELECT vec_id,
       |  list_transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
       | FROM ed),
-      |c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+      | LIMIT (SELECT greatest(8, (count(*) + 511) // 512) FROM e)),
       |${(1 to LloydIters).map(lloydIterSql).mkString(",\n")},
       |cd AS (SELECT cid,
       |  list_transform(cv, x -> CAST(x AS DOUBLE) / 1000000) AS cv

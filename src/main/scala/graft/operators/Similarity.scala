@@ -113,11 +113,14 @@ object Similarity {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
     val e = lloydScaled(emb, scale)
-    // pinned initial centroids, k×dim longs driver-side
-    var cents: Map[Long, Array[Long]] = e.where(col("vec_id") < k)
+    // pinned initial centroids — the k LOWEST vec_ids (rank-based, r18:
+    // `vec_id < k` equals this only on a dense id domain and silently
+    // under-seeds on the rehearsal fixtures' block-spaced ids once
+    // k ∝ N outgrows a block) — k×dim longs driver-side
+    var cents: Map[Long, Array[Long]] = e.orderBy(col("vec_id")).limit(k)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    require(cents.size == k, s"k-means seed needs vec_ids 0..${k - 1}")
+    require(cents.size == k, s"k-means rank seeding needs >= $k distinct vec_ids")
     def centsDF: DataFrame = spark.createDataFrame(
       spark.sparkContext.parallelize(
         cents.toSeq.sortBy(_._1).map { case (c, a) => Row(c, a.toSeq) }, 1),
@@ -206,9 +209,23 @@ object Similarity {
       clusterCap: Int): (DataFrame, DataFrame) = {
     val e = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
     semDedupWith(emb,
-      e.where(col("vec_id") < k).select(col("vec_id").as("cid"), col("v").as("cv")),
+      e.orderBy(col("vec_id")).limit(k) // the k LOWEST ids, any id domain
+        .select(col("vec_id").as("cid"), col("v").as("cv")),
       tau, clusterCap)
   }
+
+  /** k ∝ N sizing for the clustering-based dedup family (VERDICT r17
+    * #2 — the SemDeDup paper's own prescription, 50k clusters over
+    * LAION-440M): enough clusters that the EXPECTED cluster size is
+    * `targetClusterSize`, floored at the legacy 8. This bounds the
+    * per-cluster quadratic pass at N·target/2 pairs TOTAL (∝ N, never
+    * (N/8)²) and keeps each flatMapGroups task's materialized group
+    * ~target·dim doubles, while the k·dim driver/broadcast centroid
+    * state stays coordinator-sized (at 10⁹ items and target 512 it is
+    * ~1 GB — raise target with extreme N; the audit frame makes a
+    * binding cap observable either way). */
+  def clustersFor(n: Long, targetClusterSize: Long = 512L): Int =
+    math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
 
   /** [[semDedupAudited]] against a CALLER-SUPPLIED centroid frame
     * (cid, cv: Array[Double]) — the [[kmeansAssign]] contract applied

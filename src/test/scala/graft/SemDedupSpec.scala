@@ -15,6 +15,22 @@ class SemDedupSpec extends SparkSpec {
   private def df(rows: Seq[(Long, Seq[Float])]) =
     rows.toDF("vec_id", "embedding")
 
+  test("clustersFor: k ∝ N above the floor; rank seeds survive sparse id domains") {
+    // the sizing rule (VERDICT r17 #2): expected cluster size ~target
+    assert(Similarity.clustersFor(100) == 8)
+    assert(Similarity.clustersFor(4096) == 8)           // 4096/512 = 8 exactly
+    assert(Similarity.clustersFor(4097) == 9)
+    assert(Similarity.clustersFor(600000) == 1172)      // the sf30 corpus
+    assert(Similarity.clustersFor(600000, 250) == 2400)
+    // rank-based seeding: ids NOT dense below k (the rehearsal
+    // fixtures' block-spaced domain) — `vec_id < k` would under-seed
+    val sparse = df((0L until 12L).map(i =>
+      (i * 1000000L + 3L, Seq.tabulate(4)(j => (i + j).toFloat))))
+    val cents = Similarity.kmeansLloydTrain(sparse, k = 10, iters = 1)
+    assert(cents.count() == 10)
+    assert(cents.agg(max("cid")).head().getLong(0) == 9000003L) // 10 lowest ids
+  }
+
   test("duplicate group keeps the farthest-from-centroid member only") {
     // centroids: vec 0 at (1,0), vec 1 at (-1,0) (k=2 pinned seeds).
     // cluster of centroid 0 gets a near-dup pair: vecs 10 and 11 point
