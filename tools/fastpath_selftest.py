@@ -134,6 +134,44 @@ def run_trips():
     return bad
 
 
+def run_refusal_trip(sf_dir):
+    """r17 VERDICT #5: above VERIFY_REFUSE_ROWS a fastpath refusal must
+    report FAIL-resource (exit 1), never fetchall() a giant; below it
+    the documented python fall-back still runs and passes."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    base = "target/tmp/fastpath_selftest_refusal"
+    d = os.path.join(base, "zz_struct_giant")
+    os.makedirs(d, exist_ok=True)
+    ssql = "SELECT {'a': x} AS v, x AS k FROM range(0, 5) t(x)"
+    duckdb.connect().execute(
+        f"COPY ({ssql}) TO '{d}/part-0.parquet' (FORMAT PARQUET)")
+    json.dump({"zz_struct_giant": ssql + " ORDER BY k"},
+              open(os.path.join(base, "oracle_sql.json"), "w"))
+    vl = [sys.executable, os.path.join(here, "verify_local.py"), sf_dir, base]
+    bad = 0
+    p = subprocess.run(vl, capture_output=True, text=True,
+                       env=dict(os.environ, VERIFY_FASTPATH_ROWS="1",
+                                VERIFY_REFUSE_ROWS="2"))
+    if "[FAIL-resource]" not in p.stdout or p.returncode == 0:
+        print(f"TRIP-BAD  refusal: expected FAIL-resource + exit 1, got "
+              f"rc={p.returncode}\n{p.stdout}")
+        bad += 1
+    else:
+        print("trip-ok   refusal: giant unsupported-type result refused "
+              "(FAIL-resource), no python fetchall")
+    p = subprocess.run(vl, capture_output=True, text=True,
+                       env=dict(os.environ, VERIFY_FASTPATH_ROWS="1",
+                                VERIFY_REFUSE_ROWS="1000"))
+    if "[OK       ] zz_struct_giant" not in p.stdout or p.returncode != 0:
+        print(f"TRIP-BAD  refusal: small result should python-fall-back OK, "
+              f"got rc={p.returncode}\n{p.stdout}")
+        bad += 1
+    else:
+        print("trip-ok   refusal: below the threshold the python fall-back "
+              "still compares (and passes)")
+    return bad
+
+
 def _verdicts(txt):
     v = {}
     for line in txt.splitlines():
@@ -162,6 +200,8 @@ def run_parity(sf_dir, out_dir):
 
 def main():
     bad = run_trips()
+    bad += run_refusal_trip(sys.argv[1] if len(sys.argv) > 2
+                            else "/root/testdata/sf0.001")
     if len(sys.argv) > 2:
         bad += run_parity(sys.argv[1], sys.argv[2])
     print(f"== fastpath selftest: {'PASS' if bad == 0 else f'{bad} FAILURES'}")

@@ -65,18 +65,41 @@ def main():
     # duckdb_temp_storage-N.tmp names, and one instance unlinking the
     # other's spill file aborts the whole process with an IOException
     # (bit the r16 sf10 run: shard1 died SIGABRT mid-gate).
-    # r15 ADVICE (low): shard dirs persist across runs — a rerun with a
-    # different nShards/only_regex would re-verify stale symlinks (or
-    # crash a shard on a dangling one). Empty every existing shard dir,
-    # including higher-numbered leftovers from a previous wider run.
+    # r17 VERDICT #4: concurrent launches collided on the fixed
+    # <outDir>_shard<i> names — a mid-run re-split clobbered a
+    # sibling's queue and logs (~40 min of recompares at the sf30
+    # rung). Shard dirs/logs/temps now carry the launcher pid; stale
+    # dirs from DEAD launchers (and the pre-pid name format) are
+    # reaped, live siblings' dirs are left alone.
+    pid = os.getpid()
+
+    def _launcher_alive(path):
+        m = re.search(r"_shard(\d+)p\d+$", path)
+        if not m:
+            return False  # pre-pid format: always stale
+        lp = int(m.group(1))
+        if lp == pid:
+            return False  # pid-reuse leftover: ours now, safe to reap
+        try:
+            os.kill(lp, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # alive under another uid
+
     for sd in glob.glob(f"{out_dir}_shard*"):
-        if os.path.isdir(sd):
+        if os.path.isdir(sd) and not _launcher_alive(sd):
             for entry in os.listdir(sd):
                 p = os.path.join(sd, entry)
                 if os.path.islink(p) or os.path.isfile(p):
                     os.unlink(p)
+            try:
+                os.rmdir(sd)
+            except OSError:
+                pass
     for i, names in enumerate(shards):
-        sd = f"{out_dir}_shard{i}"
+        sd = f"{out_dir}_shard{pid}p{i}"
         os.makedirs(sd, exist_ok=True)
         for name in names:
             dst = os.path.join(sd, name)
@@ -86,7 +109,7 @@ def main():
         log = open(f"{sd}.log", "w")
         env = dict(env_base)
         env["VERIFY_DUCKDB_TEMP"] = env_base.get(
-            "VERIFY_DUCKDB_TEMP", f"{out_dir}_duck_tmp") + f"_{i}"
+            "VERIFY_DUCKDB_TEMP", f"{out_dir}_duck_tmp") + f"_{pid}p{i}"
         procs.append((subprocess.Popen(
             [sys.executable, os.path.join(os.path.dirname(__file__), "verify_local.py"),
              sf_dir, sd], stdout=log, stderr=subprocess.STDOUT, env=env), sd))

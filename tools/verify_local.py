@@ -239,6 +239,7 @@ def main():
     oracle_memo = {}
     digest_memo = {}
     fast_rows = int(os.environ.get("VERIFY_FASTPATH_ROWS", "1000000"))
+    refuse_rows = int(os.environ.get("VERIFY_REFUSE_ROWS", "1000000"))
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):
@@ -257,6 +258,23 @@ def main():
                     n_ok += 1
                 else:
                     n_fail += 1
+                continue
+            # r17 VERDICT #5: a fastpath refusal (unsupported column
+            # type / digest error) on a GIANT must not silently fall
+            # back to the python tuple compare — fetchall() at sf30 row
+            # counts was measured at ~90 GB RSS and killed two compare
+            # processes. Report a resource failure to fix at the
+            # dump/oracle (cast the column, split the entry) instead.
+            # The threshold is separate from VERIFY_FASTPATH_ROWS so
+            # the selftest's forced-fastpath parity sweep (=1) still
+            # exercises the documented small-result fall-back.
+            if nrows >= refuse_rows:
+                print(f"  [FAIL-resource] {name}: {nrows} rows and the digest "
+                      f"fastpath refused (see message above) — python compare "
+                      f"at this size OOMs the host; fix the dump/oracle types "
+                      f"or raise VERIFY_REFUSE_ROWS explicitly")
+                sql_uses[oracle[name]] -= 1
+                n_fail += 1
                 continue
         got = con.execute(spark_src)
         gcols = [d[0] for d in got.description]
