@@ -2104,7 +2104,7 @@ object QueriesPipeline {
     * Corpus is UNCAPPED (r18, VERDICT r17 #1): the r17 cap existed
     * because the fixed 4×16 banding saturated — n²/2^16-shaped
     * candidate volume, ~5×10⁸ rows / ~50 GB shuffle measured at
-    * sf30's 4.5M frames. The banding is now [[VideoBandGeom]] —
+    * sf30's 4.5M frames. The banding is now [[MediaBandGeom]] —
     * [[Dedup.geometryFor]] sized for the ~10⁷-frame design corpus
     * (B=5 blocks → 10 tables of ≥25-bit keys) — so random collisions
     * stay ∝ n and the remaining candidate mass is the corpus's
@@ -2112,7 +2112,7 @@ object QueriesPipeline {
     * 2²¹ states — fixture-real near-dups both engines replay
     * identically). Plant ids live at doc_id + max(doc_id)+1, derived
     * like mm_incremental_near_dup's namespaces. */
-  private[graft] val VideoBandGeom = Dedup.geometryFor(8L * 1000 * 1000)
+  private[graft] val MediaBandGeom = Dedup.geometryFor(8L * 1000 * 1000)
 
   val mmVideoNearDup: Entry = Entry("mm_video_near_dup",
     (s, d) => {
@@ -2133,7 +2133,7 @@ object QueriesPipeline {
           size(col("sig")).cast("long").as("nf"), posexplode(col("sig")))
         .select(col("id"), col("nf"), col("pos").cast("long").as("f"),
           col("col").as("ph"))
-      Dedup.hammingBandPairsFramed(framed, maxHamming = 6, VideoBandGeom)
+      Dedup.hammingBandPairsFramed(framed, maxHamming = 6, MediaBandGeom)
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH mx AS MATERIALIZED (SELECT max(doc_id) + 1 AS m FROM documents),
@@ -2172,7 +2172,7 @@ object QueriesPipeline {
       | FROM bits GROUP BY id, nf, f),
       |bands AS MATERIALIZED (SELECT id, nf, f, ph, t.b,
       |   ${Dedup.bandSqlKey("ph")} AS k
-      | FROM ph, ${Dedup.bandSqlValues(VideoBandGeom)}),
+      | FROM ph, ${Dedup.bandSqlValues(MediaBandGeom)}),
       |cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
       | FROM bands a JOIN bands c ON a.f = c.f AND a.b = c.b AND a.k = c.k
       |   AND a.id < c.id AND a.nf = c.nf),
@@ -2358,6 +2358,216 @@ object QueriesPipeline {
       | WHERE d.side = 1 AND b.side = 0),
       |cnt AS (SELECT new_id, count(*) AS n FROM cand
       | WHERE bit_count(xor(pd, pb)) <= 6 GROUP BY new_id)
+      |SELECT c.id AS new_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_base_dups,
+      | CASE WHEN coalesce(cnt.n, 0) > 0 THEN 'dropped' ELSE 'kept' END AS status
+      |FROM corpus c LEFT JOIN cnt ON cnt.new_id = c.id
+      |WHERE c.side = 1
+      |ORDER BY new_id""".stripMargin))
+
+  /** Incremental near-dup ingest for AUDIO — [[mmIncrementalNearDup]]'s
+    * envelope-fingerprint sibling (VERDICT r17 #7), closing the
+    * delta-vs-base matrix for the 1-D modality: an audio increment's
+    * [[MultiModal.wavEnergyHash64]] fingerprints (real WAV encode →
+    * RIFF chunk-walk decode → 65-window energy envelope → 64
+    * threshold bits) probe the accumulated corpus via
+    * [[Dedup.hammingBandPairsAgainst]] under [[MediaBandGeom]]
+    * (B=5 sized banding — the incremental path runs the same
+    * parameterized geometry as the batch tier). Plants cover both
+    * ledger outcomes: doc_id % 13 == 0 audio re-arrives with window 0
+    * shifted +64 (feeds only fingerprint bit 0 → Hamming ≤ 1 →
+    * guaranteed catch → dropped); doc_id % 9 == 0 slots gain NEW
+    * audio (fresh avalanched samples seeded in the corpus-derived
+    * [3m,4m) namespace → envelopes near Hamming 32 from everything →
+    * kept). The oracle replays the ENTIRE integer pipeline — pxMix
+    * samples, window energies, threshold bits, pack, the B=5 banding,
+    * the delta×base bucket join, the Hamming verify — so chance
+    * collisions resolve identically. Scale shape: payload bytes never
+    * leave the scan stage; the exchange carries (id, int64) band
+    * rows; no base-base pair is ever formed. */
+  val mmIncrementalAudio: Entry = Entry("mm_incremental_audio",
+    (s, d) => {
+      val mf = plantFloor(s, d)
+      val withM = docs(s, d).select(col("doc_id"),
+        (col("doc_id") % 3 + 4).cast("int").as("m"))
+      def hashed(src: Column, pert: Boolean) =
+        MultiModal.wavEnergyHash64Udf(MultiModal.encodeWavMixedUdf(
+          src, col("m"), lit(pert))).as("ph")
+      val base = withM.select(col("doc_id").as("id"),
+        hashed(col("doc_id"), pert = false))
+      val delta = withM.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + mf).as("id"),
+          hashed(col("doc_id"), pert = true))
+        .unionByName(withM.where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + mf * 2).as("id"),
+            hashed(col("doc_id") + mf * 3, pert = false)))
+      val counts = Dedup
+        .hammingBandPairsAgainst(delta, base, maxHamming = 6, MediaBandGeom)
+        .groupBy("delta_id").agg(count(lit(1)).as("n_base_dups"))
+        .withColumnRenamed("delta_id", "new_id")
+      delta.select(col("id").as("new_id"))
+        .join(counts, Seq("new_id"), "left")
+        .select(col("new_id"),
+          coalesce(col("n_base_dups"), lit(0L)).as("n_base_dups"))
+        .withColumn("status",
+          when(col("n_base_dups") > 0, "dropped").otherwise("kept"))
+        .orderBy("new_id")
+    },
+    Some(s"""WITH mx AS MATERIALIZED (SELECT max(doc_id) + 1 AS mf FROM documents),
+      |corpus AS MATERIALIZED (
+      | SELECT doc_id AS id, doc_id AS src, doc_id AS wsrc, FALSE AS pert,
+      |        0 AS side FROM documents
+      | UNION ALL
+      | SELECT doc_id + mf, doc_id, doc_id, TRUE, 1 FROM documents, mx
+      |  WHERE doc_id % 13 = 0
+      | UNION ALL
+      | SELECT doc_id + 2 * mf, doc_id + 3 * mf, doc_id, FALSE, 1
+      |  FROM documents, mx WHERE doc_id % 9 = 0),
+      |g AS (SELECT id, src, pert, side, CAST(4 + wsrc % 3 AS BIGINT) AS m,
+      |   src * 37 + 5 AS seed FROM corpus),
+      |sm AS (SELECT id, pert, side, m, seed, t1.w, t1.w * m + t2.j AS p
+      | FROM g, range(0, 65) t1(w), range(0, 6) t2(j) WHERE t2.j < m),
+      |v0 AS (SELECT id, pert, side, w, p,
+      |   (seed * 7919 + p * 104729 + 12345) % 2097152 AS t1 FROM sm),
+      |v1 AS (SELECT id, pert, side, w, p,
+      |   (t1 * 2654435761) % 2147483648 AS t2 FROM v0),
+      |v2 AS (SELECT id, pert, side, w, p,
+      |   (xor(t2, t2 // 32768) * 1597334677) % 2147483648 AS t4 FROM v1),
+      |v3 AS (SELECT id, pert, side, w, p,
+      |   (xor(t4, t4 // 65536) // 512) % 256 - 128 AS s0 FROM v2),
+      |vals AS (SELECT id, side, w,
+      |   CASE WHEN pert AND w = 0 THEN s0 + 64 ELSE s0 END AS s FROM v3),
+      |en AS MATERIALIZED (SELECT id, side, w, CAST(sum(s * s) AS BIGINT) AS e
+      | FROM vals GROUP BY 1, 2, 3),
+      |bits AS (SELECT a.id, a.side, a.w AS x,
+      |   CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+      | FROM en a JOIN en n ON a.id = n.id AND a.side = n.side
+      |   AND n.w = a.w + 1
+      | WHERE a.w < 64),
+      |ph AS (SELECT id, side, CAST(sum(CASE WHEN bit = 1 THEN
+      |   (CASE WHEN x = 63 THEN -9223372036854775808
+      |         ELSE 1::BIGINT << x END) ELSE 0 END) AS BIGINT) AS ph
+      | FROM bits GROUP BY id, side),
+      |bands AS MATERIALIZED (SELECT id, side, ph, t.b,
+      |   ${Dedup.bandSqlKey("ph")} AS k
+      | FROM ph, ${Dedup.bandSqlValues(MediaBandGeom)}),
+      |cand AS (SELECT DISTINCT d.id AS new_id, b.id AS base_id,
+      |   d.ph AS pd, b.ph AS pb
+      | FROM bands d JOIN bands b ON d.b = b.b AND d.k = b.k
+      | WHERE d.side = 1 AND b.side = 0),
+      |cnt AS (SELECT new_id, count(*) AS n FROM cand
+      | WHERE bit_count(xor(pd, pb)) <= 6 GROUP BY new_id)
+      |SELECT c.id AS new_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_base_dups,
+      | CASE WHEN coalesce(cnt.n, 0) > 0 THEN 'dropped' ELSE 'kept' END AS status
+      |FROM corpus c LEFT JOIN cnt ON cnt.new_id = c.id
+      |WHERE c.side = 1
+      |ORDER BY new_id""".stripMargin))
+
+  /** Incremental near-dup ingest for VIDEO — the temporal rung of the
+    * delta-vs-base matrix (VERDICT r17 #7), completing it across all
+    * four fingerprint modalities (text minhash, image dHash, audio
+    * envelope, video framed dHash): a video increment's per-frame
+    * dHash sequences probe the accumulated corpus through
+    * [[Dedup.hammingBandPairsFramedAgainst]] under [[MediaBandGeom]] —
+    * candidates must collide on the SAME frame's sized band key and
+    * agree on total frame count, the exact verify sums Hamming over
+    * aligned frames, and only delta×base pairs are ever formed (the
+    * base's (frame, key) rows are the precomputable stored index).
+    * Plants: doc_id % 7 == 0 videos re-arrive with ONE pixel of FRAME
+    * 0 shifted (+128 → ≤ 2 bits flip on frame 0, every later frame
+    * bit-identical → recall GUARANTEED by the untouched frames' keys
+    * → dropped); doc_id % 9 == 0 slots gain NEW video (fresh pxMix
+    * seeds in the corpus-derived [3m,4m) namespace, same w/nf as the
+    * slot so the frame-count gate passes and rejection must come from
+    * the hashes → kept). The oracle replays per-frame seeds, the dHash
+    * grid, the frame-keyed B=5 banding and the aligned verify in SQL.
+    * Scale shape: payloads never leave the scan stage; exchanges
+    * carry (id, frame, int64) rows only. */
+  val mmIncrementalVideo: Entry = Entry("mm_incremental_video",
+    (s, d) => {
+      val mf = plantFloor(s, d)
+      val withG = docs(s, d).select(col("doc_id"),
+        (col("doc_id") % 8 + 16).cast("int").as("w"),
+        (col("doc_id") % 3 + 2).cast("int").as("nf"))
+      def framedOf(rows: DataFrame, id: Column, src: Column, pert: Boolean) =
+        rows.select(id.as("id"),
+            MultiModal.y4mFrameHashesUdf(MultiModal.encodeY4mMixedUdf(
+              src, col("w"), col("w"), col("nf"), lit(pert))).as("sig"))
+          .select(col("id"), size(col("sig")).cast("long").as("nf"),
+            posexplode(col("sig")))
+          .select(col("id"), col("nf"), col("pos").cast("long").as("f"),
+            col("col").as("ph"))
+      val base = framedOf(withG, col("doc_id"), col("doc_id"), pert = false)
+      val delta = framedOf(withG.where(col("doc_id") % 7 === 0),
+          col("doc_id") + mf, col("doc_id"), pert = true)
+        .unionByName(framedOf(withG.where(col("doc_id") % 9 === 0),
+          col("doc_id") + mf * 2, col("doc_id") + mf * 3, pert = false))
+      val counts = Dedup
+        .hammingBandPairsFramedAgainst(delta, base, maxHamming = 6,
+          MediaBandGeom)
+        .groupBy("delta_id").agg(count(lit(1)).as("n_base_dups"))
+        .withColumnRenamed("delta_id", "new_id")
+      delta.select(col("id").as("new_id")).distinct()
+        .join(counts, Seq("new_id"), "left")
+        .select(col("new_id"),
+          coalesce(col("n_base_dups"), lit(0L)).as("n_base_dups"))
+        .withColumn("status",
+          when(col("n_base_dups") > 0, "dropped").otherwise("kept"))
+        .orderBy("new_id")
+    },
+    Some(s"""WITH mx AS MATERIALIZED (SELECT max(doc_id) + 1 AS mf FROM documents),
+      |corpus AS MATERIALIZED (
+      | SELECT doc_id AS id, doc_id AS src, doc_id AS wsrc, FALSE AS pert,
+      |        0 AS side FROM documents
+      | UNION ALL
+      | SELECT doc_id + mf, doc_id, doc_id, TRUE, 1 FROM documents, mx
+      |  WHERE doc_id % 7 = 0
+      | UNION ALL
+      | SELECT doc_id + 2 * mf, doc_id + 3 * mf, doc_id, FALSE, 1
+      |  FROM documents, mx WHERE doc_id % 9 = 0),
+      |g AS (SELECT id, src, pert, side, CAST(16 + wsrc % 8 AS BIGINT) AS w,
+      |   CAST(2 + wsrc % 3 AS BIGINT) AS nf FROM corpus),
+      |fr AS (SELECT id, src, pert, side, w, nf, CAST(t0.f AS BIGINT) AS f
+      | FROM g, range(0, 4) t0(f) WHERE t0.f < nf),
+      |s AS (SELECT id, pert, side, w, nf, f, t1.y, t2.x,
+      |   ((y * w) // 8) * w + ((x * w) // 9) AS p,
+      |   src * 131 + f * 997 + 1 AS seed
+      | FROM fr, range(0, 8) t1(y), range(0, 9) t2(x)),
+      |v0 AS (SELECT id, pert, side, w, nf, f, y, x, p,
+      |   (seed * 7919 + p * 104729 + 12345) % 2097152 AS t1 FROM s),
+      |v1 AS (SELECT id, pert, side, w, nf, f, y, x, p,
+      |   (t1 * 2654435761) % 2147483648 AS t2 FROM v0),
+      |v2 AS (SELECT id, pert, side, w, nf, f, y, x, p,
+      |   (xor(t2, t2 // 32768) * 1597334677) % 2147483648 AS t4 FROM v1),
+      |v3 AS (SELECT id, pert, side, w, nf, f, y, x, p,
+      |   (xor(t4, t4 // 65536) // 512) % 256 AS vv FROM v2),
+      |vals AS MATERIALIZED (SELECT id, side, nf, f, y, x,
+      |   CASE WHEN pert AND f = 0 AND p = ((3 * w) // 8) * w + ((4 * w) // 9)
+      |        THEN (vv + 128) % 256 ELSE vv END AS val FROM v3),
+      |bits AS (SELECT a.id, a.side, a.nf, a.f, a.y, a.x,
+      |   CASE WHEN n.val > a.val THEN 1 ELSE 0 END AS bit
+      | FROM vals a JOIN vals n
+      |   ON a.id = n.id AND a.side = n.side AND a.f = n.f AND a.y = n.y
+      |   AND n.x = a.x + 1
+      | WHERE a.x < 8),
+      |ph AS MATERIALIZED (SELECT id, side, nf, f,
+      |   CAST(sum(CASE WHEN bit = 1 THEN
+      |   (CASE WHEN y * 8 + x = 63 THEN -9223372036854775808
+      |         ELSE 1::BIGINT << (y * 8 + x) END) ELSE 0 END) AS BIGINT) AS ph
+      | FROM bits GROUP BY id, side, nf, f),
+      |bands AS MATERIALIZED (SELECT id, side, nf, f, ph, t.b,
+      |   ${Dedup.bandSqlKey("ph")} AS k
+      | FROM ph, ${Dedup.bandSqlValues(MediaBandGeom)}),
+      |cand AS (SELECT DISTINCT d.id AS new_id, b.id AS base_id
+      | FROM bands d JOIN bands b ON d.f = b.f AND d.b = b.b AND d.k = b.k
+      |   AND d.nf = b.nf
+      | WHERE d.side = 1 AND b.side = 0),
+      |hx AS (SELECT cand.new_id, cand.base_id,
+      |   bit_count(xor(pd.ph, pb.ph)) AS hb
+      | FROM cand JOIN ph pd ON pd.id = cand.new_id AND pd.side = 1
+      |   JOIN ph pb ON pb.id = cand.base_id AND pb.side = 0 AND pb.f = pd.f),
+      |hv AS (SELECT new_id, base_id FROM hx
+      | GROUP BY 1, 2 HAVING sum(hb) <= 6),
+      |cnt AS (SELECT new_id, count(*) AS n FROM hv GROUP BY 1)
       |SELECT c.id AS new_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_base_dups,
       | CASE WHEN coalesce(cnt.n, 0) > 0 THEN 'dropped' ELSE 'kept' END AS status
       |FROM corpus c LEFT JOIN cnt ON cnt.new_id = c.id
@@ -4561,5 +4771,6 @@ object QueriesPipeline {
     simNearDup, plSemDedup, plSemDedupTrained, simRrfFusion,
     simHardNegatives,
     mmDecode, mmResize, mmWav, mmVideoFrames, mmNearDup, mmVideoNearDup,
-    mmAudioNearDup, mmIncrementalNearDup)
+    mmAudioNearDup, mmIncrementalNearDup, mmIncrementalAudio,
+    mmIncrementalVideo)
 }

@@ -478,6 +478,41 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Asymmetric FRAMED banded Hamming probe — [[hammingBandPairsAgainst]]
+    * lifted to fingerprint SEQUENCES (one 64-bit hash per video frame),
+    * closing the incremental-ingest matrix for the temporal modality:
+    * a media increment's frame hashes probe the accumulated corpus
+    * through (frame, table-key) equi-join candidates — temporal
+    * alignment is part of the blocking identity, equal total frame
+    * counts required, and the base's band keys are a precomputable
+    * stored index at 100 TB — then the exact verify sums Hamming over
+    * the aligned frames of candidate pairs only. Delta×base
+    * candidates ONLY; the base is never re-probed against itself.
+    * Recall: any pair sharing a frame with per-frame Hamming ≤ geom.k
+    * (in particular any UNTOUCHED frame) is guaranteed a colliding
+    * key on that frame. Input both sides: (id, nf, f, ph) — one row
+    * per frame; returns (delta_id, base_id, n_frames, hamming). */
+  def hammingBandPairsFramedAgainst(delta: DataFrame, base: DataFrame,
+      maxHamming: Int, geom: BandGeometry = Geometry4x16): DataFrame = {
+    def banded(df: DataFrame, idAs: String, nfAs: String) =
+      df.select(col("id").as(idAs), col("nf").as(nfAs), col("f"),
+        bandStructs(col("ph"), geom).as("bk"))
+    val cand = banded(delta, "delta_id", "nf_d")
+      .join(banded(base, "base_id", "nf_b"), Seq("f", "bk"))
+      .where(col("nf_d") === col("nf_b"))
+      .select(col("delta_id"), col("base_id")).distinct()
+    val fd = delta.select(col("id").as("delta_id"), col("nf"), col("f"),
+      col("ph").as("ph_d"))
+    val fb = base.select(col("id").as("base_id"), col("f"),
+      col("ph").as("ph_b"))
+    cand.join(fd, "delta_id").join(fb, Seq("base_id", "f"))
+      .groupBy("delta_id", "base_id")
+      .agg(max(col("nf")).as("n_frames"),
+        sum(bit_count(col("ph_d").bitwiseXOR(col("ph_b"))).cast("long"))
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Fuzzy (edit-distance ≤ 1) self-join by FastSS deletion-
     * neighborhood blocking (Bocek et al. 2007): each string emits
     * itself plus its delete-one variants as blocking keys; two strings
