@@ -38,23 +38,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** Nearest-centroid argmin as ONE tight JVM loop per vector over a
+    * driver-collected, explicitly-broadcast k×dim centroid matrix —
+    * the scan-stage E-step shape (r18, found AT the sf30 rung once
+    * k ∝ N landed): the old broadcast-cross-join + partial-agg-argmin
+    * spelling materializes N·k rows of interpreted HOF arithmetic
+    * before its map-side combine — 918M rows at 686k vectors ×
+    * k=1340, measured ~45 min per assign — where this is one row per
+    * vector end to end, no expansion, no exchange, k·dim codegen-free
+    * flops in a while loop. Bit-exact contract preserved: the inner
+    * sum is the same left-to-right fold as [[ArrayOps.l2Sq]] (resp.
+    * the integer fold), and iterating cids ASCENDING with strict <
+    * reproduces `min(struct(d2, cid))`'s lexicographic tie-break.
+    * Centroid state is k·dim values through an explicit broadcast —
+    * the sketch-coordinator pattern, the same driver-state class the
+    * Lloyd training loop already holds. */
+  private def argminDoubleUdf(e: DataFrame,
+      cents: Array[(Long, Array[Double])]) = {
+    val bc = e.sparkSession.sparkContext.broadcast(cents)
+    udf((v: Seq[Double]) => {
+      val cs = bc.value
+      var bestC = 0L
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < cs.length) {
+        val cv = cs(j)._2
+        var s = 0.0
+        var i = 0
+        while (i < cv.length) {
+          val d = v(i) - cv(i); s += d * d; i += 1
+        }
+        if (s < bestD) { bestD = s; bestC = cs(j)._1 }
+        j += 1
+      }
+      (bestC, bestD)
+    })
+  }
+
+  private def argminLongUdf(e: DataFrame,
+      cents: Array[(Long, Array[Long])]) = {
+    val bc = e.sparkSession.sparkContext.broadcast(cents)
+    udf((v: Seq[Long]) => {
+      val cs = bc.value
+      var bestC = 0L
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < cs.length) {
+        val cv = cs(j)._2
+        var s = 0L
+        var i = 0
+        while (i < cv.length) {
+          val d = v(i) - cv(i); s += d * d; i += 1
+        }
+        if (s < bestD) { bestD = s; bestC = cs(j)._1 }
+        j += 1
+      }
+      (bestC, bestD)
+    })
+  }
+
   /** Nearest-centroid assignment — the k-means E-step, and the shape of
     * clustering-based corpus curation (assign every embedding to its
     * centroid, then sample/filter per cluster). Centroids arrive as a
-    * K-row frame (cid, cv): broadcast cross join expands each vector
-    * against all K, then a partial-aggregatable `min(struct(d2, cid))`
-    * picks the argmin with a deterministic tie-break — map-side combine
-    * collapses the K-fold expansion back to one row per vector before
-    * the exchange, so the shuffle carries N rows of (id, 16 B struct)
-    * no matter how large K×N is on the map side. */
+    * K-row frame (cid, cv) and run as the [[argminDoubleUdf]]
+    * scan-stage loop: one row per vector regardless of K×N. */
   def kmeansAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
-    e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("cid"), ArrayOps.l2Sq(col("v"), col("cv")).as("d2"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cluster"),
-        round(sqrt(col("m.d2")), 6).as("dist"))
+    val cs = centroids.select(col("cid"), col("cv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    e.select(col("vec_id"), argminDoubleUdf(e, cs)(col("v")).as("m"))
+      .select(col("vec_id"), col("m._1").as("cluster"),
+        round(sqrt(col("m._2")), 6).as("dist"))
   }
 
   /** Full Lloyd k-means — iterated E (nearest-centroid assign) + M
@@ -69,9 +123,9 @@ object Similarity {
     * sums. Initial centroids are pinned deterministically (the k
     * lowest vec_ids); an empty cluster keeps its previous centroid.
     *
-    * Plan shape per iteration: the E-step is the [[kmeansAssign]]
-    * broadcast-expand + partial-agg argmin (shuffle carries one row
-    * per vector regardless of k); the M-step posexplodes members to
+    * Plan shape per iteration: the E-step is the scan-stage argmin
+    * loop ([[argminDoubleUdf]]'s long twin — one row per vector, no
+    * N·k expansion, r18); the M-step posexplodes members to
     * (cluster, dim, x) where map-side combine collapses to k·dim rows
     * before ONE exchange, and the k·dim-long state frame is collected
     * to the driver (the sketch-coordinator pattern — what crosses to
@@ -89,17 +143,17 @@ object Similarity {
       transform(ArrayOps.asDouble(col("embedding")),
         x => floor(x * lit(scale.toDouble) + lit(0.5)).cast("long")).as("v"))
 
-  private def lloydAssign(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), col("v"),
-        aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"))
-      .groupBy("vec_id")
-      // min(struct) argmin; first(v) is safe — v is functionally
-      // determined by the group key
-      .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("v")).as("v"))
-      .select(col("vec_id"), col("m.cid").as("cluster"),
-        col("m.d2").as("d2"), col("v"))
+  private def lloydAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    // scan-stage argmin over the collected centroid matrix (see
+    // argminDoubleUdf's scaladoc) — exact integer arithmetic, so the
+    // only determinism concern is the (d2, cid) tie-break, preserved
+    // by the ascending-cid strict-< walk
+    val cs = cents.select(col("cid"), col("cv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    e.select(col("vec_id"), col("v"), argminLongUdf(e, cs)(col("v")).as("m"))
+      .select(col("vec_id"), col("m._1").as("cluster"),
+        col("m._2").as("d2"), col("v"))
+  }
 
   /** The Lloyd TRAINING loop alone: returns the final centroid frame
     * (cid, cv: Array[Long] at `scale`) — the handoff [[semDedupWith]]
@@ -169,9 +223,9 @@ object Similarity {
     * is rounded to 6 dp before the threshold compare — every decision
     * is a total order both engines walk identically.
     *
-    * Scale shape: assignment is the [[kmeansAssign]] broadcast-expand
-    * + partial-agg argmin (the exchange carries one row per vector
-    * regardless of k); the per-cluster pairwise pass is a typed
+    * Scale shape: assignment is the scan-stage argmin loop over the
+    * broadcast centroid matrix ([[argminDoubleUdf]] — one row per
+    * vector, no N·k expansion, r18); the per-cluster pairwise pass is a typed
     * `flatMapGroups` — ONE fact scan, vectors cross the cluster
     * exchange exactly once, and each cluster's quadratic runs as a
     * tight in-task loop (the paper's own execution model: per-cluster
@@ -239,14 +293,14 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = emb.select(col("vec_id"), ArrayOps.asDouble(col("embedding")).as("v"))
-    val cents = centroids.select(col("cid"), col("cv"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), col("v"),
-        ArrayOps.l2Sq(col("v"), col("cv")).as("d2"))
-      .groupBy("vec_id")
-      // first(v) is safe: v is functionally determined by the group key
-      .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("v")).as("v"))
-      .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d2").as("d2"),
+    // scan-stage argmin over the collected centroid matrix (see
+    // argminDoubleUdf): one row per vector, no N·k expansion — the
+    // binding cost at rehearsal scale once k ∝ N landed
+    val cs = centroids.select(col("cid"), col("cv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val assigned = e
+      .select(col("vec_id"), col("v"), argminDoubleUdf(e, cs)(col("v")).as("m"))
+      .select(col("vec_id"), col("m._1").as("cluster"), col("m._2").as("d2"),
         col("v"))
     val marked = assigned
       .as[(Long, Long, Double, Seq[Double])]

@@ -723,14 +723,17 @@ class PlanShapeSpec extends SparkSpec {
 
   test("pl_semdedup: one fact scan, vectors cross the cluster exchange once") {
     // SemDeDup's per-cluster quadratic runs inside flatMapGroups: the
-    // plan must be argmin exchange + cluster groupByKey exchange and
-    // NOTHING else — the relational spelling (window + self-join +
-    // semi-join) executed three fact scans and six exchanges because
-    // column pruning de-unifies the self-join branches (Similarity
-    // scaladoc records the measurement).
+    // plan must be the cluster groupByKey exchange and NOTHING else —
+    // the argmin is a scan-stage loop over the broadcast centroid
+    // matrix since r18 (the old expand+partial-agg spelling carried
+    // its own exchange AND N·k map-side rows — ~45 min/assign at the
+    // sf30 rung once k ∝ N landed), and the relational spelling
+    // (window + self-join + semi-join) executed three fact scans and
+    // six exchanges because column pruning de-unifies the self-join
+    // branches (Similarity scaladoc records the measurement).
     val p = staticPlan(QueriesPipeline.plSemDedup.fn(spark, sf))
     withClue(p) {
-      hashEx(p) shouldBe 2
+      hashEx(p) shouldBe 1
       "Scan parquet".r.findAllIn(p).size should be <= 4 // fact + centroid slice, per union arm
       p should not include "CartesianProduct"
       p should include("MapGroups")
