@@ -816,16 +816,32 @@ object QueriesAggWindow {
     * (1.2 s at p=9, 2.8 s at p=13, 4.2 s at p=14 isolated at sf0.1) —
     * p=13 buys robustness without doubling the entry. */
   val gApproxDistinct: Entry = Entry("g_approx_distinct",
-    (s, d) => li(s, d).groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.015).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        count(lit(1)).as("n_rows"))
-      .withColumn("quality_ok",
-        abs(col("approx_parts") - col("exact_parts")).cast("double") /
-          col("exact_parts") < 0.05)
-      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
-        col("quality_ok"))
-      .orderBy("l_returnflag"),
+    // SPLIT aggregation (r18 optimization): mixing the HLL aggregate
+    // with countDistinct in ONE agg makes Spark's one-distinct plan
+    // carry the partial HLL buffer (p=13 ⇒ 823 long columns ≈ 6.5 KB)
+    // through the (l_returnflag, l_partkey) pre-aggregation — tens of
+    // thousands of groups × 6.5 KB of sketch state through the first
+    // exchange for a 3-row answer (measured: the 823-wide Results list
+    // in the partial HashAggregate, plans/r18/g_approx_distinct_before
+    // .txt). Aggregating the sketch in its OWN branch keeps the HLL
+    // partial per (flag × partition) — 3 buffers per task — and joins
+    // the 3-row estimate frame back by broadcast. The estimate is
+    // identical by construction: HLL++ register state is a max over
+    // hashed inputs, invariant to grouping/merge order.
+    (s, d) => {
+      val exact = li(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n_rows"))
+      val approx = li(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.015).as("approx_parts"))
+      exact.join(broadcast(approx), "l_returnflag")
+        .withColumn("quality_ok",
+          abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") < 0.05)
+        .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          col("quality_ok"))
+        .orderBy("l_returnflag")
+    },
     Some("""SELECT l_returnflag,
       | count(DISTINCT l_partkey) AS exact_parts,
       | count(*) AS n_rows,
@@ -1376,10 +1392,22 @@ object QueriesAggWindow {
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
       val merged = monthly.groupBy("y", "q")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      // SPLIT aggregation (r18 optimization, same defect as
+      // g_approx_distinct): hll_sketch_agg + countDistinct in one agg
+      // rode the (y, q, o_custkey) pre-aggregation — a serialized
+      // DataSketches buffer per CUSTOMER×quarter group through the
+      // first exchange, in a non-codegen ObjectHashAggregate. Split,
+      // the exact branch is a pure codegen HashAggregate over narrow
+      // longs and the sketch branch ships one partial sketch per
+      // (y, q) per task. The broadcast estimate frames are
+      // periods-sized. Estimates stay within the 6%/5% gate bounds
+      // regardless of merge grouping (HLL state is a register max).
       val direct = base.groupBy("y", "q")
-        .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est_direct"),
-          countDistinct(col("o_custkey")).as("n_exact"))
-      direct.join(merged, Seq("y", "q"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est_direct"))
+      val exact = base.groupBy("y", "q")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      exact.join(broadcast(direct), Seq("y", "q"))
+        .join(broadcast(merged), Seq("y", "q"))
         // merged-vs-direct bound = 6%: ABOVE the estimator's combined
         // 1σ drift envelope (2·1.04/√4096 ≈ 3.2% at lgK=12 — the r11
         // review flagged the earlier 2.5%, set from one measured

@@ -58,16 +58,20 @@ object QueriesEnsemble {
   private def fixtureDir(family: String, d: String): String =
     Tables.fixturePath(family, d, fixtureVer(d))
 
-  /** J1/P5: three per-model frames joined N-way on the key, then the
-    * preds array column (the reference's concat-on-index, P4/P5). */
+  /** P5: the member scores + preds array frame (the reference's
+    * concat-on-index, P4/P5). r18 optimization: this was spelled as a
+    * 4-way self-join of orders on o_orderkey — each side deriving its
+    * pm(k) column from the key itself — so every ens_* entry paid 4
+    * scans and 3 joins to produce what one projection computes (the
+    * N-way equi-join op itself is covered by j1_multiway_join /
+    * q5_local_revenue; ens_fold_dirs keeps a REAL multi-source join
+    * over distinct fixture dirs). Same rows, same columns, one scan,
+    * zero joins. */
   private def predsFrame(s: SparkSession, d: String): DataFrame = {
     val o = tbl(s, d, "orders")
-    val frames = Ms.zipWithIndex.map { case (k, i) =>
-      o.select(col("o_orderkey"), pm(k).as(s"m$i"))
-    }
-    val joined = frames.reduce(_.join(_, "o_orderkey"))
-    joined
-      .join(o.select(col("o_orderkey"), pm(BaseK).as("base")), "o_orderkey")
+    o.select(col("o_orderkey") +:
+        Ms.zipWithIndex.map { case (k, i) => pm(k).as(s"m$i") } :+
+        pm(BaseK).as("base"): _*)
       .withColumn("preds", array(Ms.indices.map(i => col(s"m$i")): _*))
   }
 
@@ -119,8 +123,14 @@ object QueriesEnsemble {
     * order. The fact side sees ONE score-partitioned exchange; the
     * cumsum runs on the tiny census frame (the g_ks_drift carry
     * discipline applied to ranking). */
-  private def memberRank(df: DataFrame, m: String): DataFrame = {
-    val census = df.groupBy(col(m).as("s")).agg(count(lit(1)).as("c"))
+  private def memberRank(base: DataFrame)(df: DataFrame, m: String): DataFrame = {
+    // census over BASE, not the folded frame (r18 optimization): the
+    // member scores are base columns, so the census is identical — but
+    // censusing the folded frame made each member's census branch
+    // re-execute every earlier member's window+join subtree (the
+    // executed plan carried 64 parquet scans; now 4: the fact chain
+    // plus one census scan per member).
+    val census = base.groupBy(col(m).as("s")).agg(count(lit(1)).as("c"))
     val wC = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     val offs = census.select(col("s"),
       coalesce(sum(col("c")).over(wC), lit(0L)).as("before"))
@@ -139,7 +149,8 @@ object QueriesEnsemble {
     * the only float op is the final division. */
   val ensRankAverage: Entry = Entry("ens_rank_average",
     (s, d) => {
-      val ranked = Seq("m0", "m1", "m2").foldLeft(predsFrame(s, d))(memberRank)
+      val base = predsFrame(s, d)
+      val ranked = Seq("m0", "m1", "m2").foldLeft(base)(memberRank(base))
       ranked.select(col("o_orderkey"),
           ((col("r_m0") + col("r_m1") + col("r_m2")) / 3.0).as("avg_rank"))
         .orderBy("o_orderkey")
