@@ -192,28 +192,26 @@ object QueriesPipeline {
     * scan-stage shape as dd_ngram_jaccard: builtin array expressions,
     * no shuffle beyond the output sort. */
   val ddContainment: Entry = Entry("dd_containment",
-    // staged projections, NOT three metric-helper calls on raw text:
-    // each helper call builds its own shingle subtree with fresh
-    // lambda ids, which defeats codegen subexpression elimination —
-    // the one-select spelling carried 12 copies of the shingle
-    // pipeline per row (measured in the executed plan). Materializing
-    // (sa, sb) then (si) as columns leaves 2 shingle builds + 1
-    // intersection; CollapseProject keeps the stages apart because
-    // the aliases are non-cheap and multiply referenced.
+    // ONE-PASS JVM shingle statistics (r18 optimization): even the
+    // staged-projection HOF spelling (r11's fix for the 12-copies
+    // plan) evaluates interpreted — transform/array_distinct/
+    // array_intersect/array_union materialize both shingle ARRAYS per
+    // row outside whole-stage codegen, measured 1.75 s for the 455-doc
+    // audit slice at sf0.1. [[Dedup.shingleStats3Udf]] computes the
+    // three set sizes in one tight loop (0.06 s, 32×; bit-identical —
+    // |A∪B| = |A|+|B|−|A∩B|, and the float divisions below are the
+    // same ops on the same ints). The concat stays a codegen
+    // expression so the UDF receives the exact same pair of texts.
     (s, d) => docs(s, d).where(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), Dedup.shingleStats3Udf(col("text"),
+        concat(col("text"), lit(" qq17 qq18 qq19"))).as("st"))
       .select(col("doc_id"),
-        array_distinct(Dedup.shingles3(col("text"))).as("sa"),
-        array_distinct(Dedup.shingles3(
-          concat(col("text"), lit(" qq17 qq18 qq19")))).as("sb"))
-      .select(col("doc_id"), col("sa"), col("sb"),
-        array_intersect(col("sa"), col("sb")).as("si"))
-      .select(col("doc_id"),
-        round(when(size(col("sa")) === 0, 0.0).otherwise(
-          size(col("si")).cast("double") / size(col("sa"))), 6).as("cont_fwd"),
-        round(when(size(col("sb")) === 0, 0.0).otherwise(
-          size(col("si")).cast("double") / size(col("sb"))), 6).as("cont_rev"),
-        round(size(col("si")).cast("double") /
-          size(array_union(col("sa"), col("sb"))), 6).as("jac"))
+        round(when(col("st._1") === 0, 0.0).otherwise(
+          col("st._3").cast("double") / col("st._1")), 6).as("cont_fwd"),
+        round(when(col("st._2") === 0, 0.0).otherwise(
+          col("st._3").cast("double") / col("st._2")), 6).as("cont_rev"),
+        round(col("st._3").cast("double") /
+          (col("st._1") + col("st._2") - col("st._3")), 6).as("jac"))
       .orderBy("doc_id"),
     Some("""WITH v AS (
       | SELECT doc_id, string_split(text, ' ') AS w,

@@ -145,6 +145,32 @@ object Dedup {
 
   val bandKeysUdf = udf(bandKeys _)
 
+  /** Distinct 3-shingle set statistics of a text pair in ONE tight JVM
+    * pass: (|A|, |B|, |A∩B|) as struct fields (_1, _2, _3); |A∪B| is
+    * |A|+|B|−|A∩B| by inclusion-exclusion, so every containment /
+    * resemblance metric derives from these three ints with the float
+    * division left to codegen. Semantics match the [[shingles3]]
+    * Column spelling exactly (same split-with-empties, same n−2
+    * shingle count, distinct-set sizes — asserted pair-for-pair vs the
+    * expression twin in PipelineOpsSpec). A UDF for the same reason as
+    * [[minhashSig]]: the staged higher-order-function spelling
+    * evaluates interpreted and re-materializes both shingle ARRAYS per
+    * row — measured 1.75 s vs 0.06 s for dd_containment's audit slice
+    * at sf0.1 (32×; plans/r18/dd_containment_*.txt). */
+  private def shingleStats3(a: String, b: String): (Int, Int, Int) = {
+    val sa = shingleSet(a)
+    val sb = shingleSet(b)
+    val bSet = new java.util.HashSet[String](math.max(8, sb.length * 2))
+    var i = 0
+    while (i < sb.length) { bSet.add(sb(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < sa.length) { if (bSet.contains(sa(i))) inter += 1; i += 1 }
+    (sa.length, sb.length, inter)
+  }
+
+  val shingleStats3Udf = udf(shingleStats3 _).withName("shingle_stats3")
+
   def minHashPairs(docs: DataFrame, threshold: Double,
       bands: Int = 6, rowsPerBand: Int = 3): DataFrame = {
     val sigs = docs.select(col("id"),

@@ -17,6 +17,30 @@ class PipelineOpsSpec extends SparkSpec {
     sh shouldBe Seq("a b c", "b c d", "c d e")
   }
 
+  test("shingleStats3Udf: set sizes match the Column-expression twin on adversarial texts") {
+    // the r18 dd_containment rewrite rides this equivalence: the UDF's
+    // (|A|, |B|, |A∩B|) must match the staged HOF spelling exactly,
+    // including split-with-empties semantics (double/trailing spaces),
+    // <3-word empty sets, and duplicate shingles collapsing
+    val texts = Seq("a b c d e", "x y", "", "a  b c", "a b c ",
+      "a b a b a b a b", "q q q", "lone", "a b c d e f g h a b c d")
+    val pairs = texts.flatMap(t => Seq((t, t + " qq17 qq18 qq19"), (t, "z " + t)))
+    val df = pairs.toDF("x", "y")
+    val expr = df.select(
+      functions.size(array_distinct(Dedup.shingles3(col("x")))).as("na"),
+      functions.size(array_distinct(Dedup.shingles3(col("y")))).as("nb"),
+      functions.size(array_intersect(array_distinct(Dedup.shingles3(col("x"))),
+        array_distinct(Dedup.shingles3(col("y"))))).as("ni"),
+      functions.size(array_union(array_distinct(Dedup.shingles3(col("x"))),
+        array_distinct(Dedup.shingles3(col("y"))))).as("nu"))
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    val viaUdf = df.select(Dedup.shingleStats3Udf(col("x"), col("y")).as("st"))
+      .select(col("st._1"), col("st._2"), col("st._3"),
+        col("st._1") + col("st._2") - col("st._3"))
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    viaUdf shouldBe expr
+  }
+
   test("jaccard3: identical -> 1, disjoint -> 0, known overlap") {
     val df = Seq(("a b c d", "a b c d"), ("a b c", "x y z"),
       ("a b c d", "a b c e")).toDF("x", "y")

@@ -254,17 +254,23 @@ class PlanShapeSpec extends SparkSpec {
   }
   private val sf = "/root/testdata/sf0.001"
 
-  test("g_winsorize: both exchanges carry group-key rows; bounds come back broadcast") {
+  test("g_winsorize: census-only pipeline, all-codegen aggs, bounds come back broadcast") {
     val p = staticPlan(QueriesAggWindow.gWinsorize.fn(spark, sf))
     withClue(p) {
-      // bounds percentile agg + final clipped agg — nothing else hashes
-      hashEx(p) shouldBe 2
+      // r18 shape: census agg + bounds-census agg + census window
+      // re-key + final clipped agg — every exchange carries distinct
+      // (g, value) census rows, never facts, and nothing buffers a
+      // boxed value→count map (the old `percentile` ObjectHashAggregate)
+      hashEx(p) shouldBe 4
+      p should not include "ObjectHashAggregate"
+      p should not include "percentile"
       "BroadcastExchange".r.findAllIn(p).size shouldBe 1
       p should include("BroadcastHashJoin")
       // output-contract orderBy only
       "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
     }
   }
+
 
   test("w_ewma_decay: both window specs share ONE custkey exchange") {
     val p = staticPlan(QueriesAggWindow.wEwma.fn(spark, sf))
@@ -683,9 +689,13 @@ class PlanShapeSpec extends SparkSpec {
     // fails here instead of shipping an N-times-per-row plan.
     val pContain = staticPlan(QueriesPipeline.ddContainment.fn(spark, sf))
     withClue(pContain) {
-      // staged (sa, sb) projections: exactly 2 shingle builds per row —
-      // the one-select spelling carried 12 (r11 finding)
-      "concat_ws".r.findAllIn(pContain).size shouldBe 2
+      // r18: the shingle-set statistics run in ONE tight-loop UDF call
+      // per row (the staged-HOF spelling was 2 interpreted shingle
+      // array builds + intersect/union per row — 32× slower measured);
+      // re-introducing a HOF spelling (concat_ws shingle lambdas) or a
+      // second UDF call per row fails here
+      "shingle_stats3".r.findAllIn(pContain).size shouldBe 1
+      "concat_ws".r.findAllIn(pContain).size shouldBe 0
     }
     val pIso = staticPlan(QueriesArrays.a9IsoMask.fn(spark, sf))
     withClue(pIso) {
