@@ -286,16 +286,38 @@ object QueriesGraph {
     * (per-partition heaps), and the marginal/total attach probes the
     * vocabulary-sized part counts with the 20 winners BROADCAST — the
     * fact table is never rescanned. */
+  /** Per-order canonical pairs in one tight JVM pass (r18
+    * optimization): the equivalent self-join of [[basket]] on ok
+    * shuffles the basket TWICE by order key before the pair groupBy;
+    * collect_set + this generator shuffles it once and emits pairs
+    * map-side. Output pair multiset is identical (sorted distinct
+    * items, i<j), and per-group memory is bounded by the max basket
+    * size squared — basket items per order are bounded by order line
+    * count, the same bound the self-join's per-key output had. */
+  private val pairGen = udf((ps: Seq[Long]) => {
+    val arr = ps.sorted.toArray
+    val out = Array.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < arr.length) {
+      var j = i + 1
+      while (j < arr.length) { out += ((arr(i), arr(j))); j += 1 }
+      i += 1
+    }
+    out.result()
+  })
+
   val grCopurchase: Entry = Entry("gr_copurchase_lift",
     (s, d) => {
       val a = basket(s, d)
-      val pairs = a.select(col("ok"), col("p").as("p1"))
-        .join(a.select(col("ok"), col("p").as("p2")), Seq("ok"))
-        .where(col("p1") < col("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("n_pair"))
+      val sets = a.groupBy("ok").agg(collect_set(col("p")).as("ps"))
+      val pairs = sets.select(explode(pairGen(col("ps"))).as("pr"))
+        .groupBy(col("pr._1").as("p1"), col("pr._2").as("p2"))
+        .agg(count(lit(1)).as("n_pair"))
       val top = pairs.orderBy(col("n_pair").desc, col("p1"), col("p2")).limit(20)
       val m = a.groupBy("p").agg(count(lit(1)).as("n_p"))
-      val nOrd = a.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+      // order count from the per-order sets frame: reuses the groupBy
+      // exchange instead of a second distinct pass over the basket
+      val nOrd = sets.agg(count(lit(1)).as("n_orders"))
       val t1 = m.select(col("p").as("p1"), col("n_p").as("n_p1"))
         .join(broadcast(top), Seq("p1"))
       val t2 = m.select(col("p").as("p2"), col("n_p").as("n_p2"))

@@ -714,14 +714,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("pl_suffix_dedup: digest-keyed gram exchange, doc-partitioned cover window") {
+  test("pl_suffix_dedup: digest-keyed gram exchange, one-pass span cover") {
     // Lee et al. span removal: grams must ship as (digest, doc, pos)
-    // — never gram text — and the coverage window + final rollup ride
-    // ONE doc_id partitioning (the dup-start arrays join back on
-    // doc_id; no global window, no cross join).
+    // — never gram text. r18: the coverage+reassembly runs as ONE
+    // per-doc span_remove_stats pass (no exploded-token exchange, no
+    // per-doc range window), so the only hash exchanges left are the
+    // dup-chain window and the dup-start rollup; the dup-start arrays
+    // come back by broadcast.
     val p = staticPlan(QueriesPipeline.plSuffixDedup.fn(spark, sf))
     withClue(p) {
-      hashEx(p) shouldBe 3 // dg window, dstart agg, toks re-key on doc_id
+      hashEx(p) shouldBe 2 // dg window, dstart agg
+      "span_remove_stats".r.findAllIn(p).size shouldBe 1
       "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1 // contract sort
       p should not include "CartesianProduct"
       noSinglePartitionWindow(p)
