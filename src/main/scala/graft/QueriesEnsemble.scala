@@ -349,14 +349,26 @@ object QueriesEnsemble {
           val memberDirs = new java.io.File(s"$base/fold_$f").listFiles()
             .filter(x => x.isDirectory && x.getName.matches("m\\d+"))
             .map(_.getName).sorted
-          val members = memberDirs.zipWithIndex.map { case (m, i) =>
+          // member attach by union + conditional-agg pivot (r18
+          // optimization, guide §2.4): the former members.reduce(join
+          // on id) built one broadcast hash relation PER member (6
+          // × ~150k-row builds across the folds) — and at 100 TB
+          // members don't broadcast at all, so the join would shuffle
+          // the fold K times. Tagged union + one groupBy(id) shuffles
+          // each fold's rows ONCE; the member id sets are identical by
+          // construction, so the wide rows match the join's exactly
+          // (probe-verified 450k collected rows ==).
+          val tagged = memberDirs.zipWithIndex.map { case (m, i) =>
             // schema known (submission format); discovery is the DIR
             // listing above, not schema inference — 9 header probes saved
             s.read.schema("id STRING, is_iceberg STRING")
               .option("header", "true").csv(s"$base/fold_$f/$m")
-              .select(col("id"), col("is_iceberg").cast("double").as(s"m$i"))
-          }
-          members.reduce(_.join(_, "id"))
+              .select(col("id"), lit(i).as("mi"),
+                col("is_iceberg").cast("double").as("v"))
+          }.reduce(_.unionByName(_))
+          val aggs = memberDirs.indices.map(i =>
+            max(when(col("mi") === i, col("v"))).as(s"m$i"))
+          tagged.groupBy("id").agg(aggs.head, aggs.tail: _*)
             .select(lit(f).as("fold"), col("id"),
               round(Ensemble.stack("mean",
                 array(memberDirs.indices.map(i => col(s"m$i")): _*), col("m0")), 6)
