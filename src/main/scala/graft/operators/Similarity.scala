@@ -162,11 +162,19 @@ object Similarity {
     * bit-exact integer arithmetic and driver-state shape as
     * [[kmeansLloyd]] (k·dim longs — the sketch-coordinator pattern). */
   def kmeansLloydTrain(emb: DataFrame, k: Int, iters: Int,
-      scale: Long = 1000000L): DataFrame = {
-    val spark = emb.sparkSession
+      scale: Long = 1000000L): DataFrame =
+    // checkpoint the scaled corpus ONCE (r18 optimization): the train
+    // loop below scans it iters+1 times, and without the pin every
+    // iteration re-ran the parquet decode + the interpreted per-element
+    // scale transform (MLlib's own k-means caches its working set for
+    // exactly this reason). In-query materialization only — recomputed
+    // every run, nothing persists across runs.
+    trainScaled(lloydScaled(emb, scale).localCheckpoint(true), k, iters)
+
+  private def trainScaled(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = e.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
-    val e = lloydScaled(emb, scale)
     // pinned initial centroids — the k LOWEST vec_ids (rank-based, r18:
     // `vec_id < k` equals this only on a dense id domain and silently
     // under-seeds on the rehearsal fixtures' block-spaced ids once
@@ -199,8 +207,11 @@ object Similarity {
 
   def kmeansLloyd(emb: DataFrame, k: Int, iters: Int,
       scale: Long = 1000000L): DataFrame = {
-    val e = lloydScaled(emb, scale)
-    lloydAssign(e, kmeansLloydTrain(emb, k, iters, scale))
+    // one checkpointed corpus shared by the train loop AND the final
+    // assignment (see kmeansLloydTrain) — previously the final E-step
+    // re-derived its own scaled corpus on top of the loop's
+    val e = lloydScaled(emb, scale).localCheckpoint(true)
+    lloydAssign(e, trainScaled(e, k, iters))
       .select(col("vec_id"), col("cluster"),
       round(sqrt(col("d2").cast("double")) / lit(scale.toDouble), 6).as("dist"))
   }
