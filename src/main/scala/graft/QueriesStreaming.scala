@@ -120,7 +120,19 @@ object QueriesStreaming {
   private def sizedStreamSession(outer: org.apache.spark.sql.SparkSession,
       partitions: Int, ephemeralCkpt: Boolean = true): org.apache.spark.sql.SparkSession = {
     val s = outer.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // Stateful-op parallelism vs state-store count: every shuffle
+    // partition is one state store per stateful operator per
+    // micro-batch (checkpoint files, provider load, commit), but also
+    // one addBatch task. r18 A/B at sf0.1 over the heavy entries
+    // (session-window, parity-session, stream-join, stream-minhash):
+    // 2 → 9.99 s, 4 → 8.18 s, 8 → 8.56 s; the 8 small-state entries
+    // read flat 2 vs 4 (7.41 vs 7.29 s) — 4 is the measured knee.
+    // Production sizes this to stream rate, not a constant; the env
+    // override is a LOCAL PROFILING aid only (the driver never sets
+    // it), kept so the A/B stays reproducible.
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .map(_.toInt).getOrElse(partitions)
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // Spark 4.x writes a sidecar checksum file per checkpoint file
     // (offset log, commit log, every state delta/snapshot) — literally
     // 2× the checkpoint file count per micro-batch. Checksums guard
@@ -201,7 +213,7 @@ object QueriesStreaming {
     * so repeated bench/verify runs don't collide. */
   val stStreamExec: Entry = Entry("st_stream_exec",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       val stream = stagedEventsStream(s, d)
       // name unique per JVM AND per run: the memory sink cannot recover
       // from an existing checkpoint, so a stale dir from a previous
@@ -244,7 +256,7 @@ object QueriesStreaming {
     * works in `epoch_ms` — both sides floor the same micros. */
   val stStreamSessionExec: Entry = Entry("st_stream_session_exec",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       import s.implicits._
       val events = stagedEventsStream(s, d)
         .select(col("user_id").cast("long").as("userId"), col("ts").as("eventTime"))
@@ -397,7 +409,7 @@ object QueriesStreaming {
     * %21, exercising both drop paths on the same stream). */
   val stStreamDedup: Entry = Entry("st_stream_dedup",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       val stage = stagedDocBatches(outer, d)
       val known = textDistinctDocs(s, d).where(col("doc_id") % 3 === 0)
         .select(xxhash64(col("text")).as("k_digest"),
@@ -527,7 +539,7 @@ object QueriesStreaming {
   val stStreamJoin: Entry = Entry("st_stream_join_exec",
     (outer, d) => {
       val stage = stagedEventHalves(outer, d)
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       runStreamIntervalJoin(s, stage, "st_stream_join")
         .orderBy("click_id", "buy_id")
     },
@@ -556,7 +568,7 @@ object QueriesStreaming {
   val stBatchParityJoin: Entry = Entry("st_batch_parity_join",
     (outer, d) => {
       val stage = stagedEventHalves(outer, d)
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       val streamRes = runStreamIntervalJoin(s, stage, "st_parity_join")
         .select(col("click_id"), col("buy_id"),
           col("user_id").as("user_s"), col("buy_value").as("val_s"))
@@ -786,7 +798,7 @@ object QueriesStreaming {
 
   val stStreamWmDedup: Entry = Entry("st_stream_wm_dedup",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       runStreamWmDedup(s, stagedWmDedupFixture(outer, d), "st_wmdd")
         .orderBy("doc_id", "t_ms")
     },
@@ -833,7 +845,7 @@ object QueriesStreaming {
     * mismatches. */
   val stBatchParityDedup: Entry = Entry("st_batch_parity_dedup",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       val stage = stagedWmDedupFixture(outer, d)
       val streamRes = runStreamWmDedup(s, stage, "st_parity_wmdd")
         .select(col("doc_id"), col("t_ms"), lit(1L).as("one_s"))
@@ -938,7 +950,7 @@ object QueriesStreaming {
 
   val stStreamMmDedup: Entry = Entry("st_stream_mm_dedup",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       import graft.operators.MultiModal
       val stage = mmDedupStage(outer, d)
       val name = s"st_mmdd_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
@@ -1036,7 +1048,7 @@ object QueriesStreaming {
     * are all on (long) ids. */
   val mmDedupEndToEnd: Entry = Entry("mm_dedup_end_to_end",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       import graft.operators.{Dedup, MultiModal}
       val stage = mmDedupStage(outer, d)
       val name = s"st_mm_e2e_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
@@ -1161,7 +1173,7 @@ object QueriesStreaming {
     * 1-row reduction. */
   val stStreamQualityGate: Entry = Entry("st_stream_quality_gate",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       val model = QueriesMl.qualityModel(
         QueriesMl.qualityFeatures(tbl(outer, d, "documents")))
       val stage = stageBatchFiles("stream_qgate", d,
@@ -1230,7 +1242,7 @@ object QueriesStreaming {
     * the argument for sketch-valued state at 100 TB. */
   val stStreamQuantile: Entry = Entry("st_stream_quantile",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       import s.implicits._
       import graft.operators.KllSketch.stateEncoder
       val eps = 0.02
@@ -1363,7 +1375,7 @@ object QueriesStreaming {
 
   val stStreamSessionWindow: Entry = Entry("st_stream_session_window",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       val stage = stagedSessionWindowFixture(outer, d)
       runStreamSessionWindow(s, stage, "st_sesswin")
         .orderBy("user_id", "session_start")
@@ -1393,7 +1405,7 @@ object QueriesStreaming {
     * drops a still-open session all flip parity_ok. */
   val stBatchParitySession: Entry = Entry("st_batch_parity_session",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       val stage = stagedSessionWindowFixture(outer, d)
       val streamRes = runStreamSessionWindow(s, stage, "st_parity_sess")
         .select(col("user_id"), col("session_start").as("ss"),
@@ -1454,7 +1466,7 @@ object QueriesStreaming {
     * state store). */
   val stStreamTopK: Entry = Entry("st_stream_topk",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       import s.implicits._
       import graft.operators.HeavyHitters.ssStateEncoder
       val stage = stageBatchFiles("stream_topk", d,
@@ -1529,7 +1541,7 @@ object QueriesStreaming {
     * groupBy. */
   val stStreamCdc: Entry = Entry("st_stream_cdc",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       import s.implicits._
       val stage = stageBatchFiles("stream_cdc", d,
         "v1_" + Tables.dataVer(d, "events"), {
@@ -1612,7 +1624,7 @@ object QueriesStreaming {
     * is bucketCap-bounded with an audit count. */
   val stStreamMinhash: Entry = Entry("st_stream_minhash",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       import s.implicits._
       // v3: base corpus under the shared sf-conditional HEAD sample
       // (a no-op at shipped SFs; bounds the O(N²) oracle above them —
@@ -1681,7 +1693,7 @@ object QueriesStreaming {
     * pattern at the streaming/batch boundary). */
   val stBatchParity: Entry = Entry("st_batch_parity",
     (outer, d) => {
-      val s = sizedStreamSession(outer, 2)
+      val s = sizedStreamSession(outer, 4)
       val stream = stagedEventsStream(s, d)
       val name = s"st_batch_parity_${ProcessHandle.current().pid()}_${execSeq.incrementAndGet()}"
       val q = StreamingOps.tumbling(stream, col("ts"), col("event_type"),
