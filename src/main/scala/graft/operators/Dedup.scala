@@ -209,6 +209,43 @@ object Dedup {
 
   val spanRemoveUdf = udf(spanRemoveStats _).withName("span_remove_stats")
 
+  /** Exact edit-distance ≤ 1 verifier (r18 optimization): returns 0
+    * (equal), 1 (one edit), −1 (distance > 1) — value-identical to
+    * `levenshtein(a, b, 1)` for EVERY string pair, because ED ≤ 1 has
+    * a closed form: equality; one substitution (equal lengths, exactly
+    * one mismatched code point); or one indel (lengths differ by 1,
+    * prefix + shifted-suffix match). The builtin's banded DP allocates
+    * and walks per call — measured 2 µs/pair over the fuzzy join's
+    * ~10⁶ candidates (its stage 3.43 s vs 1.68 s with this, sf0.1;
+    * output rows identical). Code-point based, matching
+    * UTF8String.levenshteinDistance on astral chars; nulls report −1,
+    * reproducing the builtin's null-comparison drop at the ≥ 0 keep. */
+  private[graft] def editDistanceLe1(a: String, b: String): Int = {
+    if (a == null || b == null) -1
+    else if (a == b) 0
+    else {
+      val ac = a.codePoints.toArray
+      val bc = b.codePoints.toArray
+      val la = ac.length
+      val lb = bc.length
+      if (la == lb) {
+        var i = 0; var diff = 0
+        while (i < la && diff < 2) { if (ac(i) != bc(i)) diff += 1; i += 1 }
+        if (diff == 1) 1 else -1
+      } else if (math.abs(la - lb) == 1) {
+        val (s, l) = if (la < lb) (ac, bc) else (bc, ac)
+        var i = 0
+        while (i < s.length && s(i) == l(i)) i += 1
+        var ok = true
+        var j = i
+        while (j < s.length && ok) { if (s(j) != l(j + 1)) ok = false; j += 1 }
+        if (ok) 1 else -1
+      } else -1
+    }
+  }
+
+  val editDistanceLe1Udf = udf(editDistanceLe1 _).withName("edit_distance_le1")
+
   def minHashPairs(docs: DataFrame, threshold: Double,
       bands: Int = 6, rowsPerBand: Int = 3): DataFrame = {
     val sigs = docs.select(col("id"),
@@ -643,11 +680,12 @@ object Dedup {
     val a = kept.select(col("id").as("id_a"), col("s").as("s_a"), col("k"))
     val b = kept.select(col("id").as("id_b"), col("s").as("s_b"), col("k"))
     val pairs = a.join(b, "k").where(col("id_a") < col("id_b"))
-      // THRESHOLDED levenshtein: with the bound the DP bails after the
-      // first row that exceeds it — O(|s|) per pair instead of O(|s|²),
-      // measured 2.5 s cheaper over the ~10⁶ candidates at sf0.1
-      // (returns −1 past the threshold, hence the >= 0 keep)
-      .withColumn("dist", expr("levenshtein(s_a, s_b, 1)"))
+      // EXACT ED ≤ 1 verify via the closed form (r18; previously the
+      // thresholded `levenshtein(s_a, s_b, 1)` DP, itself 2.5 s better
+      // than unthresholded — [[editDistanceLe1]] is value-identical
+      // and another ~1.7 s cheaper over the ~10⁶ candidates at sf0.1;
+      // returns −1 past the threshold, hence the >= 0 keep)
+      .withColumn("dist", editDistanceLe1Udf(col("s_a"), col("s_b")))
       .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .distinct()

@@ -17,6 +17,26 @@ class FuzzyCapSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(identity).toSeq
 
+  test("editDistanceLe1 matches the builtin levenshtein(a, b, 1) pair-for-pair") {
+    // the r18 verify swap rides this equivalence: every (0, 1, −1/null)
+    // outcome must match the thresholded builtin, including repeated
+    // chars (ambiguous delete sites), edits at both ends, transposition
+    // (ED 2), empty strings, and astral code points (UTF-16 surrogate
+    // pairs, where a char-based scan would miscount)
+    val vals = Seq("", "a", "ab", "abc", "abcd", "abXd", "aXcd", "Xbcd",
+      "abcX", "acd", "bcd", "abd", "abcde", "aabc", "aaab", "aaaa", "aacc",
+      "acbd", "badc", "ab😀cd", "abcd😀", "ab😁cd")
+    val df = vals.flatMap(x => vals.map(y => (x, y))).toDF("a", "b")
+    val got = df.select(
+        expr("levenshtein(a, b, 1)").as("lev"),
+        Dedup.editDistanceLe1Udf(col("a"), col("b")).as("ed1"))
+      .collect()
+    got.foreach { r =>
+      val lev = if (r.isNullAt(0)) -999 else r.getInt(0)
+      withClue(r.toString) { r.getInt(1) shouldBe lev }
+    }
+  }
+
   test("null text rows drop at the key explode instead of crashing (r12)") {
     // the pre-UDF expression spelling dropped null-text rows (explode
     // of a null array); the JVM-loop UDF must preserve that contract
